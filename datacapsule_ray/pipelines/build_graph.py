@@ -1,0 +1,152 @@
+"""End-to-end KG construction pipeline (SURVEY.md §3.1/§3.2, Ray-native).
+
+    documents (interleaved spans, Lance/Parquet shards)
+      → parse  (vectorized span→record, spans pass through)   [per-partition ckpt]
+      → emit   (GraphEmitter actor pool: M1-M11 triple grammar)
+      → link   (LinkerActor: broadcast alias dict, A3)         [per-partition ckpt]
+      → edges  (salted two-phase dedup groupby)                [stage ckpt]
+      → nodes  (merge-aggregate, species-priority)             [stage ckpt]
+      → adjacency (groupby(src), chunked lists)                [stage ckpt]
+      → star schema (4 column-pruned passes over records)      [stage ckpts]
+      → entity/relation vectors (embedder actor pool)          [stage ckpts]
+
+Extraction is embarrassingly parallel, so the parse→emit→link prefix runs
+per input partition with atomic per-partition commits + lineage (resume =
+anti-join pending partitions, state/checkpoint.py). The shuffle stages
+consume the emissions checkpoint and commit at stage granularity.
+"""
+
+from __future__ import annotations
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from ..fixtures import alias_table
+from ..stages import graph as g
+from ..stages import star, vectors
+from ..stages.extract import GraphEmitter, parse_documents_batch
+from ..stages.link import LinkerActor
+from ..state.checkpoint import CheckpointStore
+
+RECORD_COLS = ["doc_id", "doc_num", "中文学名", "拉丁学名", "命名年份", "作者",
+               "界", "门", "纲", "目", "科", "属", "种",
+               "自然分布地", "生活习性", "生物特征"]
+
+
+class KGPipeline:
+    def __init__(self, ckpt_root: str, *, alias: dict[str, str] | None = None,
+                 embed_dim: int = 32, emitter_concurrency: int | tuple = (1, 8),
+                 batch_size: int = 1024) -> None:
+        self.store = CheckpointStore(ckpt_root)
+        self.alias = alias if alias is not None else alias_table()
+        self.embed_dim = embed_dim
+        self.emitter_concurrency = emitter_concurrency
+        self.batch_size = batch_size
+
+    # ---- extraction prefix (per-partition, resumable) ----------------------
+    def run_extraction(self, input_files: list[str],
+                       files_per_partition: int = 1) -> None:
+        parts = [input_files[i:i + files_per_partition]
+                 for i in range(0, len(input_files), files_per_partition)]
+        alias_ref = ray.put(self.alias)
+        pending = self.store.pending_partitions("emissions", list(range(len(parts))))
+        for pid in pending:
+            files = parts[pid]
+            docs = rd.read_parquet(files)
+            records = docs.map_batches(parse_documents_batch, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+            # records checkpoint carries spans for the pass-through invariant;
+            # downstream stages column-prune it away at the read
+            self.store.write_partition("records", pid, records, files)
+            rec_ds = rd.read_parquet(
+                self.store.partition_dir("records", pid), columns=RECORD_COLS
+            )
+            emissions = rec_ds.map_batches(
+                GraphEmitter, batch_format="pyarrow", batch_size=self.batch_size,
+                concurrency=self.emitter_concurrency,
+            ).map_batches(
+                LinkerActor, fn_constructor_kwargs={"alias_ref": alias_ref},
+                batch_format="pyarrow", batch_size=8192,
+                concurrency=(1, 4),
+            )
+            self.store.write_partition("emissions", pid, emissions, files)
+        if not self.store.stage_done("records"):
+            self.store.commit_stage("records")
+        if not self.store.stage_done("emissions"):
+            self.store.commit_stage("emissions")
+
+    # ---- shuffle stages ----------------------------------------------------
+    def _stage(self, name: str, build) -> Dataset:
+        if not self.store.stage_done(name):
+            ds = build()
+            self.store.write_partition(name, 0, ds, [name + ":emissions"])
+            self.store.commit_stage(name)
+        return self.store.read_stage(name)
+
+    def emissions(self) -> Dataset:
+        return self.store.read_stage("emissions")
+
+    def triples(self) -> Dataset:
+        t, _ = g.split_emissions(self.emissions())
+        return t
+
+    def run_graph(self) -> dict[str, Dataset]:
+        edges = self._stage("edges", lambda: g.dedup_edges(
+            g.split_emissions(self.emissions())[0]))
+        nodes = self._stage("nodes", lambda: g.merge_nodes(
+            g.split_emissions(self.emissions())[1]))
+        adjacency = self._stage("adjacency", lambda: g.build_adjacency(
+            self.store.read_stage("edges", columns=["src", "rel", "dst"])))
+        return {"edges": edges, "nodes": nodes, "adjacency": adjacency}
+
+    def run_star(self) -> dict[str, Dataset]:
+        alias_ref = ray.put(self.alias)
+
+        def records(cols):
+            return self.store.read_stage("records", columns=cols)
+
+        species = self._stage("species", lambda: records(
+            star.SPECIES_INPUT_COLS).map_batches(
+                star.species_batch, batch_format="pyarrow"))
+        distributions = self._stage("distributions", lambda: records(
+            ["doc_id", "自然分布地"]).map_batches(
+                star.DistributionsEmitter,
+                fn_constructor_kwargs={"alias_ref": alias_ref},
+                batch_format="pyarrow", concurrency=(1, 4)))
+        traits = self._stage("numerical_traits", lambda: records(
+            ["doc_id", "生活习性", "生物特征"]).map_batches(
+                star.traits_batch, batch_format="pyarrow"))
+        descriptions = self._stage("descriptions", lambda: records(
+            ["doc_id", "生活习性", "生物特征"]).map_batches(
+                star.descriptions_batch, batch_format="pyarrow"))
+        return {"species": species, "distributions": distributions,
+                "numerical_traits": traits, "descriptions": descriptions}
+
+    def run_vectors(self) -> dict[str, Dataset]:
+        entity_vectors = self._stage("entity_vectors", lambda: vectors.build_entity_vectors(
+            self.store.read_stage("nodes", columns=["node_id", "node_type", "name"]),
+            dim=self.embed_dim, concurrency=(1, 4)))
+        relation_vectors = self._stage("relation_vectors", lambda: vectors.build_relation_vectors(
+            self.store.read_stage("edges", columns=["src", "rel", "dst"]),
+            dim=self.embed_dim, concurrency=(1, 4)))
+        return {"entity_vectors": entity_vectors, "relation_vectors": relation_vectors}
+
+    def run_all(self, input_files: list[str], files_per_partition: int = 1,
+                with_vectors: bool = True) -> dict[str, Dataset]:
+        self.run_extraction(input_files, files_per_partition)
+        out = self.run_graph()
+        out.update(self.run_star())
+        if with_vectors:
+            out.update(self.run_vectors())
+        out["triples"] = self.triples()
+        out["records"] = self.store.read_stage("records")
+        return out
+
+    def lineage(self) -> list[dict]:
+        rows = []
+        for stage in ("records", "emissions", "edges", "nodes", "adjacency",
+                      "species", "distributions", "numerical_traits",
+                      "descriptions", "entity_vectors", "relation_vectors"):
+            rows.extend(self.store.lineage(stage))
+        return rows

@@ -1,0 +1,234 @@
+"""Span parsing + triple/node emission stages (M1-M11).
+
+`parse_documents_batch` is a vectorized Arrow transform: interleaved
+span sequences → flat record columns, with the original `spans` column
+passed through untouched (the per-row invariant).
+
+`GraphEmitter` is the actor-pool stage (A1 shape,
+SURVEY.md §2.3) that re-expresses the reference's per-document loop
+(tools/entity_extraction.py:78-249) as a batched flat-map: one input
+record → ~10-20 emission rows (triples + node candidates). The
+deterministic splitters stand in for the reference's LLM extractors;
+an LLM client drops into the same __init__/__call__ interface.
+
+Per-field failures degrade to the reference's raw-text fallback triples
+(M11, entity_extraction.py:163-169/199-205/243-249) inside the UDF —
+errors become data, never task failures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import splitters as sp
+from ..schema import DOC_FIELDS, LOC_INVALID, PART_GUARDS, TAXONOMY_LEVELS
+
+# emissions table: a tagged union of triple rows and node-candidate rows,
+# so extraction is ONE pass over the input (no re-read per sink)
+EMISSIONS_SCHEMA = pa.schema([
+    ("kind", pa.string()),  # 'triple' | 'node'
+    ("subj", pa.string()),
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+    ("subj_type", pa.string()),
+    ("obj_type", pa.string()),
+    ("doc_id", pa.string()),
+    ("node_id", pa.string()),
+    ("node_type", pa.string()),
+    ("name", pa.string()),
+    ("中文学名", pa.string()),
+    ("拉丁学名", pa.string()),
+    ("命名年份", pa.string()),
+    ("作者", pa.string()),
+    ("prio", pa.int32()),
+    ("seq", pa.int64()),
+])
+
+_RECORD_FIELDS = list(DOC_FIELDS)
+
+
+def parse_documents_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized span→record parse (zero row-wise Python on the hot path).
+
+    Flattens the list<struct> spans column, splits 'field：value' text spans
+    on the first '：', and scatters values back to per-document columns via
+    numpy. Media spans contribute nothing; `spans` passes through unchanged.
+    """
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    n = len(batch)
+    lengths = spans.value_lengths().to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(n), lengths)
+
+    flat = spans.flatten()  # struct array of all spans
+    kind = flat.field("kind").to_numpy(zero_copy_only=False)
+    text = flat.field("text")
+
+    is_text = kind == "text"
+    # split on first '：' — vectorized via numpy str ops on the object array
+    texts = np.asarray(text.to_pylist(), dtype=object)
+    out_cols: dict[str, np.ndarray] = {
+        f: np.full(n, None, dtype=object) for f in _RECORD_FIELDS
+    }
+    idxs = np.nonzero(is_text)[0]
+    for i in idxs:
+        t = texts[i]
+        j = t.find("：")
+        if j <= 0:
+            continue
+        field = t[:j]
+        col = out_cols.get(field)
+        if col is not None and col[parent[i]] is None:
+            col[parent[i]] = t[j + 1:]
+
+    doc_ids = batch.column("doc_id").to_pylist()
+    doc_num = np.array(
+        [int(d.rsplit("-", 1)[-1]) if d.rsplit("-", 1)[-1].isdigit() else abs(hash(d)) % (1 << 40)
+         for d in doc_ids],
+        dtype=np.int64,
+    )
+    cols: dict[str, object] = {"doc_id": batch.column("doc_id"), "doc_num": pa.array(doc_num)}
+    for f in _RECORD_FIELDS:
+        cols[f] = pa.array(out_cols[f], type=pa.string())
+    cols["spans"] = spans  # pass-through invariant
+    return pa.table(cols)
+
+
+class GraphEmitter:
+    """Actor-pool stage: record batch → emissions batch (triples + nodes).
+
+    State (splitter setup / compiled regexes — or an LLM client in
+    production) is built once per actor in __init__ (A1,
+    tools/entity_extraction.py:50-66)."""
+
+    # emission buffer column order
+    _COLS = [f.name for f in EMISSIONS_SCHEMA]
+
+    def __init__(self) -> None:
+        # splitters hold compiled regexes at module import; referencing them
+        # here pins per-actor setup where a model load would live
+        self._split_locations = sp.split_locations
+        self._split_habits = sp.split_habits
+        self._split_features = sp.split_features
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        buf: dict[str, list] = {c: [] for c in self._COLS}
+
+        def emit_triple(subj, pred, obj, st, ot, doc_id):
+            buf["kind"].append("triple")
+            buf["subj"].append(subj); buf["pred"].append(pred); buf["obj"].append(obj)
+            buf["subj_type"].append(st); buf["obj_type"].append(ot)
+            buf["doc_id"].append(doc_id)
+            for c in ("node_id", "node_type", "name", "中文学名", "拉丁学名", "命名年份", "作者"):
+                buf[c].append(None)
+            buf["prio"].append(None); buf["seq"].append(None)
+
+        def emit_node(node_id, node_type, name, attrs, prio, seq):
+            buf["kind"].append("node")
+            for c in ("subj", "pred", "obj", "subj_type", "obj_type", "doc_id"):
+                buf[c].append(None)
+            buf["node_id"].append(node_id); buf["node_type"].append(node_type)
+            buf["name"].append(name)
+            a = attrs or {}
+            buf["中文学名"].append(a.get("中文学名"))
+            buf["拉丁学名"].append(a.get("拉丁学名"))
+            buf["命名年份"].append(a.get("命名年份"))
+            buf["作者"].append(a.get("作者"))
+            buf["prio"].append(prio); buf["seq"].append(seq)
+
+        cols = {name: batch.column(name).to_pylist() for name in
+                ["doc_id", "doc_num", "中文学名", "拉丁学名", "命名年份", "作者",
+                 "界", "门", "纲", "目", "科", "属",
+                 "自然分布地", "生活习性", "生物特征"]}
+
+        for r in range(len(batch)):
+            doc_id = cols["doc_id"][r]
+            base_seq = cols["doc_num"][r] * 64  # deterministic global emission order
+            k = 0
+
+            def nseq():
+                nonlocal k
+                k += 1
+                return base_seq + k
+
+            entity_id = cols["中文学名"][r]
+            if entity_id is None:
+                continue  # malformed doc: no primary key (reference would KeyError)
+            latin = cols["拉丁学名"][r] or ""
+            naming_year = cols["命名年份"][r] if cols["命名年份"][r] is not None else "未知"
+            author = cols["作者"][r] if cols["作者"][r] is not None else "未知"
+
+            # M1 species node
+            emit_node(entity_id, "种", None, {
+                "中文学名": entity_id, "拉丁学名": latin,
+                "命名年份": naming_year,
+                "作者": cols["作者"][r] if cols["作者"][r] is not None else "",
+            }, 0, nseq())
+            # M2 typed value nodes + edges
+            for node_id, name, ntype, rel in (
+                (f"年份_{naming_year}", naming_year, "命名年份", "命名于"),
+                (f"作者_{author}", author, "作者", "作者为"),
+                (f"拉丁学名_{latin}", latin, "拉丁学名", "拉丁学名"),
+            ):
+                emit_node(node_id, ntype, name, None, 1, nseq())
+                emit_triple(entity_id, rel, node_id, "种", ntype, doc_id)
+            # M3 taxonomy chain
+            prev_val = None
+            for i, level in enumerate(TAXONOMY_LEVELS):
+                value = cols[level][r]
+                if value is None:
+                    continue
+                emit_node(value, level, None, None, 1, nseq())
+                if i > 0 and prev_val is not None:
+                    emit_triple(prev_val, "包含", value, TAXONOMY_LEVELS[i - 1], level, doc_id)
+                prev_val = value
+            genus = cols["属"][r]
+            if genus is not None:
+                emit_triple(genus, "包含", entity_id, "属", "种", doc_id)
+
+            # M4-M6 distribution (+M11 fallback)
+            dist_text = cols["自然分布地"][r]
+            if dist_text is not None:
+                try:
+                    for loc in self._split_locations(dist_text):
+                        if loc and loc.strip() and loc not in LOC_INVALID:
+                            emit_node(loc, "自然分布地", loc, None, 1, nseq())
+                            emit_triple(entity_id, "分布于", loc, "种", "自然分布地", doc_id)
+                except Exception:
+                    emit_node(dist_text, "自然分布地", dist_text, None, 1, nseq())
+                    emit_triple(entity_id, "分布于", dist_text, "种", "自然分布地", doc_id)
+
+            # M7-M8 habits (+M11 fallback)
+            habits_text = cols["生活习性"][r]
+            if habits_text is not None:
+                try:
+                    parts = self._split_habits(habits_text)
+                    for part, rel in ((parts.feeding, "食性为"),
+                                      (parts.reproduction, "繁殖特征"),
+                                      (parts.behavior, "行为特征")):
+                        if part and not any(g in part for g in PART_GUARDS):
+                            emit_node(part, "生活习性", part, None, 1, nseq())
+                            emit_triple(entity_id, rel, part, "种", "生活习性", doc_id)
+                except Exception:
+                    emit_node(habits_text, "生活习性", habits_text, None, 1, nseq())
+                    emit_triple(entity_id, "生活习性", habits_text, "种", "生活习性", doc_id)
+
+            # M9-M10 features (+M11 fallback)
+            feat_text = cols["生物特征"][r]
+            if feat_text is not None:
+                try:
+                    parts = self._split_features(feat_text)
+                    for part, rel in ((parts.body_shape, "体型为"),
+                                      (parts.body_color, "体色为"),
+                                      (parts.body_size, "体长为"),
+                                      (parts.special_features, "特殊特征")):
+                        if part and not any(g in part for g in PART_GUARDS):
+                            emit_node(part, "生物特征", part, None, 1, nseq())
+                            emit_triple(entity_id, rel, part, "种", "生物特征", doc_id)
+                except Exception:
+                    emit_node(feat_text, "生物特征", feat_text, None, 1, nseq())
+                    emit_triple(entity_id, "生物特征", feat_text, "种", "生物特征", doc_id)
+
+        return pa.Table.from_pydict(buf, schema=EMISSIONS_SCHEMA)

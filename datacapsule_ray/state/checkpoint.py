@@ -1,0 +1,150 @@
+"""Stage-boundary checkpoints with per-partition lineage + metrics.
+
+The reference has no checkpointing — a crash loses everything
+(SURVEY.md §4). Here every pipeline stage writes its output atomically
+(temp dir → rename) under ``<root>/<stage>/``, records a lineage row per
+partition (FIXTURES.md §6), and a resumed run skips stages/partitions
+whose manifest entries exist (an anti-join of work against the manifest).
+
+Layout:
+    <root>/<stage>/part-<k>/*.parquet     partition output (atomic rename)
+    <root>/<stage>/part-<k>/_lineage.json lineage row for that partition
+    <root>/_manifest/<stage>.json         stage-level manifest (all partitions)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import asdict, dataclass
+
+import ray.data as rd
+from ray.data import Dataset
+
+
+@dataclass
+class LineageRow:
+    stage: str
+    partition_id: int
+    input_fragments: list[str]
+    rows_in: int
+    rows_out: int
+    wall_ms: int
+    content_hash: str
+
+
+class CheckpointStore:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(os.path.join(root, "_manifest"), exist_ok=True)
+
+    # --- partition-level API -------------------------------------------------
+    def partition_dir(self, stage: str, partition_id: int) -> str:
+        return os.path.join(self.root, stage, f"part-{partition_id:05d}")
+
+    def partition_done(self, stage: str, partition_id: int) -> bool:
+        return os.path.exists(
+            os.path.join(self.partition_dir(stage, partition_id), "_lineage.json")
+        )
+
+    def pending_partitions(self, stage: str, partition_ids: list[int]) -> list[int]:
+        """The anti-join: partitions without a committed lineage row."""
+        return [p for p in partition_ids if not self.partition_done(stage, p)]
+
+    def write_partition(
+        self,
+        stage: str,
+        partition_id: int,
+        ds: Dataset,
+        input_fragments: list[str],
+        rows_in: int = -1,
+    ) -> LineageRow:
+        """Execute ``ds`` streaming into the partition dir, atomically."""
+        final = self.partition_dir(stage, partition_id)
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        t0 = time.monotonic()
+        ds.write_parquet(tmp)
+        rows_out, content_hash = _dir_stats(tmp)
+        row = LineageRow(
+            stage=stage,
+            partition_id=partition_id,
+            input_fragments=input_fragments,
+            rows_in=rows_in,
+            rows_out=rows_out,
+            wall_ms=int((time.monotonic() - t0) * 1000),
+            content_hash=content_hash,
+        )
+        with open(os.path.join(tmp, "_lineage.json"), "w") as f:
+            json.dump(asdict(row), f, ensure_ascii=False)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        return row
+
+    def read_stage(self, stage: str, columns: list[str] | None = None) -> Dataset:
+        paths = self.stage_files(stage)
+        return rd.read_parquet(paths, columns=columns)
+
+    def stage_files(self, stage: str) -> list[str]:
+        stage_dir = os.path.join(self.root, stage)
+        out = []
+        for part in sorted(os.listdir(stage_dir)):
+            pdir = os.path.join(stage_dir, part)
+            if part.startswith("part-") and os.path.isdir(pdir):
+                out.extend(
+                    os.path.join(pdir, f)
+                    for f in sorted(os.listdir(pdir))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    # --- stage-level API -----------------------------------------------------
+    def _stage_manifest(self, stage: str) -> str:
+        return os.path.join(self.root, "_manifest", f"{stage}.json")
+
+    def stage_done(self, stage: str) -> bool:
+        return os.path.exists(self._stage_manifest(stage))
+
+    def commit_stage(self, stage: str, extra: dict | None = None) -> None:
+        lineage = self.lineage(stage)
+        with open(self._stage_manifest(stage) + ".tmp", "w") as f:
+            json.dump(
+                {"stage": stage, "partitions": lineage, **(extra or {})},
+                f,
+                ensure_ascii=False,
+            )
+        os.rename(self._stage_manifest(stage) + ".tmp", self._stage_manifest(stage))
+
+    def lineage(self, stage: str) -> list[dict]:
+        """Per-partition lineage + metrics rows for a stage."""
+        stage_dir = os.path.join(self.root, stage)
+        rows = []
+        if not os.path.isdir(stage_dir):
+            return rows
+        for part in sorted(os.listdir(stage_dir)):
+            path = os.path.join(stage_dir, part, "_lineage.json")
+            if os.path.exists(path):
+                with open(path) as f:
+                    rows.append(json.load(f))
+        return rows
+
+
+def _dir_stats(path: str) -> tuple[int, str]:
+    """(total rows, content hash over file-level row/byte stats)."""
+    import pyarrow.parquet as pq
+
+    rows = 0
+    h = hashlib.sha256()
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        fp = os.path.join(path, f)
+        md = pq.ParquetFile(fp).metadata
+        rows += md.num_rows
+        h.update(f"{f}:{md.num_rows}:{os.path.getsize(fp)};".encode())
+    return rows, h.hexdigest()[:16]
