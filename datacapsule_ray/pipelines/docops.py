@@ -1,0 +1,157 @@
+"""Document/embedding-table operators wired for the driver's test tables
+(documents: doc_id,text,lang,source,n_chars; embeddings: vec_id,
+embedding list<float>[64], label). Each paired with a DuckDB oracle in
+``__ray_entry__`` unless inherently non-SQL (LSH flavors, IVF)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data import Dataset
+
+from ..functions import dedup, similarity, text
+
+
+def _docs(sf_dir: str, columns=None) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _emb(sf_dir: str, columns=None) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
+
+
+def doc_token_stats(sf_dir: str) -> Dataset:
+    return text.token_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def doc_fingerprint(sf_dir: str) -> Dataset:
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        text.fingerprint_batch, batch_format="pyarrow")
+
+
+def doc_lang_marker_counts(sf_dir: str) -> Dataset:
+    """Per-doc stopword-profile hit counts (the lang-ID evidence columns,
+    integer so the SQL oracle matches exactly)."""
+    import pyarrow.compute as pc
+
+    def counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_lower(pc.utf8_trim_whitespace(texts)))
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        parent = np.repeat(np.arange(len(texts)), lengths)
+        out = {"doc_id": batch.column("doc_id")}
+        for lang, words in text.LANG_PROFILES.items():
+            hit = pc.is_in(flat, value_set=pa.array(sorted(words)))
+            acc = np.zeros(len(texts), dtype=np.int64)
+            np.add.at(acc, parent, hit.to_numpy(zero_copy_only=False).astype(np.int64))
+            out[f"{lang}_hits"] = pa.array(acc)
+        return pa.table(out)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(counts, batch_format="pyarrow")
+
+
+def dedup_exact_docs(sf_dir: str) -> Dataset:
+    return dedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _typed_pairs(ds: Dataset, value_col: str, value_dtype: str) -> pd.DataFrame:
+    """Materialize a (small) pair result with a stable schema even when
+    zero pairs survive (an empty Dataset loses its schema)."""
+    df = ds.to_pandas()
+    if df.empty and len(df.columns) == 0:
+        df = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                           "id_b": pd.Series(dtype="int64"),
+                           value_col: pd.Series(dtype=value_dtype)})
+    return df
+
+
+def dedup_minhash_docs(sf_dir: str) -> pd.DataFrame:
+    return _typed_pairs(
+        dedup.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7),
+        "est_jaccard", "float64")
+
+
+def dedup_simhash_docs(sf_dir: str) -> pd.DataFrame:
+    return _typed_pairs(dedup.simhash_pairs(_docs(sf_dir, ["doc_id", "text"])),
+                        "hamming", "int64")
+
+
+def neardup_embeddings(sf_dir: str) -> pd.DataFrame:
+    return _typed_pairs(
+        dedup.embedding_neardup_pairs(_emb(sf_dir), dim=64, threshold=0.95),
+        "cosine", "float64")
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = t.column("vec_id").to_pylist().index(0)
+    return np.asarray(t.column("embedding").to_pylist()[idx], dtype=np.float64)
+
+
+def sim_topk_embeddings(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Exact top-k cosine vs the vec_id=0 embedding, rounded for stable
+    cross-engine comparison."""
+    q = _query_vec(sf_dir)
+    # over-fetch, round, then re-rank on the rounded value with vec_id
+    # tiebreak — matches the SQL oracle's ORDER BY sim_r DESC, vec_id
+    df = similarity.topk_cosine(_emb(sf_dir), q, max(k * 5, 50))
+    out = df[["vec_id", "sim"]].copy()
+    out["sim_r"] = out["sim"].round(4)
+    out = out.sort_values(["sim_r", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k)
+    return out[["vec_id", "sim_r"]].reset_index(drop=True)
+
+
+def sim_ivf_topk_embeddings(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    q = _query_vec(sf_dir)
+    df = similarity.ivf_topk_cosine(_emb(sf_dir), q, k, n_cells=8, nprobe=4)
+    out = df[["vec_id", "sim"]].copy()
+    out["sim_r"] = out["sim"].round(4)
+    return out[["vec_id", "sim_r"]].reset_index(drop=True)
+
+
+def media_features_demo(sf_dir: str) -> Dataset:
+    """Multimodal plumbing demo over a deterministic media table derived
+    from documents (payload = utf-8 text bytes standing in for image
+    bytes; the decode step is the documented stub)."""
+    from ..functions import multimodal as mm
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "media_ref": pa.array([f"media://doc/{i}" for i in ids]),
+            "kind": pa.array(["image"] * len(ids)),
+            "payload": pa.array([(t or "").encode() for t in texts], type=pa.binary()),
+            "meta": pa.array([{"width": 64, "height": 64, "duration_ms": 4000}] * len(ids)),
+        })
+
+    media = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_media, batch_format="pyarrow")
+    return mm.extract_media_features(media, out_dim=16)
+
+
+def frame_sample_demo(sf_dir: str) -> Dataset:
+    from ..functions import multimodal as mm
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "media_ref": pa.array([f"media://vid/{i}" for i in ids]),
+            "kind": pa.array(["video"] * len(ids)),
+            "payload": pa.array([(t or "").encode() for t in texts], type=pa.binary()),
+            "meta": pa.array([{"width": 64, "height": 64,
+                               "duration_ms": 3000 + 500 * (int(i) % 4)} for i in ids]),
+        })
+
+    media = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_media, batch_format="pyarrow")
+    return mm.sample_frames(media, every_ms=1000)

@@ -55,6 +55,8 @@ def parse_documents_batch(batch: pa.Table) -> pa.Table:
     on the first '：', and scatters values back to per-document columns via
     numpy. Media spans contribute nothing; `spans` passes through unchanged.
     """
+    import pyarrow.compute as pc
+
     spans = batch.column("spans")
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
@@ -63,25 +65,26 @@ def parse_documents_batch(batch: pa.Table) -> pa.Table:
     parent = np.repeat(np.arange(n), lengths)
 
     flat = spans.flatten()  # struct array of all spans
-    kind = flat.field("kind").to_numpy(zero_copy_only=False)
-    text = flat.field("text")
+    is_text = pc.equal(flat.field("kind"), "text").to_numpy(zero_copy_only=False)
 
-    is_text = kind == "text"
-    # split on first '：' — vectorized via numpy str ops on the object array
-    texts = np.asarray(text.to_pylist(), dtype=object)
+    # split 'field：value' on the first '：' with one vectorized kernel
+    parts = pc.split_pattern(flat.field("text"), "：", max_splits=1)
+    has_value = pc.equal(pc.list_value_length(parts), 2).to_numpy(zero_copy_only=False)
+    fields = pc.list_element(parts, 0).to_numpy(zero_copy_only=False)
+    # list_element(_, 1) errors on short lists; flatten + offsets instead
+    flat_parts = np.asarray(parts.flatten().to_pylist(), dtype=object)
+    val_idx = np.cumsum(pc.list_value_length(parts).to_numpy(zero_copy_only=False)) - 1
+
     out_cols: dict[str, np.ndarray] = {
         f: np.full(n, None, dtype=object) for f in _RECORD_FIELDS
     }
-    idxs = np.nonzero(is_text)[0]
-    for i in idxs:
-        t = texts[i]
-        j = t.find("：")
-        if j <= 0:
+    usable = is_text & has_value
+    for f in _RECORD_FIELDS:
+        sel = np.nonzero(usable & (fields == f))[0]
+        if len(sel) == 0:
             continue
-        field = t[:j]
-        col = out_cols.get(field)
-        if col is not None and col[parent[i]] is None:
-            col[parent[i]] = t[j + 1:]
+        docs, first = np.unique(parent[sel], return_index=True)  # first span wins
+        out_cols[f][docs] = flat_parts[val_idx[sel[first]]]
 
     doc_ids = batch.column("doc_id").to_pylist()
     doc_num = np.array(

@@ -53,27 +53,54 @@ def dedup_edges(triples: Dataset) -> Dataset:
     )
 
 
+_SEP = "\x1f"
+_NULL = "\x01"
+_PAYLOAD_COLS = ["node_type", "name", "中文学名", "拉丁学名", "命名年份", "作者"]
+
+
 def _local_node_best(batch: pa.Table) -> pa.Table:
-    """Phase-1: best (prio, seq) row per node_id within a batch."""
+    """Phase-1: best (prio, seq) row per node_id within a batch, with the
+    whole candidate row packed into one sortable string:
+
+        <prio:1><seq:015d> ␟ node_type ␟ name ␟ attrs…
+
+    The fixed-width rank prefix makes lexicographic MIN == min((prio,
+    seq)) — so the global merge is a single *native vectorized*
+    ``groupby(node_id).aggregate(Min(packed))`` instead of per-group
+    Python (the map_groups version was the pipeline's hottest stage)."""
     df = batch.select(_NODE_ATTRS + ["prio", "seq"]).to_pandas()
     df = df.sort_values(["prio", "seq"], kind="stable").drop_duplicates(
         "node_id", keep="first"
     )
-    return pa.Table.from_pandas(df, preserve_index=False)
+    rank = (df["prio"].astype(str)
+            + df["seq"].map(lambda s: format(s, "015d")))
+    packed = rank
+    for c in _PAYLOAD_COLS:
+        packed = packed + _SEP + df[c].fillna(_NULL)
+    return pa.Table.from_pandas(
+        pd.DataFrame({"node_id": df["node_id"], "packed": packed}),
+        preserve_index=False)
 
 
-def _pick_best(group: pd.DataFrame) -> pd.DataFrame:
-    return group.sort_values(["prio", "seq"], kind="stable").head(1)
+def _unpack_nodes(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    parts = pc.split_pattern(batch.column("packed"), _SEP)
+    cols: dict[str, pa.Array] = {"node_id": batch.column("node_id")}
+    for i, c in enumerate(_PAYLOAD_COLS):
+        vals = pc.list_element(parts, i + 1)
+        cols[c] = pc.if_else(pc.equal(vals, _NULL),
+                             pa.nulls(len(batch), pa.string()), vals)
+    return pa.table({f.name: cols[f.name] for f in NODES_SCHEMA})
 
 
 def merge_nodes(node_candidates: Dataset) -> Dataset:
-    """Node-candidate rows → merged nodes table (G1)."""
+    """Node-candidate rows → merged nodes table (G1, salted two-phase)."""
+    from ray.data.aggregate import Min
+
     partial = node_candidates.map_batches(_local_node_best, batch_format="pyarrow")
-    best = partial.groupby("node_id").map_groups(_pick_best, batch_format="pandas")
-    return best.map_batches(
-        lambda t: t.select([f.name for f in NODES_SCHEMA]).cast(NODES_SCHEMA),
-        batch_format="pyarrow",
-    )
+    best = partial.groupby("node_id").aggregate(Min("packed", alias_name="packed"))
+    return best.map_batches(_unpack_nodes, batch_format="pyarrow")
 
 
 def build_adjacency(edges: Dataset, chunk_size: int = 1024) -> Dataset:

@@ -64,12 +64,27 @@ def relation_desc_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def _hash_matrix(texts: list[str], dim: int) -> np.ndarray:
+    """Deterministic embeddings: sha256 digest blocks → centered bytes →
+    L2-normalized float32 rows. One hashlib call per 32 dims per text;
+    the byte→float conversion is a single vectorized reshape."""
+    n_blocks = (dim + 31) // 32
+    buf = bytearray()
+    for t in texts:
+        data = t.encode("utf-8")
+        for b in range(n_blocks):
+            buf += hashlib.sha256(b.to_bytes(2, "big") + data).digest()
+    mat = (np.frombuffer(bytes(buf), dtype=np.uint8)
+           .reshape(len(texts), n_blocks * 32)[:, :dim]
+           .astype(np.float32) - 127.5)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
 def hash_embed(text: str, dim: int = EMBED_DIM) -> np.ndarray:
-    """Deterministic unit vector from a sha256 seed (test embedder)."""
-    seed = int.from_bytes(hashlib.sha256(text.encode("utf-8")).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    v = rng.standard_normal(dim).astype(np.float32)
-    return v / np.linalg.norm(v)
+    """Deterministic unit vector from sha256 (test embedder)."""
+    return _hash_matrix([text], dim)[0]
 
 
 class HashEmbedder:
@@ -81,10 +96,7 @@ class HashEmbedder:
         self.dim = dim
 
     def _embed(self, texts: list[str]) -> np.ndarray:
-        out = np.empty((len(texts), self.dim), dtype=np.float32)
-        for i, t in enumerate(texts):
-            out[i] = hash_embed(t, self.dim)
-        return out
+        return _hash_matrix(texts, self.dim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()

@@ -1,0 +1,183 @@
+"""Algorithm-correctness tests for the training-data operators: planted
+near-duplicates must be found (and only them), similarity search must
+match brute force, text stats must be right on known inputs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from datacapsule_ray.functions import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def dup_docs():
+    """60 docs: 50 distinct + 4 exact dup pairs + 6 near-dup variants."""
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(50):
+        toks = rng.choice(vocab, size=60).tolist()
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    for j in range(4):  # exact duplicates of docs 0-3
+        rows.append({"doc_id": 50 + j, "text": rows[j]["text"]})
+    for j in range(6):  # near duplicates of docs 10-15: flip 3 tokens
+        toks = rows[10 + j]["text"].split()
+        for p in range(3):
+            toks[7 * p] = "CHANGED%d" % p
+        rows.append({"doc_id": 54 + j, "text": " ".join(toks)})
+    return pd.DataFrame(rows)
+
+
+def test_exact_dedup(dup_docs):
+    out = dedup.exact_dedup(rd.from_pandas(dup_docs)).to_pandas()
+    assert len(out) == 56  # 60 docs, 4 exact dups collapsed
+    dups = out[out["n_copies"] > 1]
+    assert sorted(dups["keep_id"]) == [0, 1, 2, 3]
+    assert (dups["n_copies"] == 2).all()
+
+
+def test_minhash_lsh_finds_planted_neardups(dup_docs):
+    pairs = dedup.minhash_lsh_pairs(
+        rd.from_pandas(dup_docs), threshold=0.5).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    # every planted pair (exact + near) must be found
+    want_exact = {(j, 50 + j) for j in range(4)}
+    want_near = {(10 + j, 54 + j) for j in range(6)}
+    assert want_exact <= got
+    assert want_near <= got
+    # and nothing between unrelated random docs
+    unrelated = {p for p in got if p not in want_exact | want_near}
+    assert not unrelated, unrelated
+
+
+def test_minhash_estimates_jaccard(dup_docs):
+    pairs = dedup.minhash_lsh_pairs(
+        rd.from_pandas(dup_docs), threshold=0.5).to_pandas()
+    exact = pairs[(pairs["id_a"] == 0) & (pairs["id_b"] == 50)]
+    assert len(exact) == 1 and exact["est_jaccard"].iloc[0] == 1.0
+
+
+def test_simhash_finds_exact_dups(dup_docs):
+    pairs = dedup.simhash_pairs(rd.from_pandas(dup_docs)).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert {(j, 50 + j) for j in range(4)} <= got
+    exact = pairs[(pairs["id_a"] == 0) & (pairs["id_b"] == 50)]
+    assert exact["hamming"].iloc[0] == 0
+
+
+def test_connected_components(dup_docs):
+    pairs = dedup.minhash_lsh_pairs(rd.from_pandas(dup_docs), threshold=0.5)
+    comp = dedup.connected_components(
+        pairs, rd.from_pandas(dup_docs)).to_pandas()
+    m = dict(zip(comp["id"], comp["comp"]))
+    for j in range(4):
+        assert m[50 + j] == j  # dup joins its original's component (min id)
+    for j in range(6):
+        assert m[54 + j] == 10 + j
+    assert m[30] == 30  # singleton unchanged
+
+
+@pytest.fixture(scope="module")
+def emb_table():
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((300, 32)).astype(np.float32)
+    # plant 3 near-dup rows of row 5 (tiny perturbation)
+    for j in range(3):
+        mat[250 + j] = mat[5] + 0.01 * rng.standard_normal(32).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(range(300), type=pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.ravel(), type=pa.float32()), 32),
+    }), mat
+
+
+def test_embedding_neardup(emb_table):
+    t, mat = emb_table
+    pairs = dedup.embedding_neardup_pairs(
+        rd.from_arrow(t), dim=32, threshold=0.99).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    want = {(5, 250), (5, 251), (5, 252), (250, 251), (250, 252), (251, 252)}
+    assert want <= got
+    assert not (got - want)
+
+
+def test_topk_cosine_matches_bruteforce(emb_table):
+    t, mat = emb_table
+    q = mat[7].astype(np.float64)
+    got = similarity.topk_cosine(rd.from_arrow(t), q, k=10)
+    m = mat.astype(np.float64)
+    sims = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(sims)), -sims))[:10]
+    assert got["vec_id"].tolist() == order.tolist()
+    np.testing.assert_allclose(got["sim"].to_numpy(), sims[order], atol=1e-12)
+
+
+def test_ivf_topk_recall(emb_table):
+    t, mat = emb_table
+    q = mat[7].astype(np.float64)
+    exact = similarity.topk_cosine(rd.from_arrow(t), q, k=10)
+    approx = similarity.ivf_topk_cosine(rd.from_arrow(t), q, k=10,
+                                        n_cells=8, nprobe=4)
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+    assert recall >= 0.7  # nprobe=half the cells: high recall expected
+    assert approx["vec_id"].iloc[0] == 7  # the vector itself always found
+
+
+def test_token_stats():
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["the cat sat on the mat", "", "  a  b  "]})
+    out = text.token_stats_batch(t)
+    assert out.column("n_tokens").to_pylist() == [6, 0, 2]
+    assert out.column("n_stop_en").to_pylist() == [2, 0, 1]
+    assert out.column("n_chars").to_pylist() == [22, 0, 8]
+
+
+def test_lang_id():
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["the cat is on the mat and it is big",
+                 "der hund ist nicht auf das sofa und",
+                 "le chat est dans la maison pour que",
+                 "el perro es un animal en la casa",
+                 "zzz qqq xxx"],
+    })
+    out = text.lang_id(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert out["lang_guess"].tolist() == ["en", "de", "fr", "es", "und"]
+
+
+def test_rolling_fingerprints_shift_invariant_overlap():
+    t = pa.table({"doc_id": [1], "text": ["alpha beta gamma delta epsilon zeta eta theta " * 8]})
+    out = text.rolling_fingerprints_batch(t, window=8)
+    assert len(out) > 0
+    t2 = pa.table({"doc_id": [2], "text": ["PREFIX " + t.column("text")[0].as_py()]})
+    out2 = text.rolling_fingerprints_batch(t2, window=8)
+    # winnowed fingerprints of near-identical docs overlap heavily
+    overlap = set(out.column("fp").to_pylist()) & set(out2.column("fp").to_pylist())
+    assert len(overlap) >= 1
+
+
+def test_multimodal_plumbing():
+    from datacapsule_ray.functions import multimodal as mm
+
+    media = pa.table({
+        "media_ref": ["m1", "m2"],
+        "kind": ["image", "video"],
+        "payload": pa.array([b"abc", b"def"], type=pa.binary()),
+        "meta": [{"width": 8, "height": 8, "duration_ms": 2500},
+                 {"width": 8, "height": 8, "duration_ms": 3500}],
+    })
+    feats = mm.extract_media_features(rd.from_arrow(media), out_dim=8).to_pandas()
+    assert len(feats) == 2 and len(feats["feature"].iloc[0]) == 8
+    # determinism: same payload → same feature
+    feats2 = mm.extract_media_features(rd.from_arrow(media), out_dim=8).to_pandas()
+    np.testing.assert_array_equal(np.stack(feats["feature"]),
+                                  np.stack(feats2["feature"]))
+    frames = mm.sample_frames(rd.from_arrow(media), every_ms=1000).to_pandas()
+    by_ref = frames.groupby("media_ref").size()
+    assert by_ref["m1"] == 3 and by_ref["m2"] == 4  # ceil(duration/1000)
+
+    with pytest.raises(NotImplementedError):
+        mm.MediaFeatureExtractor(decoder="real")

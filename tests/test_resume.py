@@ -1,0 +1,67 @@
+"""Resume + shuffle-correctness (SURVEY.md §5.4/§5.5): a killed run
+resumed from checkpoints must produce byte-identical outputs, and the
+triple set must be invariant to partitioning/batch size."""
+
+import pandas as pd
+
+from datacapsule_ray.fixtures import write_corpus
+from datacapsule_ray.pipelines.build_graph import KGPipeline
+
+
+def _triples_sorted(pipe: KGPipeline) -> pd.DataFrame:
+    df = pipe.triples().to_pandas()
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def test_resume_after_partial_run(tmp_path):
+    files = write_corpus(str(tmp_path / "c"), 60, seed=3, docs_per_file=15)
+
+    # uninterrupted reference run
+    full = KGPipeline(str(tmp_path / "ck_full"))
+    full.run_all(files, files_per_partition=1, with_vectors=False)
+
+    # "killed" run: only the first two partitions complete
+    part = KGPipeline(str(tmp_path / "ck_part"))
+    part.run_extraction(files[:2], files_per_partition=1)
+    assert part.store.pending_partitions("emissions", [0, 1, 2, 3]) == [2, 3]
+
+    # resume: pending partitions only are reprocessed, then shuffles run
+    lineage_before = {r["partition_id"]: r["content_hash"]
+                      for r in part.store.lineage("emissions")}
+    part.run_all(files, files_per_partition=1, with_vectors=False)
+    lineage_after = {r["partition_id"]: r["content_hash"]
+                     for r in part.store.lineage("emissions")}
+    for pid, h in lineage_before.items():
+        assert lineage_after[pid] == h  # completed partitions untouched
+
+    pd.testing.assert_frame_equal(_triples_sorted(part), _triples_sorted(full))
+    for stage in ("edges", "nodes"):
+        a = part.store.read_stage(stage).to_pandas()
+        b = full.store.read_stage(stage).to_pandas()
+        a = a.sort_values(list(a.columns), kind="stable").reset_index(drop=True)
+        b = b.sort_values(list(b.columns), kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_partitioning_invariance(tmp_path):
+    """Same triple set at different partition grouping and batch size
+    (shuffle correctness across the salted two-phase aggregates)."""
+    files = write_corpus(str(tmp_path / "c"), 60, seed=3, docs_per_file=10)
+
+    a = KGPipeline(str(tmp_path / "ck_a"), batch_size=7)
+    a.run_extraction(files, files_per_partition=1)   # 6 partitions
+    b = KGPipeline(str(tmp_path / "ck_b"), batch_size=512)
+    b.run_extraction(files, files_per_partition=3)   # 2 partitions
+
+    ta, tb = _triples_sorted(a), _triples_sorted(b)
+    pd.testing.assert_frame_equal(ta, tb)
+
+    ea = a.run_graph()["edges"].to_pandas().sort_values(
+        ["src", "rel", "dst"], kind="stable").reset_index(drop=True)
+    eb = b.run_graph()["edges"].to_pandas().sort_values(
+        ["src", "rel", "dst"], kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ea, eb)
+
+    na = a.run_graph()["nodes"].to_pandas().sort_values("node_id").reset_index(drop=True)
+    nb = b.run_graph()["nodes"].to_pandas().sort_values("node_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(na, nb)
