@@ -51,7 +51,7 @@ def run_bench() -> dict:
     from datacapsule_ray.pipelines.build_graph import KGPipeline
 
     sf = _sf_tag(SF_DIR)
-    n_docs = _N_DOCS.get(sf, 20000)
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", _N_DOCS.get(sf, 20000)))
 
     # corpus is content-addressed (seed, range) → generated once, reused;
     # warm the page cache with one untimed read
@@ -113,7 +113,11 @@ def run_scaling() -> None:
     import subprocess
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # the scaling evidence needs a compute-dominant corpus so fixed
+        # per-stage overheads don't mask CPU scaling (they amortize away
+        # entirely at real 100TB scale); default 60k docs
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "60000"))
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])

@@ -1,0 +1,91 @@
+"""Traversal-layer tests (J2-J5 parity): hierarchy-monotonic DFS over the
+materialized graph must answer the reference's recall-tool queries."""
+
+import pyarrow as pa
+import pytest
+
+from datacapsule_ray import fixtures
+from datacapsule_ray.oracle import build_oracle
+from datacapsule_ray.traverse import GraphIndex, expand_frontier
+
+
+@pytest.fixture(scope="module")
+def graph():
+    recs = fixtures.records(60, seed=9)
+    doc_ids = [f"doc-{i:08d}" for i in range(60)]
+    g = build_oracle(recs, doc_ids)
+    nodes = pa.table({
+        "node_id": list(g.nodes),
+        "node_type": [v[0] for v in g.nodes.values()],
+        "name": [v[1] for v in g.nodes.values()],
+    })
+    edges = pa.table({
+        "src": [e[0] for e in g.edges],
+        "rel": [e[1] for e in g.edges],
+        "dst": [e[2] for e in g.edges],
+    })
+    return GraphIndex(nodes, edges), g, recs
+
+
+def test_get_node_attribute(graph):
+    gi, g, recs = graph
+    a = gi.get_node_attribute(recs[0]["中文学名"])
+    assert a["node_type"] == "种"
+
+
+def test_species_to_family(graph):
+    gi, g, recs = graph
+    sp = recs[3]["中文学名"]
+    found = gi.find_nodes_by_node_type(sp, "科")
+    assert found == {recs[3]["科"]}
+
+
+def test_family_to_species(graph):
+    gi, g, recs = graph
+    fam = recs[0]["科"]
+    want = {r["中文学名"] for r in recs if r["科"] == fam}
+    found = gi.find_nodes_by_node_type(fam, "种")
+    assert found == want
+
+
+def test_species_to_locations(graph):
+    gi, g, recs = graph
+    sp = recs[1]["中文学名"]
+    # oracle: the 分布于 targets of this species
+    want = {e[2] for e in g.edges if e[0] == sp and e[1] == "分布于"}
+    found = gi.find_nodes_by_node_type(sp, "自然分布地")
+    assert found == want
+
+
+def test_kingdom_reaches_all_species(graph):
+    gi, g, recs = graph
+    found = gi.find_nodes_by_node_type("动物界", "种")
+    assert found == {r["中文学名"] for r in recs}
+
+
+def test_batch_find(graph):
+    gi, g, recs = graph
+    sps = [recs[0]["中文学名"], recs[1]["中文学名"]]
+    found = gi.batch_find_nodes_by_node_type(sps, "属")
+    assert found == {recs[0]["属"], recs[1]["属"]}
+
+
+def test_expand_frontier_matches_index(graph):
+    import ray.data as rd
+
+    gi, g, recs = graph
+    edges_ds = rd.from_arrow(pa.table({
+        "src": [e[0] for e in g.edges],
+        "rel": [e[1] for e in g.edges],
+        "dst": [e[2] for e in g.edges],
+    }))
+    sp = recs[5]["中文学名"]
+    got = expand_frontier(edges_ds, {sp}, rounds=1)
+    assert got == set(gi._neighbors(sp))
+    # two rounds = neighbors-of-neighbors minus start
+    got2 = expand_frontier(edges_ds, {sp}, rounds=2)
+    want2 = set(gi._neighbors(sp))
+    for n in list(want2):
+        want2 |= set(gi._neighbors(n))
+    want2 -= {sp}
+    assert got2 == want2
