@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top10_customers": r.top10_customers,
         "order_priority_count": r.order_priority_count,
         "part_brand_stats": r.part_brand_stats,
+        "supplier_nation_balance": r.supplier_nation_balance,
         "events_daily": r.events_daily,
         "user_sessions": r.user_sessions,
         # KG construction over relational inputs (SQL-checkable G1/G2/M3)
@@ -148,6 +149,13 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS max_price_cents,
                    MAX(p_size) AS max_size
             FROM part GROUP BY p_brand
+        """,
+        "supplier_nation_balance": """
+            SELECT n_name,
+                   CAST(SUM(CAST(ROUND(s_acctbal*100) AS BIGINT)) AS BIGINT) AS total_balance_cents,
+                   COUNT(*) AS n_suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "events_daily": """
             SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

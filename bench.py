@@ -115,9 +115,9 @@ def run_scaling() -> None:
     def run(ncpu: int) -> dict:
         # the scaling evidence needs a compute-dominant corpus so fixed
         # per-stage overheads don't mask CPU scaling (they amortize away
-        # entirely at real 100TB scale); default 60k docs
+        # entirely at real 100TB scale); default 160k docs
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "60000"))
+                   GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "160000"))
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])

@@ -45,13 +45,19 @@ except Exception:  # pragma: no cover
 from ..fixtures import alias_table
 from ..stages import graph as g
 from ..stages import star, vectors
-from ..stages.extract import GraphEmitter, parse_documents_batch
+from ..stages.extract import GraphEmitter, make_parse_and_checkpoint
 from ..stages.link import LinkerActor
 from ..state.checkpoint import CheckpointStore
 
 RECORD_COLS = ["doc_id", "doc_num", "中文学名", "拉丁学名", "命名年份", "作者",
                "界", "门", "纲", "目", "科", "属", "种",
                "自然分布地", "生活习性", "生物特征"]
+
+
+def _pool_cap() -> int:
+    """Actor-pool max size proportional to the session's CPUs."""
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(4, cpus // 2)
 
 
 class KGPipeline:
@@ -80,17 +86,22 @@ class KGPipeline:
         pending = self.store.pending_partitions("emissions", list(range(len(parts))))
 
         def run_one(pid: int) -> None:
+            import shutil
+            import time as _time
+
             files = parts[pid]
+            t0 = _time.monotonic()
+            rec_tmp = self.store.partition_dir("records", pid) + ".tmp"
+            shutil.rmtree(rec_tmp, ignore_errors=True)
             docs = rd.read_parquet(files)
-            records = docs.map_batches(parse_documents_batch, batch_format="pyarrow",
-                                       zero_copy_batch=True)
-            # records checkpoint carries spans for the pass-through invariant;
-            # downstream stages column-prune it away at the read
-            self.store.write_partition("records", pid, records, files)
-            rec_ds = rd.read_parquet(
-                self.store.partition_dir("records", pid), columns=RECORD_COLS
-            )
-            emissions = rec_ds.map_batches(
+            # fused: parse side-writes the records checkpoint (spans
+            # pass-through invariant lives there) while streaming the
+            # parsed batches straight into the emitter — one execution,
+            # two outputs, no read-back
+            emissions = docs.map_batches(
+                make_parse_and_checkpoint(rec_tmp), batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).select_columns(RECORD_COLS).map_batches(
                 GraphEmitter, batch_format="pyarrow", batch_size=self.batch_size,
                 concurrency=self.emitter_concurrency,
             ).map_batches(
@@ -99,6 +110,9 @@ class KGPipeline:
                 concurrency=(1, 4),
             )
             self.store.write_partition("emissions", pid, emissions, files)
+            self.store.finalize_external_partition(
+                "records", pid, rec_tmp, files,
+                wall_ms=int((_time.monotonic() - t0) * 1000))
 
         if pending:
             # each concurrent execution needs headroom (read+map+write tasks
@@ -154,7 +168,7 @@ class KGPipeline:
             ["doc_id", "自然分布地"]).map_batches(
                 star.DistributionsEmitter,
                 fn_constructor_kwargs={"alias_ref": alias_ref},
-                batch_format="pyarrow", concurrency=(1, 4)))
+                batch_format="pyarrow", concurrency=(1, _pool_cap())))
         traits = self._stage("numerical_traits", lambda: records(
             ["doc_id", "生活习性", "生物特征"]).map_batches(
                 star.traits_batch, batch_format="pyarrow"))
@@ -167,10 +181,10 @@ class KGPipeline:
     def run_vectors(self) -> dict[str, Dataset]:
         entity_vectors = self._stage("entity_vectors", lambda: vectors.build_entity_vectors(
             self.store.read_stage("nodes", columns=["node_id", "node_type", "name"]),
-            dim=self.embed_dim, concurrency=(1, 4)))
+            dim=self.embed_dim, concurrency=(1, _pool_cap())))
         relation_vectors = self._stage("relation_vectors", lambda: vectors.build_relation_vectors(
             self.store.read_stage("edges", columns=["src", "rel", "dst"]),
-            dim=self.embed_dim, concurrency=(1, 4)))
+            dim=self.embed_dim, concurrency=(1, _pool_cap())))
         return {"entity_vectors": entity_vectors, "relation_vectors": relation_vectors}
 
     def run_all(self, input_files: list[str], files_per_partition: int = 1,

@@ -147,6 +147,31 @@ def part_brand_stats(sf_dir: str) -> Dataset:
     )
 
 
+def supplier_nation_balance(sf_dir: str) -> Dataset:
+    """Broadcast dimension join + grouped aggregate over supplier."""
+    import ray
+
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    ref = ray.put(dict(zip(nation["n_nationkey"].astype(int), nation["n_name"])))
+
+    class Annotate:
+        def __init__(self) -> None:
+            self.n = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "n_name": pa.array([self.n.get(int(k)) for k in keys], type=pa.string()),
+                "bal_c": _cents(t.column("s_acctbal")),
+            })
+
+    return _t(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]).map_batches(
+        Annotate, batch_format="pyarrow", concurrency=(1, 2)
+    ).groupby("n_name").aggregate(
+        Sum("bal_c", alias_name="total_balance_cents"),
+        Count(alias_name="n_suppliers"))
+
+
 # --- events: windows + sessionization ---------------------------------------
 
 def events_daily(sf_dir: str) -> Dataset:

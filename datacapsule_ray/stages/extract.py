@@ -99,6 +99,34 @@ def parse_documents_batch(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def make_parse_and_checkpoint(records_tmp_dir: str):
+    """Fused parse stage (stateless task pool) that side-writes the
+    records checkpoint while streaming parsed batches onward — one
+    execution produces both the records table (spans pass-through,
+    star-schema input) and feeds the emitter, instead of a write +
+    read-back round trip.
+
+    Idempotent under task retry: the output file name derives from the
+    batch's first doc_id + row count, so a retried task overwrites its
+    own file rather than duplicating rows."""
+
+    def parse_and_checkpoint(batch: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        rec = parse_documents_batch(batch)
+        if len(rec):
+            os.makedirs(records_tmp_dir, exist_ok=True)
+            first = rec.column("doc_id")[0].as_py()
+            path = os.path.join(records_tmp_dir, f"{first}-{len(rec)}.parquet")
+            pq.write_table(rec, path + ".inprogress")
+            os.replace(path + ".inprogress", path)
+        return rec
+
+    return parse_and_checkpoint
+
+
 class GraphEmitter:
     """Actor-pool stage: record batch → emissions batch (triples + nodes).
 

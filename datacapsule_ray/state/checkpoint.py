@@ -86,6 +86,29 @@ class CheckpointStore:
         os.rename(tmp, final)
         return row
 
+    def finalize_external_partition(
+        self,
+        stage: str,
+        partition_id: int,
+        tmp_dir: str,
+        input_fragments: list[str],
+        wall_ms: int = 0,
+    ) -> LineageRow:
+        """Commit a partition whose files were side-written by tasks
+        (e.g. the fused parse stage): stamp lineage, atomic rename."""
+        final = self.partition_dir(stage, partition_id)
+        rows_out, content_hash = _dir_stats(tmp_dir)
+        row = LineageRow(stage=stage, partition_id=partition_id,
+                         input_fragments=input_fragments, rows_in=-1,
+                         rows_out=rows_out, wall_ms=wall_ms,
+                         content_hash=content_hash)
+        with open(os.path.join(tmp_dir, "_lineage.json"), "w") as f:
+            json.dump(asdict(row), f, ensure_ascii=False)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp_dir, final)
+        return row
+
     def read_stage(self, stage: str, columns: list[str] | None = None) -> Dataset:
         paths = self.stage_files(stage)
         return rd.read_parquet(paths, columns=columns)
