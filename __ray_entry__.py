@@ -58,7 +58,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_stats": r.part_brand_stats,
         "supplier_nation_balance": r.supplier_nation_balance,
         "events_daily": r.events_daily,
+        "events_sliding_2h": r.events_sliding_2h,
         "user_sessions": r.user_sessions,
+        "top3_orders_per_customer": r.top3_orders_per_customer,
+        "customers_without_orders": r.customers_without_orders,
         # KG construction over relational inputs (SQL-checkable G1/G2/M3)
         "kg_rel_triples": r.kg_rel_triples,
         "kg_rel_nodes": r.kg_rel_nodes,
@@ -162,6 +165,28 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding_2h": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts) - INTERVAL (o) HOUR,
+                            '%Y-%m-%d %H') AS window_start,
+                   COUNT(*) AS n_events
+            FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS o)
+            GROUP BY 1, 2
+        """,
+        "top3_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, price_c
+            FROM (SELECT o_custkey, o_orderkey,
+                         CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c,
+                         row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC,
+                                      o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn <= 3
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders)
         """,
         "user_sessions": """
             SELECT user_id, COUNT(*) AS n_events,

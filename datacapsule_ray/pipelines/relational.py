@@ -209,6 +209,73 @@ def user_sessions(sf_dir: str, gap_s: int = 1800) -> Dataset:
     return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
 
 
+def events_sliding_2h(sf_dir: str) -> Dataset:
+    """Sliding (hopping) window: size 2h, hop 1h — each event lands in
+    two windows, expressed as a vectorized flat-map that duplicates rows
+    with shifted window keys, then one groupby. The streaming-window
+    pattern for a batch engine without watermarks."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        parts = []
+        for off in (0, 1):
+            start = pc.subtract(hour, pa.scalar(pd.Timedelta(hours=off)))
+            parts.append(pa.table({
+                "event_type": t.column("event_type"),
+                "window_start": pc.strftime(start, format="%Y-%m-%d %H"),
+            }))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(explode, batch_format="pyarrow").groupby(
+        ["event_type", "window_start"]).count().map_batches(
+        lambda t: t.rename_columns(["event_type", "window_start", "n_events"]),
+        batch_format="pyarrow")
+
+
+def top3_orders_per_customer(sf_dir: str) -> Dataset:
+    """Per-group top-k: 3 priciest orders per customer (sorted-group scan
+    — the groupby().map_groups shape)."""
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "o_orderkey": t.column("o_orderkey"),
+                         "price_c": _cents(t.column("o_totalprice"))})
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["price_c", "o_orderkey"],
+                             ascending=[False, True], kind="stable").head(3)
+
+    return ds.map_batches(prep, batch_format="pyarrow").groupby(
+        "o_custkey").map_groups(topk, batch_format="pandas")
+
+
+def customers_without_orders(sf_dir: str) -> Dataset:
+    """Broadcast anti-join: the order-holding custkey set ships once via
+    ray.put; the filter is a vectorized is_in inside map_batches."""
+    import ray
+
+    okeys = _t(sf_dir, "orders", ["o_custkey"]).to_pandas()["o_custkey"].unique()
+    ref = ray.put(set(int(k) for k in okeys))
+
+    class AntiJoin:
+        def __init__(self) -> None:
+            self.keys = pa.array(sorted(ray.get(ref)), type=pa.int64())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(t.column("c_custkey").cast(pa.int64()),
+                                      value_set=self.keys))
+            return t.filter(mask).select(["c_custkey", "c_name"])
+
+    out = _t(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        AntiJoin, batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
+    if out.empty and len(out.columns) == 0:  # empty Datasets drop schema
+        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                            "c_name": pd.Series(dtype="object")})
+    return out
+
+
 # --- KG construction over relational inputs (SQL-checkable) -----------------
 
 def kg_rel_triples(sf_dir: str) -> Dataset:
