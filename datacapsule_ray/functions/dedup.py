@@ -185,20 +185,24 @@ def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 64, bands: int = 16,
 
 
 def connected_components(pairs: Dataset, ids: Dataset, *, id_col: str = "doc_id",
-                         max_rounds: int = 10) -> Dataset:
+                         max_rounds: int = 10,
+                         driver_limit: int = 2_000_000) -> Dataset:
     """Min-label propagation over dup pairs → (id, component) rows.
 
-    Each round is two groupby-min passes over the edge list (no driver
-    union-find), converging in O(diameter) rounds; near-dup clusters are
-    tiny so a handful of rounds suffices. Returns every input id with its
-    component label (= min id in its cluster)."""
+    Converges in O(cluster diameter) rounds; near-dup clusters are tiny
+    so a handful suffices. Small pair sets (the common case — candidates
+    are orders of magnitude rarer than docs) run the loop driver-side in
+    pandas; larger ones switch to the distributed variant (hash-join
+    rounds over Datasets). Returns every input id with its component
+    label (= min id in its cluster)."""
+    n_pairs = pairs.count()
+    if n_pairs > driver_limit:
+        return connected_components_distributed(
+            pairs, ids, id_col=id_col, max_rounds=max_rounds)
     edges = pairs.select_columns(["id_a", "id_b"]).to_pandas()
     labels = ids.select_columns([id_col]).to_pandas().rename(
         columns={id_col: "id"})
     labels["comp"] = labels["id"]
-    # driver-side iteration over the (small) candidate-pair graph; the
-    # pair set is orders of magnitude smaller than the corpus. For huge
-    # pair sets, swap to the same loop with ray groupbys per round.
     if len(edges):
         both = pd.concat([
             edges.rename(columns={"id_a": "u", "id_b": "v"}),
@@ -219,6 +223,64 @@ def connected_components(pairs: Dataset, ids: Dataset, *, id_col: str = "doc_id"
     import ray.data as rd
 
     return rd.from_pandas(labels)
+
+
+def connected_components_distributed(pairs: Dataset, ids: Dataset, *,
+                                     id_col: str = "doc_id",
+                                     max_rounds: int = 10,
+                                     num_partitions: int = 4) -> Dataset:
+    """Distributed min-label propagation: each round hash-joins current
+    labels onto the (symmetrized) edge list, takes the per-node min of
+    neighbor labels, and merges it into the label table. All-Dataset, no
+    driver materialization — the scale path for huge candidate graphs.
+
+    Convergence check per round costs one count(); rounds are bounded by
+    ``max_rounds`` regardless."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"u": t.column("id_a"), "v": t.column("id_b")}),
+            pa.table({"u": t.column("id_b"), "v": t.column("id_a")}),
+        ])
+
+    labels = ids.select_columns([id_col]).map_batches(
+        lambda t: pa.table({"id": t.column(id_col), "comp": t.column(id_col)}),
+        batch_format="pyarrow").materialize()
+    if pairs.count() == 0:  # empty Datasets lose schema → join would fail
+        return labels
+    edges = pairs.select_columns(["id_a", "id_b"]).map_batches(
+        symmetrize, batch_format="pyarrow")
+
+    for _ in range(max_rounds):
+        # neighbor-label pull: edges ⋈ labels on v → min label per u
+        lab_v = labels.map_batches(
+            lambda t: t.rename_columns(["v", "comp_v"]), batch_format="pyarrow")
+        pulled = edges.join(lab_v, join_type="inner",
+                            num_partitions=num_partitions, on=("v",))
+        cand = pulled.groupby("u").aggregate(Min("comp_v", alias_name="cand"))
+        cand = cand.map_batches(
+            lambda t: t.rename_columns(["id", "cand"]), batch_format="pyarrow")
+        merged = labels.join(cand, join_type="left_outer",
+                             num_partitions=num_partitions, on=("id",))
+
+        def take_min(t: pa.Table) -> pa.Table:
+            comp = t.column("comp")
+            cd = t.column("cand")
+            better = pc.and_kleene(pc.is_valid(cd), pc.less(cd, comp))
+            better = pc.fill_null(better, False)
+            return pa.table({"id": t.column("id"),
+                             "comp": pc.if_else(better, cd, comp),
+                             "changed": better})
+
+        updated = merged.map_batches(take_min, batch_format="pyarrow").materialize()
+        n_changed = updated.filter(expr="changed == True").count()
+        labels = updated.drop_columns(["changed"]).materialize()
+        if n_changed == 0:
+            break
+    return labels
 
 
 # --- SimHash ----------------------------------------------------------------

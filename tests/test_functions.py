@@ -68,6 +68,18 @@ def test_simhash_finds_exact_dups(dup_docs):
     assert exact["hamming"].iloc[0] == 0
 
 
+def test_connected_components_distributed_matches_driver(dup_docs):
+    """The all-Dataset label-propagation variant (scale path) must agree
+    with the driver-side loop exactly."""
+    pairs = dedup.minhash_lsh_pairs(rd.from_pandas(dup_docs), threshold=0.5)
+    ids = rd.from_pandas(dup_docs)
+    a = dedup.connected_components(pairs, ids).to_pandas().sort_values("id")
+    b = dedup.connected_components_distributed(
+        pairs, ids, num_partitions=2).to_pandas().sort_values("id")
+    assert a["comp"].tolist() == b["comp"].tolist()
+    assert a["id"].tolist() == b["id"].tolist()
+
+
 def test_connected_components(dup_docs):
     pairs = dedup.minhash_lsh_pairs(rd.from_pandas(dup_docs), threshold=0.5)
     comp = dedup.connected_components(
