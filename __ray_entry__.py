@@ -83,7 +83,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": lambda sf: _kg_outputs(sf)["triples"],
         "kg_nodes": lambda sf: _kg_outputs(sf)["nodes"],
         "kg_edges": lambda sf: _kg_outputs(sf)["edges"],
-        "kg_adjacency": lambda sf: _kg_outputs(sf)["adjacency"].drop_columns(["adj"]),
+        # adjacency chunk boundaries depend on physical block splits;
+        # report the deterministic per-source degree view instead
+        "kg_adjacency": lambda sf: _kg_outputs(sf)["adjacency"]
+            .drop_columns(["adj", "chunk"]).to_pandas()
+            .drop_duplicates("src").sort_values("src").reset_index(drop=True),
         "kg_species": lambda sf: _kg_outputs(sf)["species"],
         "kg_distributions": lambda sf: _kg_outputs(sf)["distributions"],
         "kg_numerical_traits": lambda sf: _kg_outputs(sf)["numerical_traits"],
