@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": docops.doc_token_stats,
         "doc_fingerprint": docops.doc_fingerprint,
         "doc_lang_marker_counts": docops.doc_lang_marker_counts,
+        "doc_quality_filter": docops.doc_quality_filter,
         "dedup_exact_docs": docops.dedup_exact_docs,
         "sim_topk_embeddings": docops.sim_topk_embeddings,
         # non-SQL-expressible (LSH / IVF / multimodal / flagship KG):
@@ -235,6 +236,17 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                        x -> x IN ('el','la','los','y','es','un','una','en','por','para'))) AS es_hits
             FROM documents
+        """,
+        "doc_quality_filter": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                       len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                       x -> x IN {_STOPLIST_SQL})) AS n_stop_en
+                FROM documents)
+            SELECT doc_id, n_tokens, n_stop_en FROM s
+            WHERE n_tokens BETWEEN 50 AND 200 AND 20*n_stop_en >= n_tokens
         """,
         "dedup_exact_docs": """
             SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id,

@@ -57,6 +57,24 @@ def doc_lang_marker_counts(sf_dir: str) -> Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(counts, batch_format="pyarrow")
 
 
+def doc_quality_filter(sf_dir: str) -> Dataset:
+    """Pre-training quality filter: keep docs with 50..200 tokens and a
+    stopword share of at least 5% (integer arithmetic: 20*stop >= tokens,
+    so the SQL oracle matches bit-for-bit)."""
+    import pyarrow.compute as pc
+
+    stats = text.token_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+    def keep(t: pa.Table) -> pa.Table:
+        n = t.column("n_tokens")
+        s = t.column("n_stop_en")
+        mask = pc.and_(pc.and_(pc.greater_equal(n, 50), pc.less_equal(n, 200)),
+                       pc.greater_equal(pc.multiply(s, 20), n))
+        return t.filter(mask).select(["doc_id", "n_tokens", "n_stop_en"])
+
+    return stats.map_batches(keep, batch_format="pyarrow")
+
+
 def dedup_exact_docs(sf_dir: str) -> Dataset:
     return dedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
