@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_topk_embeddings": docops.sim_topk_embeddings,
         # non-SQL-expressible (LSH / IVF / multimodal / flagship KG):
         # rows-only driver check; semantics pinned by tests/
+        "doc_rolling_fingerprints": docops.doc_rolling_fingerprints,
         "dedup_minhash_docs": docops.dedup_minhash_docs,
         "dedup_simhash_docs": docops.dedup_simhash_docs,
         "neardup_embeddings": docops.neardup_embeddings,

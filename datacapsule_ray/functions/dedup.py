@@ -61,6 +61,92 @@ def exact_dedup(ds: Dataset, text_col: str = "text",
     )
 
 
+def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
+                   pair_value_col: str) -> Dataset:
+    """Run a pairwise verification kernel per bucket WITHOUT
+    groupby().map_groups (which builds one pandas frame per group —
+    measured dominant for 10^4-10^5 tiny LSH buckets).
+
+    Sorts by the bucket key, loops buckets inside each block building
+    flat output arrays, and re-verifies the ≤2 buckets that straddle
+    each block boundary driver-side (their raw rows ride a second
+    channel) — exact, no missed cross-block pairs.
+
+    ``verify_pdf(sub_df) -> (id_a list, id_b list, value list)``."""
+    import ray.data as rd
+
+    srt = banded.sort(key_cols)
+    data_cols = [c for c in banded.schema().names]
+
+    def process_block(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        out_a, out_b, out_v = [], [], []
+        raw_idx: list[np.ndarray] = []
+        if n:
+            keys = df[key_cols].to_numpy()
+            change = np.ones(n, dtype=bool)
+            change[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            for i, (s, e) in enumerate(zip(starts, ends)):
+                if i == 0 or i == len(starts) - 1:
+                    raw_idx.append(np.arange(s, e))  # boundary bucket → fixup
+                    continue
+                if e - s < 2:
+                    continue
+                a, b, v = verify_pdf(df.iloc[s:e])
+                out_a.extend(a); out_b.extend(b); out_v.extend(v)
+        pairs = pd.DataFrame({
+            "id_a": pd.Series(out_a, dtype="int64"),
+            "id_b": pd.Series(out_b, dtype="int64"),
+            pair_value_col: pd.Series(out_v, dtype="float64"),
+        })
+        pairs["kind"] = "pair"
+        if raw_idx:
+            raw = df.iloc[np.concatenate(raw_idx)].copy()
+            raw["kind"] = "raw"
+            pairs = pd.concat([pairs, raw], ignore_index=True)
+        # emit Arrow so every downstream block has one type (mixing
+        # pandas/arrow blocks in one dataset trips the block builder)
+        return pa.Table.from_pandas(pairs, preserve_index=False)
+
+    mixed = srt.map_batches(process_block, batch_format="pandas").materialize()
+
+    def cast_pairs(t: pa.Table) -> pa.Table:
+        # pd.concat promoted the id columns to float64 (NaN on raw rows)
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "id_a": pc.cast(t.column("id_a"), pa.int64()),
+            "id_b": pc.cast(t.column("id_b"), pa.int64()),
+            pair_value_col: pc.cast(t.column(pair_value_col), pa.float64()),
+        })
+
+    pairs = mixed.filter(expr="kind == 'pair'").select_columns(
+        ["id_a", "id_b", pair_value_col]).map_batches(
+        cast_pairs, batch_format="pyarrow")
+    raw_df = mixed.filter(expr="kind == 'raw'").to_pandas()
+    if len(raw_df):
+        out_a, out_b, out_v = [], [], []
+        for _, sub in raw_df.groupby(key_cols, sort=False):
+            if len(sub) >= 2:
+                a, b, v = verify_pdf(sub[data_cols])
+                out_a.extend(a); out_b.extend(b); out_v.extend(v)
+        fixed = pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                              "id_b": pd.Series(out_b, dtype="int64"),
+                              pair_value_col: pd.Series(out_v, dtype="float64")})
+        if len(fixed):
+            pairs = pairs.union(
+                rd.from_arrow(pa.Table.from_pandas(fixed, preserve_index=False)))
+    return pairs
+
+
+def _dedup_pairs(pairs: Dataset, value_col: str) -> Dataset:
+    """(id_a,id_b) pairs can surface from multiple bands — keep one."""
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min(value_col, alias_name=value_col))
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 
 def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -123,23 +209,23 @@ def _band_rows(batch: pa.Table, bands: int, rows_per_band: int,
     n = len(batch)
     num_perm = bands * rows_per_band
     mat = np.asarray(sig.flatten(), dtype=np.uint64).reshape(n, num_perm)
-    ids = batch.column(id_col).to_pylist()
-    out_band, out_bucket, out_id, out_sig = [], [], [], []
+    ids = batch.column(id_col)
+    # fully vectorized explode: band index repeats, per-band bucket hashes
+    # computed column-wise, signatures tiled once
+    buckets = np.empty((bands, n), dtype=np.uint64)
     for b in range(bands):
         chunk = mat[:, b * rows_per_band:(b + 1) * rows_per_band]
-        buckets = pd.util.hash_pandas_object(
+        buckets[b] = pd.util.hash_pandas_object(
             pd.DataFrame(chunk), index=False).to_numpy()
-        out_band.extend([b] * n)
-        out_bucket.extend(buckets.tolist())
-        out_id.extend(ids)
-        out_sig.extend([mat[i] for i in range(n)])
+    out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
+    tiled_ids = pa.concat_arrays(
+        [ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids] * bands)
     return pa.table({
-        "band": pa.array(out_band, type=pa.int32()),
-        "bucket": pa.array(out_bucket, type=pa.uint64()),
-        id_col: pa.array(out_id),
+        "band": pa.array(out_band),
+        "bucket": pa.array(buckets.ravel()),
+        id_col: tiled_ids,
         "sig": pa.FixedSizeListArray.from_arrays(
-            pa.array(np.concatenate(out_sig) if out_sig else
-                     np.zeros(0, dtype=np.uint64), type=pa.uint64()), num_perm),
+            pa.array(np.tile(mat, (bands, 1)).ravel(), type=pa.uint64()), num_perm),
     })
 
 
@@ -162,9 +248,7 @@ def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 64, bands: int = 16,
         lambda t: _band_rows(t, bands, rows_per_band, id_col),
         batch_format="pyarrow")
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+    def verify(group: pd.DataFrame):
         g = group.sort_values(id_col).head(max_bucket)
         ids = g[id_col].to_numpy()
         mat = np.stack(g["sig"].to_numpy())
@@ -172,16 +256,10 @@ def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 64, bands: int = 16,
         iu = np.triu_indices(len(ids), 1)
         jac = eq[iu]
         keep = jac >= threshold
-        return pd.DataFrame({
-            "id_a": ids[iu[0][keep]], "id_b": ids[iu[1][keep]],
-            "est_jaccard": jac[keep],
-        })
+        return ids[iu[0][keep]], ids[iu[1][keep]], jac[keep]
 
-    pairs = banded.groupby(["band", "bucket"]).map_groups(
-        verify, batch_format="pandas")
-    # same pair can surface from multiple bands — dedup on (id_a, id_b)
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("est_jaccard", alias_name="est_jaccard"))
+    pairs = _bucket_verify(banded, ["band", "bucket"], verify, "est_jaccard")
+    return _dedup_pairs(pairs, "est_jaccard")
 
 
 def connected_components(pairs: Dataset, ids: Dataset, *, id_col: str = "doc_id",
@@ -334,9 +412,7 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
 
     banded = sigs.map_batches(explode, batch_format="pyarrow")
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    def verify(group: pd.DataFrame):
         g = group.sort_values(id_col).head(max_bucket)
         ids = g[id_col].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
@@ -346,12 +422,10 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
             ham += ((x >> np.uint64(b)) & 1).astype(np.int64)
         iu = np.triu_indices(len(ids), 1)
         keep = ham[iu] <= max_hamming
-        return pd.DataFrame({"id_a": ids[iu[0][keep]], "id_b": ids[iu[1][keep]],
-                             "hamming": ham[iu][keep]})
+        return ids[iu[0][keep]], ids[iu[1][keep]], ham[iu][keep]
 
-    pairs = banded.groupby(["band", "bucket"]).map_groups(verify, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    pairs = _bucket_verify(banded, ["band", "bucket"], verify, "hamming")
+    return _dedup_pairs(pairs, "hamming")
 
 
 # --- embedding cosine near-dup ----------------------------------------------
@@ -393,9 +467,7 @@ def embedding_neardup_pairs(ds: Dataset, *, dim: int, threshold: float = 0.95,
                                "emb_col": emb_col, "id_col": id_col},
         batch_format="pyarrow", concurrency=concurrency)
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+    def verify(group: pd.DataFrame):
         g = group.sort_values(id_col).head(max_bucket)
         ids = g[id_col].to_numpy()
         mat = np.stack(g[emb_col].to_numpy()).astype(np.float64)
@@ -405,9 +477,7 @@ def embedding_neardup_pairs(ds: Dataset, *, dim: int, threshold: float = 0.95,
         sims = mat @ mat.T
         iu = np.triu_indices(len(ids), 1)
         keep = sims[iu] >= threshold
-        return pd.DataFrame({"id_a": ids[iu[0][keep]], "id_b": ids[iu[1][keep]],
-                             "cosine": sims[iu][keep]})
+        return ids[iu[0][keep]], ids[iu[1][keep]], sims[iu][keep]
 
-    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("cosine", alias_name="cosine"))
+    pairs = _bucket_verify(bucketed, ["bucket"], verify, "cosine")
+    return _dedup_pairs(pairs, "cosine")

@@ -79,6 +79,13 @@ def dedup_exact_docs(sf_dir: str) -> Dataset:
     return dedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def doc_rolling_fingerprints(sf_dir: str) -> Dataset:
+    """Winnowed rolling-hash fingerprints, one row per (doc, fingerprint)
+    — the local-similarity channel for plagiarism-style matching."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        text.rolling_fingerprints_batch, batch_format="pyarrow")
+
+
 def _typed_pairs(ds: Dataset, value_col: str, value_dtype: str) -> pd.DataFrame:
     """Materialize a (small) pair result with a stable schema even when
     zero pairs survive (an empty Dataset loses its schema)."""

@@ -147,6 +147,29 @@ def test_token_stats():
     assert out.column("n_chars").to_pylist() == [22, 0, 8]
 
 
+def test_quality_score():
+    t = pa.table({"doc_id": [1, 2],
+                  "text": ["the cat is on the mat", "zzz"]})
+    out = text.quality_score_batch(t)
+    assert out.column("stop_ratio").to_pylist()[0] == pytest.approx(3 / 6)
+    assert out.column("stop_ratio").to_pylist()[1] == 0.0
+    mtl = out.column("mean_token_len").to_pylist()
+    assert mtl[0] == pytest.approx((21 - 5) / 6)  # chars minus separators / tokens
+    assert mtl[1] == pytest.approx(3.0)
+
+
+def test_sources_io_roundtrip(tmp_path):
+    import ray.data as rd
+
+    from datacapsule_ray.sources.io import read_table, write_table
+
+    ds = rd.range(10)
+    path = str(tmp_path / "t")
+    write_table(ds, path)
+    back = read_table(path)
+    assert sorted(r["id"] for r in back.take_all()) == list(range(10))
+
+
 def test_lang_id():
     df = pd.DataFrame({
         "doc_id": [1, 2, 3, 4, 5],
