@@ -3,10 +3,13 @@
 - exact:  content-hash partition + per-group first (min id wins)
 - MinHash+LSH: shingle → minhash signature → banded bucket groupby →
   candidate pairs → signature-Jaccard verify → min-label connected
-  components (iterated groupby rounds, no driver-side union-find)
+  components (Broder, "On the resemblance and containment of
+  documents", 1997; banding per Leskovec/Rajaraman/Ullman, MMDS ch.3)
 - SimHash: 64-bit simhash → banded buckets → Hamming-verified pairs
+  (Charikar, "Similarity estimation techniques from rounding
+  algorithms", STOC 2002)
 - embedding cosine near-dup: random-hyperplane LSH buckets → in-bucket
-  cosine verify
+  cosine verify (same Charikar rounding scheme)
 
 All hashing is seeded/stable across processes. The shuffles are
 groupbys on hash keys (uniform by construction — no salting needed;
