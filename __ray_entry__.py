@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": r.events_daily,
         "events_sliding_2h": r.events_sliding_2h,
         "user_sessions": r.user_sessions,
+        "distinct_users_by_type": r.distinct_users_by_type,
+        "approx_distinct_users": r.approx_distinct_users,
         "top3_orders_per_customer": r.top3_orders_per_customer,
         "customers_without_orders": r.customers_without_orders,
         # KG construction over relational inputs (SQL-checkable G1/G2/M3)
@@ -204,6 +206,10 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY ts, event_id) AS pts
                   FROM events)
             GROUP BY user_id
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "kg_rel_triples": _KG_REL_TRIPLES_SQL,
         "kg_rel_nodes": """

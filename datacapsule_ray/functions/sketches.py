@@ -1,0 +1,85 @@
+"""Mergeable sketches for pre-aggregation at scale.
+
+HyperLogLog (Flajolet et al. 2007, with the standard small-range
+correction): each batch reduces to ONE register vector; register vectors
+merge by elementwise max — so a distinct count over 100 TB shuffles
+``n_blocks × 2^p`` bytes instead of every key (the sketch pattern from
+the Ray guide's aggregation-at-scale notes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def _hll_registers(values: pd.Series, p: int) -> np.ndarray:
+    """One HLL register vector (uint8[2^p]) for a batch of values."""
+    m = 1 << p
+    h = pd.util.hash_pandas_object(values, index=False).to_numpy()  # uint64
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad tail with 1s
+    # rank = leading zeros of the remaining 64-p bits, + 1
+    lz = np.zeros(len(h), dtype=np.uint8)
+    cur = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+        lz[mask] += shift
+        cur[mask] = cur[mask] << np.uint64(shift)
+    rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    if est <= 2.5 * m:  # small-range correction
+        zeros = int((regs == 0).sum())
+        if zeros:
+            est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct(ds: Dataset, col: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col): per-batch register vectors →
+    one elementwise-max merge. Standard error ≈ 1.04/sqrt(2^p)
+    (~1.6% at p=12)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = _hll_registers(batch.column(col).to_pandas(), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], type=pa.binary())})
+
+    partials = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536).take_all()
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for row in partials:
+        merged = np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8))
+    return _hll_estimate(merged)
+
+
+def hll_distinct_by_key(ds: Dataset, key: str, col: str, p: int = 10) -> pd.DataFrame:
+    """Approximate distinct-col per key group: per-batch (key, registers)
+    partials, merged per key driver-side (partials are tiny: one 2^p-byte
+    vector per key per block)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, sub in df.groupby(key, sort=False):
+            rows.append({key: k, "regs": _hll_registers(sub[col], p).tobytes()})
+        return pd.DataFrame(rows)
+
+    partials = ds.select_columns([key, col]).map_batches(
+        partial, batch_format="pandas", batch_size=65536).to_pandas()
+    out = []
+    for k, sub in partials.groupby(key, sort=False):
+        merged = np.zeros(1 << p, dtype=np.uint8)
+        for b in sub["regs"]:
+            merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
+        out.append({key: k, "approx_distinct": _hll_estimate(merged)})
+    return pd.DataFrame(out).sort_values(key).reset_index(drop=True)

@@ -209,6 +209,35 @@ def user_sessions(sf_dir: str, gap_s: int = 1800) -> Dataset:
     return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
 
 
+def distinct_users_by_type(sf_dir: str) -> Dataset:
+    """Exact COUNT(DISTINCT) per key: vectorized local (key, user) dedup
+    inside map_batches (the salt-by-batch pattern again), then one
+    groupby over the much smaller distinct pairs."""
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+
+    def local_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["event_type", "user_id"])
+
+    pairs = ds.map_batches(local_distinct, batch_format="pandas",
+                           batch_size=65536)
+    return pairs.groupby(["event_type", "user_id"]).count().map_batches(
+        lambda t: t.select(["event_type", "user_id"]), batch_format="pyarrow"
+    ).groupby("event_type").count().map_batches(
+        lambda t: t.rename_columns(["event_type", "n_users"]),
+        batch_format="pyarrow")
+
+
+def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """HLL companion to distinct_users_by_type (rows-only check: the
+    estimate is within ~3% of exact but not hash-identical)."""
+    from ..functions.sketches import hll_distinct_by_key
+
+    out = hll_distinct_by_key(_t(sf_dir, "events", ["event_type", "user_id"]),
+                              "event_type", "user_id", p=12)
+    out["approx_distinct"] = out["approx_distinct"].round(1)
+    return out
+
+
 def events_sliding_2h(sf_dir: str) -> Dataset:
     """Sliding (hopping) window: size 2h, hop 1h — each event lands in
     two windows, expressed as a vectorized flat-map that duplicates rows

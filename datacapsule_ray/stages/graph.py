@@ -201,20 +201,26 @@ def merge_nodes(node_candidates: Dataset) -> Dataset:
     return best.map_batches(_unpack_nodes, batch_format="pyarrow")
 
 
-def build_adjacency(edges: Dataset, chunk_size: int = 1024) -> Dataset:
+def build_adjacency(edges: Dataset, chunk_size: int = 1024,
+                    degree_strategy: str = "broadcast",
+                    join_partitions: int = 4) -> Dataset:
     """edges → (src, chunk, degree, adj: list<struct<rel,dst>>) rows.
 
     Chunking caps per-row adjacency size so hot nodes (台湾海域 degree 64
     in the reference artifact; 动物界 degree ~#docs at scale) become
     multiple bounded rows instead of one unbounded one.
 
-    Implementation: a native groupby-count for degrees (broadcast once —
-    at planet scale swap the broadcast for a hash join on src), then
-    ``sort(src)`` + per-block pandas list-aggregation — no per-group
+    Implementation: a vectorized sorted-combine count for degrees, then
+    ``sort(src)`` + per-block Arrow list-aggregation — no per-group
     Python calls (``groupby.map_groups`` invokes Python once per group;
     at 10^5+ sources that was the pipeline's slowest stage). A source
     straddling a block boundary yields one extra chunk row, which the
-    chunked layout permits by design."""
+    chunked layout permits by design.
+
+    ``degree_strategy``: "broadcast" ships the degree dict once via
+    ray.put (fine to ~10^7 sources); "join" hash-joins the chunk rows
+    against the degree Dataset on src — the planet-scale path where the
+    degree table itself no longer fits one node."""
     import ray
 
     def local_count(batch: pa.Table) -> pa.Table:
@@ -240,10 +246,12 @@ def build_adjacency(edges: Dataset, chunk_size: int = 1024) -> Dataset:
 
     deg_partial = edges.select_columns(["src"]).map_batches(
         local_count, batch_format="pyarrow", batch_size=65536)
-    deg_df = _combine_sorted(deg_partial, reduce_pdf).to_pandas()
-    # broadcast lookup is fine at this scale; at planet scale swap for a
-    # hash join of chunks against the degree table on src
-    deg_ref = ray.put(dict(zip(deg_df["src"], deg_df["degree"].astype(int))))
+    deg_ds = _combine_sorted(deg_partial, reduce_pdf)
+    if degree_strategy == "broadcast":
+        deg_df = deg_ds.to_pandas()
+        deg_ref = ray.put(dict(zip(deg_df["src"], deg_df["degree"].astype(int))))
+    else:
+        deg_ref = ray.put({})  # degrees attached by the join below
 
     class ToChunks:
         def __init__(self) -> None:
@@ -275,14 +283,28 @@ def build_adjacency(edges: Dataset, chunk_size: int = 1024) -> Dataset:
                  batch.column("dst").combine_chunks()], ["rel", "dst"])
             adj = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), child)
             out_src = srcs[out_src_idx]
-            deg = pd.Series(out_src).map(self.degree).to_numpy(dtype=np.int64)
+            if "degree" in batch.column_names:  # join path: column-borne
+                deg_col = batch.column("degree").to_numpy(zero_copy_only=False)
+                deg = deg_col[out_src_idx]
+            else:
+                deg = pd.Series(out_src).map(self.degree).fillna(-1).to_numpy(
+                    dtype=np.int64)
             return pa.table({"src": pa.array(out_src, pa.string()),
                              "chunk": pa.array(out_chunk, pa.int32()),
-                             "degree": pa.array(deg),
+                             "degree": pa.array(deg.astype(np.int64)),
                              "adj": adj})
 
-    return edges.sort("src").map_batches(ToChunks, batch_format="pyarrow",
-                                         concurrency=(1, 4))
+    if degree_strategy == "broadcast":
+        src_stream = edges
+    else:
+        # planet-scale path: hash-join degree onto the flat edge rows
+        # BEFORE list-building (Acero joins cannot carry list<struct>
+        # payloads, and the flat join is the honest shuffle anyway)
+        src_stream = edges.join(
+            deg_ds.select_columns(["src", "degree"]), join_type="inner",
+            num_partitions=join_partitions, on=("src",))
+    return src_stream.sort("src").map_batches(ToChunks, batch_format="pyarrow",
+                                              concurrency=(1, 4))
 
 
 def node_type_histogram(nodes: Dataset) -> Dataset:

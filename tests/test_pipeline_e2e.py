@@ -86,6 +86,27 @@ def test_adjacency_consistent(built, oracle_mid):
     assert dict(deg) == dict(want_deg)
 
 
+def test_adjacency_join_strategy_matches_broadcast(built, oracle_mid):
+    """The hash-join degree path (planet-scale) must produce the same
+    edge set and degrees as the broadcast path."""
+    from datacapsule_ray.stages.graph import build_adjacency
+
+    pipe, out = built
+    edges = pipe.store.read_stage("edges", columns=["src", "rel", "dst"])
+    adj = build_adjacency(edges, degree_strategy="join",
+                          join_partitions=2).to_pandas()
+    got = set()
+    for r in adj.itertuples(index=False):
+        for item in r.adj:
+            got.add((r.src, item["rel"], item["dst"]))
+    assert got == set(oracle_mid.edges.keys())
+    from collections import Counter
+
+    want_deg = Counter(src for src, _, _ in oracle_mid.edges)
+    deg = adj.groupby("src")["degree"].first()
+    assert dict(deg) == dict(want_deg)
+
+
 def test_star_schema(built, oracle_mid):
     _, out = built
     species = out["species"].to_pandas().sort_values("species_id")
