@@ -146,11 +146,35 @@ class KGPipeline:
         t, _ = g.split_emissions(self.emissions())
         return t
 
-    def run_graph(self) -> dict[str, Dataset]:
-        edges = self._stage("edges", lambda: g.dedup_edges(
-            g.split_emissions(self.emissions())[0]))
-        nodes = self._stage("nodes", lambda: g.merge_nodes(
-            g.split_emissions(self.emissions())[1]))
+    def _stage_partitioned(self, name: str, n_ranges: int, build_range) -> Dataset:
+        """Shuffle stage committed per hash-range slice: each range runs
+        its own combine over the key subset and commits atomically with a
+        lineage row — partition-level resume for the wide stages, and the
+        per-range combine bounds memory at scale. ``build_range(i, n)``
+        builds the Dataset for slice i of n."""
+        if not self.store.stage_done(name):
+            for i in self.store.pending_partitions(name, list(range(n_ranges))):
+                self.store.write_partition(
+                    name, i, build_range(i, n_ranges),
+                    [f"{name}:emissions:range={i}/{n_ranges}"])
+            self.store.commit_stage(name)
+        return self.store.read_stage(name)
+
+    def run_graph(self, shuffle_partitions: int = 1) -> dict[str, Dataset]:
+        if shuffle_partitions > 1:
+            edges = self._stage_partitioned(
+                "edges", shuffle_partitions,
+                lambda i, n: g.dedup_edges(
+                    g.split_emissions(self.emissions())[0], key_filter=(i, n)))
+            nodes = self._stage_partitioned(
+                "nodes", shuffle_partitions,
+                lambda i, n: g.merge_nodes(
+                    g.split_emissions(self.emissions())[1], key_filter=(i, n)))
+        else:
+            edges = self._stage("edges", lambda: g.dedup_edges(
+                g.split_emissions(self.emissions())[0]))
+            nodes = self._stage("nodes", lambda: g.merge_nodes(
+                g.split_emissions(self.emissions())[1]))
         adjacency = self._stage("adjacency", lambda: g.build_adjacency(
             self.store.read_stage("edges", columns=["src", "rel", "dst"])))
         return {"edges": edges, "nodes": nodes, "adjacency": adjacency}

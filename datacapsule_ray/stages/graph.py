@@ -38,7 +38,18 @@ def _hash128(keys: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return (h1.to_numpy().view(np.int64), h2.to_numpy().view(np.int64))
 
 
-def _local_edge_dedup(batch: pa.Table) -> pa.Table:
+def _key_range_mask(h1: np.ndarray, key_filter: tuple[int, int] | None) -> np.ndarray | None:
+    """Membership mask for hash-range slice i of n (partitioned shuffles:
+    each slice is an independently committable unit of the global
+    combine — bounded memory, partition-level resume)."""
+    if key_filter is None:
+        return None
+    i, n = key_filter
+    return (h1.view(np.uint64) % np.uint64(n)) == np.uint64(i)
+
+
+def _local_edge_dedup(batch: pa.Table,
+                      key_filter: tuple[int, int] | None = None) -> pa.Table:
     """Phase-1 distinct on (subj,pred,obj) within a batch, keeping a dup
     count. The salt of the salted two-phase aggregate is the batch itself:
     a hot key (taxonomy root re-emitted once per doc) leaves each batch as
@@ -49,6 +60,9 @@ def _local_edge_dedup(batch: pa.Table) -> pa.Table:
         batch.column("subj"), batch.column("pred"), batch.column("obj"), _SEP)
     ks = key.to_pandas()
     h1, h2 = _hash128(ks)
+    mask = _key_range_mask(h1, key_filter)
+    if mask is not None:
+        h1, h2, ks = h1[mask], h2[mask], ks[mask].reset_index(drop=True)
     order = np.lexsort((h2, h1))
     sh1, sh2 = h1[order], h2[order]
     starts = np.flatnonzero(np.concatenate(
@@ -99,15 +113,21 @@ def _combine_sorted(partial: Dataset, reduce_pdf) -> Dataset:
     return interior
 
 
-def dedup_edges(triples: Dataset) -> Dataset:
+def dedup_edges(triples: Dataset,
+                key_filter: tuple[int, int] | None = None) -> Dataset:
     """(subj,pred,obj,...) triples → distinct edges (src, rel, dst, n_dups).
 
     Salted two-phase: vectorized per-batch local dedup (the salt is the
     batch), then a sort-based vectorized global combine on the int64 hash
     key pair. Large batch_size widens the local-dedup window and keeps
-    the sorted combine to a handful of fat blocks."""
+    the sorted combine to a handful of fat blocks.
+
+    ``key_filter=(i, n)`` restricts to hash-range slice i of n so the
+    global combine can run (and commit) per range — partition-level
+    resume for the shuffle, and bounded combine memory at scale."""
     partial = triples.select_columns(["subj", "pred", "obj"]).map_batches(
-        _local_edge_dedup, batch_format="pyarrow", batch_size=65536
+        lambda t: _local_edge_dedup(t, key_filter),
+        batch_format="pyarrow", batch_size=65536
     )
 
     def reduce_pdf(df: pd.DataFrame) -> pd.DataFrame:
@@ -140,7 +160,8 @@ _NULL = "\x01"
 _PAYLOAD_COLS = ["node_type", "name", "中文学名", "拉丁学名", "命名年份", "作者"]
 
 
-def _local_node_best(batch: pa.Table) -> pa.Table:
+def _local_node_best(batch: pa.Table,
+                     key_filter: tuple[int, int] | None = None) -> pa.Table:
     """Phase-1: best (prio, seq) row per node_id within a batch, with the
     whole candidate row packed into one sortable string:
 
@@ -161,6 +182,10 @@ def _local_node_best(batch: pa.Table) -> pa.Table:
         packed = packed + _SEP + df[c].fillna(_NULL)
     packed = packed + _SEP + df["node_id"]  # ride the key in the payload
     h1, h2 = _hash128(df["node_id"])
+    mask = _key_range_mask(h1, key_filter)
+    if mask is not None:
+        h1, h2 = h1[mask], h2[mask]
+        packed = packed[mask]
     return pa.Table.from_pandas(
         pd.DataFrame({"h1": h1, "h2": h2, "packed": packed}),
         preserve_index=False)
@@ -180,14 +205,17 @@ def _unpack_nodes(batch: pa.Table) -> pa.Table:
     return pa.table({f.name: cols[f.name] for f in NODES_SCHEMA})
 
 
-def merge_nodes(node_candidates: Dataset) -> Dataset:
+def merge_nodes(node_candidates: Dataset,
+                key_filter: tuple[int, int] | None = None) -> Dataset:
     """Node-candidate rows → merged nodes table (G1, salted two-phase).
 
     Same shape as dedup_edges: hash-keyed on node_id, whole candidate row
     packed into a rank-prefixed string so a vectorized string-min picks
-    the merge winner (species attrs > first write)."""
-    partial = node_candidates.map_batches(_local_node_best, batch_format="pyarrow",
-                                          batch_size=65536)
+    the merge winner (species attrs > first write). ``key_filter`` as in
+    dedup_edges: per-hash-range commits."""
+    partial = node_candidates.map_batches(
+        lambda t: _local_node_best(t, key_filter),
+        batch_format="pyarrow", batch_size=65536)
 
     def reduce_pdf(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["h1", "h2"], sort=False)

@@ -43,6 +43,38 @@ def test_resume_after_partial_run(tmp_path):
         pd.testing.assert_frame_equal(a, b)
 
 
+def test_partitioned_shuffle_resume(tmp_path):
+    """Hash-range-partitioned shuffle stages: identical results to the
+    single-pass path, and a killed run resumes skipping completed
+    ranges."""
+    files = write_corpus(str(tmp_path / "c"), 60, seed=3, docs_per_file=15)
+
+    single = KGPipeline(str(tmp_path / "ck_single"))
+    single.run_extraction(files, 1)
+    s_out = single.run_graph()
+
+    part = KGPipeline(str(tmp_path / "ck_part"))
+    part.run_extraction(files, 1)
+    # simulate a crash: only range 0 of 4 completes
+    from datacapsule_ray.stages import graph as g
+
+    part.store.write_partition(
+        "edges", 0,
+        g.dedup_edges(g.split_emissions(part.emissions())[0], key_filter=(0, 4)),
+        ["edges:emissions:range=0/4"])
+    assert part.store.pending_partitions("edges", [0, 1, 2, 3]) == [1, 2, 3]
+    h0 = part.store.lineage("edges")[0]["content_hash"]
+
+    p_out = part.run_graph(shuffle_partitions=4)
+    assert part.store.lineage("edges")[0]["content_hash"] == h0  # untouched
+
+    for key, cols in (("edges", ["src", "rel", "dst", "n_dups"]),
+                      ("nodes", ["node_id", "node_type"])):
+        a = s_out[key].to_pandas()[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+        b = p_out[key].to_pandas()[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
 def test_partitioning_invariance(tmp_path):
     """Same triple set at different partition grouping and batch size
     (shuffle correctness across the salted two-phase aggregates)."""
