@@ -40,6 +40,18 @@ def _kg_outputs(sf_dir: str) -> dict:
     return _KG_CACHE[n_docs]
 
 
+def _kg_hot_node_neighbors(sf_dir: str) -> Any:
+    """Distributed 1-hop expansion from the hottest node (动物界) over the
+    materialized edges — the J3 frontier-join path in the driver gate."""
+    import pandas as pd
+
+    from datacapsule_ray.traverse import expand_frontier
+
+    out = _kg_outputs(sf_dir)
+    found = sorted(expand_frontier(out["edges"], {"动物界"}, rounds=1))
+    return pd.DataFrame({"neighbor": found})
+
+
 def entry() -> Any:
     """Flagship: interleaved documents → triples (runs full construction:
     parse → emit → link → dedup/merge shuffles → star schema → vectors)."""
@@ -96,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_distributions": lambda sf: _kg_outputs(sf)["distributions"],
         "kg_numerical_traits": lambda sf: _kg_outputs(sf)["numerical_traits"],
         "kg_descriptions": lambda sf: _kg_outputs(sf)["descriptions"],
+        "kg_hot_node_neighbors": _kg_hot_node_neighbors,
         "kg_entity_vectors": lambda sf: _kg_outputs(sf)["entity_vectors"].drop_columns(["embedding"]),
         "kg_relation_vectors": lambda sf: _kg_outputs(sf)["relation_vectors"].drop_columns(["embedding"]),
     }

@@ -112,7 +112,7 @@ def run_bench() -> dict:
 def run_scaling() -> None:
     import subprocess
 
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         # the scaling evidence needs a compute-dominant corpus so fixed
         # per-stage overheads don't mask CPU scaling (they amortize away
         # entirely at real 100TB scale); default 160k docs
@@ -121,6 +121,14 @@ def run_scaling() -> None:
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # this sandbox shows heavy co-tenant noise (same config measured
+        # 55s and 97s an hour apart); min-of-N is the standard way to
+        # measure the machine rather than the neighbors
+        trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
+        results = [run_once(ncpu) for _ in range(trials)]
+        return min(results, key=lambda r: r["value"])
 
     lo, hi = run(8), run(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)
