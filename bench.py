@@ -69,7 +69,7 @@ def run_bench() -> dict:
     t0 = time.monotonic()
     pipe = KGPipeline(ck, emitter_concurrency=(1, max(2, NUM_CPUS - 4)),
                       batch_size=256)
-    out = pipe.run_all(files, files_per_partition=2, with_vectors=True)
+    out = pipe.run_all(files, files_per_partition=8, with_vectors=True)
     n_triples = sum(r_["rows_out"] for r_ in pipe.store.lineage("edges"))
     kg_sec = time.monotonic() - t0
     results["kg_pipeline"] = round(kg_sec, 3)
