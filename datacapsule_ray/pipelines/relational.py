@@ -65,55 +65,86 @@ def q1_pricing_summary(sf_dir: str) -> Dataset:
     )
 
 
-def revenue_by_nation(sf_dir: str) -> Dataset:
-    """3-way join via broadcast of the small dimension chain
-    (customer→nation lookup shipped once with ray.put, read per actor)."""
+def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> Dataset:
+    """lineitem ⋈ orders ⋈ customer as distributed hash joins (the
+    fact⋈fact edges never land on the driver), with only the genuinely
+    dimension-sized nation table broadcast via ray.put.
+
+    Shuffle hygiene for scale: lineitem rows pre-combine per l_orderkey
+    inside each batch before the join (≈4× smaller shuffle), and the
+    per-customer aggregate shrinks the second join's left side to
+    |customers| rows that stay distributed."""
     import ray
 
-    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    lookup = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    cust_to_nation = dict(zip(lookup["c_custkey"], lookup["n_name"]))
-    ref = ray.put(cust_to_nation)
+    n_ref = ray.put(dict(zip(nation["n_nationkey"].astype(int),
+                             nation["n_name"])))
 
+    def li_prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(1.0, t.column("l_discount")))
+        df = pd.DataFrame({
+            "l_orderkey": t.column("l_orderkey").to_numpy(zero_copy_only=False),
+            "rev_c": _cents(rev).to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("l_orderkey", sort=False)  # local partial combine
+        return pa.Table.from_pandas(pd.DataFrame({
+            "l_orderkey": g["l_orderkey"].first().to_numpy(),
+            "rev_c": g["rev_c"].sum().to_numpy(),
+            "n_items": g.size().to_numpy().astype(np.int64),
+        }), preserve_index=False)
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        li_prep, batch_format="pyarrow")
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    lineitem = _t(sf_dir, "lineitem",
-                  ["l_orderkey", "l_extendedprice", "l_discount"])
-    order_cust = orders.to_pandas()
-    order_to_cust = dict(zip(order_cust["o_orderkey"], order_cust["o_custkey"]))
-    ref2 = ray.put(order_to_cust)
+    joined = li.join(orders, join_type="inner", num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    spend = joined.groupby("o_custkey").aggregate(
+        Sum("rev_c", alias_name="rev_c"), Sum("n_items", alias_name="n_items"))
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    by_cust = spend.join(cust, join_type="inner", num_partitions=num_partitions,
+                         on=("o_custkey",), right_on=("c_custkey",))
 
     class Annotate:
         def __init__(self) -> None:
-            self.c2n = ray.get(ref)
-            self.o2c = ray.get(ref2)
+            self.n = ray.get(n_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            okeys = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-            nations = [self.c2n.get(self.o2c.get(int(o))) for o in okeys]
-            rev = pc.multiply(t.column("l_extendedprice"),
-                              pc.subtract(1.0, t.column("l_discount")))
+            nk = pd.Series(t.column("c_nationkey").to_numpy(zero_copy_only=False))
             return pa.table({
-                "n_name": pa.array(nations, type=pa.string()),
-                "rev_c": _cents(rev),
+                "n_name": pa.array(nk.map(self.n), type=pa.string()),
+                "rev_c": t.column("rev_c"),
+                "n_items": t.column("n_items"),
             })
 
-    return lineitem.map_batches(Annotate, batch_format="pyarrow",
-                                concurrency=(1, 4)).groupby("n_name").aggregate(
-        Sum("rev_c", alias_name="revenue_cents"), Count(alias_name="n_items"))
+    return by_cust.map_batches(Annotate, batch_format="pyarrow",
+                               concurrency=(1, 4)).groupby("n_name").aggregate(
+        Sum("rev_c", alias_name="revenue_cents"),
+        Sum("n_items", alias_name="n_items"))
 
 
-def top10_customers(sf_dir: str) -> pd.DataFrame:
-    """Aggregate → join small side → global sort → limit (T-family)."""
+def top10_customers(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
+    """Distributed aggregate → distributed hash join on customer →
+    per-block partial top-10 → tiny global resolve (blocks × 10 rows is
+    all the driver ever sees — the similarity.py:47 partial-top-k shape,
+    safe at unbounded |customers|)."""
     spend = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         lambda t: pa.table({"o_custkey": t.column("o_custkey"),
                             "spend_c": _cents(t.column("o_totalprice"))}),
         batch_format="pyarrow",
     ).groupby("o_custkey").aggregate(Sum("spend_c", alias_name="spend_cents"),
                                      Count(alias_name="n_orders"))
-    df = spend.to_pandas()
-    names = _t(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
-    df = df.merge(names, left_on="o_custkey", right_on="c_custkey")
+    names = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    named = spend.join(names, join_type="inner", num_partitions=num_partitions,
+                       on=("o_custkey",), right_on=("c_custkey",))
+
+    def block_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["spend_cents", "o_custkey"],
+                              ascending=[False, True], kind="stable").head(10)
+
+    df = named.map_batches(block_top, batch_format="pandas").to_pandas()
     df = df.sort_values(["spend_cents", "o_custkey"], ascending=[False, True],
                         kind="stable").head(10)
     return df[["o_custkey", "c_name", "spend_cents", "n_orders"]].reset_index(drop=True)
@@ -192,21 +223,79 @@ def events_daily(sf_dir: str) -> Dataset:
 
 
 def user_sessions(sf_dir: str, gap_s: int = 1800) -> Dataset:
-    """Sessionization: per-user sorted scan; a gap > 30 min starts a new
-    session (groupby(key).map_groups over ts-sorted groups — the
-    streaming-shaped pattern for Ray Data)."""
+    """Sessionization as sort + vectorized run-boundary reduction (the
+    stages/graph.py::_combine_sorted shape) instead of one Python call
+    and one pandas frame per user (``groupby().map_groups`` was measured
+    as the hottest stage shape in the graph build):
+
+    1. global ``sort(user_id, ts, event_id)`` — range-partitioned,
+       vectorized;
+    2. one map over the sorted blocks reduces each user run with numpy
+       ``reduceat`` (events, internal >gap_s gaps);
+    3. the ≤2 runs touching each block boundary ride a raw channel and
+       are re-reduced driver-side (first/last ts per partial gives the
+       cross-block gap) — the driver sees O(blocks) rows, never O(users).
+    """
+    import ray.data as rd
+
     ds = _t(sf_dir, "events", ["user_id", "ts", "event_id"])
+    srt = ds.sort(["user_id", "ts", "event_id"])
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        gaps = g["ts"].diff().dt.total_seconds() > gap_s
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_events": [len(g)],
-            "n_sessions": [1 + int(gaps.sum())],
+    def block_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n_events": pd.Series(dtype="int64"),
+                                 "n_gaps": pd.Series(dtype="int64"),
+                                 "first_ts": pd.Series(dtype="datetime64[ns]"),
+                                 "last_ts": pd.Series(dtype="datetime64[ns]"),
+                                 "edge": pd.Series(dtype=bool)})
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy()
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = uid[1:] != uid[:-1]
+        gap = np.zeros(n, dtype=np.int64)
+        gap[1:] = (((ts[1:] - ts[:-1]) / np.timedelta64(1, "s")) > gap_s) & ~new_run[1:]
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], n)
+        out = pd.DataFrame({
+            "user_id": uid[starts],
+            "n_events": (ends - starts).astype(np.int64),
+            "n_gaps": np.add.reduceat(gap, starts),
+            "first_ts": ts[starts],
+            "last_ts": ts[ends - 1],
         })
+        edge = np.zeros(len(starts), dtype=bool)
+        edge[0] = edge[-1] = True  # runs touching a block boundary
+        out["edge"] = edge
+        return out
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    partial = srt.map_batches(block_partial, batch_format="pandas").materialize()
+    interior = partial.filter(expr="edge == False").map_batches(
+        lambda t: pa.table({
+            "user_id": t.column("user_id"),
+            "n_events": t.column("n_events"),
+            "n_sessions": pc.add(t.column("n_gaps"), 1),
+        }), batch_format="pyarrow")
+    edge_df = partial.filter(expr="edge == True").to_pandas()
+    if not len(edge_df):
+        return interior
+    edge_df = edge_df.sort_values(["user_id", "first_ts", "last_ts"],
+                                  kind="stable")
+    uid = edge_df["user_id"].to_numpy()
+    same = np.zeros(len(edge_df), dtype=bool)
+    same[1:] = uid[1:] == uid[:-1]
+    boundary_gap = np.zeros(len(edge_df), dtype=np.int64)
+    prev_last = edge_df["last_ts"].to_numpy()[:-1]
+    cur_first = edge_df["first_ts"].to_numpy()[1:]
+    boundary_gap[1:] = (((cur_first - prev_last) / np.timedelta64(1, "s")) > gap_s) & same[1:]
+    g = edge_df.assign(bgap=boundary_gap).groupby("user_id", sort=False)
+    fixed = pd.DataFrame({
+        "user_id": g["user_id"].first().to_numpy(),
+        "n_events": g["n_events"].sum().to_numpy(),
+        "n_sessions": 1 + g["n_gaps"].sum().to_numpy() + g["bgap"].sum().to_numpy(),
+    })
+    return interior.union(rd.from_pandas(fixed))
 
 
 def distinct_users_by_type(sf_dir: str) -> Dataset:
@@ -262,9 +351,14 @@ def events_sliding_2h(sf_dir: str) -> Dataset:
         batch_format="pyarrow")
 
 
-def top3_orders_per_customer(sf_dir: str) -> Dataset:
-    """Per-group top-k: 3 priciest orders per customer (sorted-group scan
-    — the groupby().map_groups shape)."""
+def top3_orders_per_customer(sf_dir: str, k: int = 3) -> Dataset:
+    """Per-group top-k without per-group Python: one global
+    ``sort(custkey asc, price desc, orderkey asc)``, then a vectorized
+    positional take of the first k rows of each custkey run per block.
+    Runs touching a block boundary ride a raw channel and are re-topk'd
+    driver-side (≤ 2 runs/block — O(blocks), not O(customers))."""
+    import ray.data as rd
+
     ds = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -272,37 +366,59 @@ def top3_orders_per_customer(sf_dir: str) -> Dataset:
                          "o_orderkey": t.column("o_orderkey"),
                          "price_c": _cents(t.column("o_totalprice"))})
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["price_c", "o_orderkey"],
-                             ascending=[False, True], kind="stable").head(3)
+    srt = ds.map_batches(prep, batch_format="pyarrow").sort(
+        ["o_custkey", "price_c", "o_orderkey"],
+        descending=[False, True, False])
 
-    return ds.map_batches(prep, batch_format="pyarrow").groupby(
-        "o_custkey").map_groups(topk, batch_format="pandas")
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            df["edge"] = pd.Series(dtype=bool)
+            return df
+        ck = df["o_custkey"].to_numpy()
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = ck[1:] != ck[:-1]
+        run_id = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        pos = np.arange(n) - starts[run_id]  # rank within run (price desc)
+        is_edge_run = (run_id == 0) | (run_id == run_id[-1])
+        keep = is_edge_run | (pos < k)  # edge runs keep ALL rows (raw)
+        out = df.iloc[keep.nonzero()[0]].copy()
+        out["edge"] = is_edge_run[keep]
+        return out
+
+    partial = srt.map_batches(block_topk, batch_format="pandas").materialize()
+    interior = partial.filter(expr="edge == False").drop_columns(["edge"])
+    edge_df = partial.filter(expr="edge == True").to_pandas()
+    if not len(edge_df):
+        return interior
+    fixed = (edge_df.drop(columns=["edge"])
+             .sort_values(["o_custkey", "price_c", "o_orderkey"],
+                          ascending=[True, False, True], kind="stable")
+             .groupby("o_custkey", group_keys=False).head(k))
+    return interior.union(rd.from_pandas(fixed.reset_index(drop=True)))
 
 
-def customers_without_orders(sf_dir: str) -> Dataset:
-    """Broadcast anti-join: the order-holding custkey set ships once via
-    ray.put; the filter is a vectorized is_in inside map_batches."""
-    import ray
+def customers_without_orders(sf_dir: str, num_partitions: int = 4) -> Dataset:
+    """Distributed anti-join: customer LEFT ANTI orders on custkey — no
+    driver-side key-set materialization (the orders custkey set is
+    fact-sized at scale). Orders pre-dedup per batch so the shuffle ships
+    distinct keys, not one row per order."""
 
-    okeys = _t(sf_dir, "orders", ["o_custkey"]).to_pandas()["o_custkey"].unique()
-    ref = ray.put(set(int(k) for k in okeys))
+    def local_distinct(t: pa.Table) -> pa.Table:
+        keys = pd.unique(t.column("o_custkey").to_numpy(zero_copy_only=False))
+        return pa.table({"o_custkey": pa.array(keys, type=pa.int64())})
 
-    class AntiJoin:
-        def __init__(self) -> None:
-            self.keys = pa.array(sorted(ray.get(ref)), type=pa.int64())
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pc.invert(pc.is_in(t.column("c_custkey").cast(pa.int64()),
-                                      value_set=self.keys))
-            return t.filter(mask).select(["c_custkey", "c_name"])
-
-    out = _t(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
-        AntiJoin, batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
+    okeys = _t(sf_dir, "orders", ["o_custkey"]).map_batches(
+        local_distinct, batch_format="pyarrow", batch_size=65536)
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = cust.join(okeys, join_type="left_anti",
+                    num_partitions=num_partitions,
+                    on=("c_custkey",), right_on=("o_custkey",)).to_pandas()
     if out.empty and len(out.columns) == 0:  # empty Datasets drop schema
         out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
                             "c_name": pd.Series(dtype="object")})
-    return out
+    return out[["c_custkey", "c_name"]]
 
 
 # --- KG construction over relational inputs (SQL-checkable) -----------------
@@ -327,11 +443,11 @@ def kg_rel_triples(sf_dir: str) -> Dataset:
 
     class CustTriples:
         def __init__(self) -> None:
-            self.rn = ray.get(rn_ref)
+            self.n_name = {k: v[1] for k, v in ray.get(rn_ref).items()}
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            nkeys = t.column("c_nationkey").to_numpy(zero_copy_only=False)
-            subj = [self.rn[int(k)][1] for k in nkeys]
+            nkeys = pd.Series(t.column("c_nationkey").to_numpy(zero_copy_only=False))
+            subj = nkeys.map(self.n_name)
             return pa.table({
                 "subj": pa.array(subj, type=pa.string()),
                 "pred": pa.array(["contains"] * len(t)),
@@ -341,24 +457,24 @@ def kg_rel_triples(sf_dir: str) -> Dataset:
     t2 = _t(sf_dir, "customer", ["c_nationkey", "c_name"]).map_batches(
         CustTriples, batch_format="pyarrow", concurrency=(1, 2))
 
-    cust_names = _t(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
-    cn_ref = ray.put(dict(zip(cust_names["c_custkey"], cust_names["c_name"])))
+    # fact ⋈ fact: orders ⋈ customer is a distributed hash join — the
+    # customer-name map is customer-table-sized and must never be a
+    # driver-side broadcast dict at scale
+    oc = _t(sf_dir, "orders", ["o_custkey", "o_orderkey"]).join(
+        _t(sf_dir, "customer", ["c_custkey", "c_name"]),
+        join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",))
 
-    class OrderTriples:
-        def __init__(self) -> None:
-            self.cn = ray.get(cn_ref)
+    def order_triples(t: pa.Table) -> pa.Table:
+        obj = pc.binary_join_element_wise(
+            "order-", pc.cast(t.column("o_orderkey"), pa.string()), "")
+        return pa.table({
+            "subj": t.column("c_name").cast(pa.string()),
+            "pred": pa.array(["placed"] * len(t)),
+            "obj": obj,
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
-            ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
-            return pa.table({
-                "subj": pa.array([self.cn[int(c)] for c in ck], type=pa.string()),
-                "pred": pa.array(["placed"] * len(t)),
-                "obj": pa.array([f"order-{int(o)}" for o in ok], type=pa.string()),
-            })
-
-    t3 = _t(sf_dir, "orders", ["o_custkey", "o_orderkey"]).map_batches(
-        OrderTriples, batch_format="pyarrow", concurrency=(1, 2))
+    t3 = oc.map_batches(order_triples, batch_format="pyarrow")
     return t1.union(t2).union(t3)
 
 
