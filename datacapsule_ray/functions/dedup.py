@@ -21,6 +21,7 @@ per-bucket pairwise, so pathological buckets are capped by
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -28,6 +29,8 @@ import pyarrow as pa
 
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
+
+logger = logging.getLogger(__name__)
 
 _MERSENNE = (1 << 61) - 1
 
@@ -65,7 +68,7 @@ def exact_dedup(ds: Dataset, text_col: str = "text",
 
 
 def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
-                   pair_value_col: str) -> Dataset:
+                   pair_value_col: str, stats: dict | None = None) -> Dataset:
     """Run a pairwise verification kernel per bucket WITHOUT
     groupby().map_groups (which builds one pandas frame per group —
     measured dominant for 10^4-10^5 tiny LSH buckets).
@@ -75,7 +78,11 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
     each block boundary driver-side (their raw rows ride a second
     channel) — exact, no missed cross-block pairs.
 
-    ``verify_pdf(sub_df) -> (id_a list, id_b list, value list)``."""
+    ``verify_pdf(sub_df) -> (id_a list, id_b list, value list,
+    n_dropped)`` where ``n_dropped`` counts rows the kernel truncated
+    from a pathological hot bucket. The total dropped-row count is
+    LOGGED (warning) and written into ``stats['dropped_rows']`` when a
+    dict is passed — hot-bucket truncation is never silent."""
     import ray.data as rd
 
     srt = banded.sort(key_cols)
@@ -84,6 +91,7 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
     def process_block(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
         out_a, out_b, out_v = [], [], []
+        dropped = 0
         raw_idx: list[np.ndarray] = []
         if n:
             keys = df[key_cols].to_numpy()
@@ -97,14 +105,21 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
                     continue
                 if e - s < 2:
                     continue
-                a, b, v = verify_pdf(df.iloc[s:e])
+                a, b, v, d = verify_pdf(df.iloc[s:e])
                 out_a.extend(a); out_b.extend(b); out_v.extend(v)
+                dropped += d
         pairs = pd.DataFrame({
             "id_a": pd.Series(out_a, dtype="int64"),
             "id_b": pd.Series(out_b, dtype="int64"),
             pair_value_col: pd.Series(out_v, dtype="float64"),
         })
         pairs["kind"] = "pair"
+        if dropped:
+            drow = pd.DataFrame({"id_a": pd.Series([dropped], dtype="int64"),
+                                 "id_b": pd.Series([0], dtype="int64"),
+                                 pair_value_col: pd.Series([0.0]),
+                                 "kind": ["drop"]})
+            pairs = pd.concat([pairs, drow], ignore_index=True)
         if raw_idx:
             raw = df.iloc[np.concatenate(raw_idx)].copy()
             raw["kind"] = "raw"
@@ -128,19 +143,29 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
     pairs = mixed.filter(expr="kind == 'pair'").select_columns(
         ["id_a", "id_b", pair_value_col]).map_batches(
         cast_pairs, batch_format="pyarrow")
+    drop_df = mixed.filter(expr="kind == 'drop'").to_pandas()
+    total_dropped = int(drop_df["id_a"].sum()) if len(drop_df) else 0
     raw_df = mixed.filter(expr="kind == 'raw'").to_pandas()
     if len(raw_df):
         out_a, out_b, out_v = [], [], []
         for _, sub in raw_df.groupby(key_cols, sort=False):
             if len(sub) >= 2:
-                a, b, v = verify_pdf(sub[data_cols])
+                a, b, v, d = verify_pdf(sub[data_cols])
                 out_a.extend(a); out_b.extend(b); out_v.extend(v)
+                total_dropped += d
         fixed = pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
                               "id_b": pd.Series(out_b, dtype="int64"),
                               pair_value_col: pd.Series(out_v, dtype="float64")})
         if len(fixed):
             pairs = pairs.union(
                 rd.from_arrow(pa.Table.from_pandas(fixed, preserve_index=False)))
+    if total_dropped:
+        logger.warning(
+            "LSH bucket cap truncated %d rows from hot buckets; candidate "
+            "pairs involving those rows were not verified (raise max_bucket "
+            "or tighten the banding to split the hot bucket)", total_dropped)
+    if stats is not None:
+        stats["dropped_rows"] = total_dropped
     return pairs
 
 
@@ -235,12 +260,15 @@ def _band_rows(batch: pa.Table, bands: int, rows_per_band: int,
 def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 64, bands: int = 16,
                       k: int = 3, threshold: float = 0.7, seed: int = 13,
                       text_col: str = "text", id_col: str = "doc_id",
-                      max_bucket: int = 200, concurrency=(1, 4)) -> Dataset:
+                      max_bucket: int = 200, concurrency=(1, 4),
+                      stats: dict | None = None) -> Dataset:
     """Candidate near-duplicate pairs with signature-estimated Jaccard.
 
     shingle→minhash (actor pool) → band explode → groupby(band,bucket)
     → pairwise verify within bucket. Output: (id_a, id_b, est_jaccard)
-    with id_a < id_b, deduplicated across bands."""
+    with id_a < id_b, deduplicated across bands. Hot buckets beyond
+    ``max_bucket`` are truncated with a logged drop count (and
+    ``stats['dropped_rows']`` when a dict is passed)."""
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
         MinHasher,
@@ -259,9 +287,11 @@ def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 64, bands: int = 16,
         iu = np.triu_indices(len(ids), 1)
         jac = eq[iu]
         keep = jac >= threshold
-        return ids[iu[0][keep]], ids[iu[1][keep]], jac[keep]
+        return (ids[iu[0][keep]], ids[iu[1][keep]], jac[keep],
+                max(0, len(group) - max_bucket))
 
-    pairs = _bucket_verify(banded, ["band", "bucket"], verify, "est_jaccard")
+    pairs = _bucket_verify(banded, ["band", "bucket"], verify, "est_jaccard",
+                           stats=stats)
     return _dedup_pairs(pairs, "est_jaccard")
 
 
@@ -290,6 +320,7 @@ def connected_components(pairs: Dataset, ids: Dataset, *, id_col: str = "doc_id"
             edges.rename(columns={"id_a": "v", "id_b": "u"})[["u", "v"]],
         ])
         comp = dict(zip(labels["id"], labels["comp"]))
+        changed = False
         for _ in range(max_rounds):
             changed = False
             m = both.assign(cu=both["u"].map(comp), cv=both["v"].map(comp))
@@ -300,6 +331,12 @@ def connected_components(pairs: Dataset, ids: Dataset, *, id_col: str = "doc_id"
                     changed = True
             if not changed:
                 break
+        if changed:
+            logger.warning(
+                "connected_components did not converge within %d rounds: a "
+                "duplicate chain's diameter exceeds the round budget, so "
+                "component labels (keep/drop decisions) may be split — "
+                "raise max_rounds", max_rounds)
         labels["comp"] = labels["id"].map(comp)
     import ray.data as rd
 
@@ -361,6 +398,11 @@ def connected_components_distributed(pairs: Dataset, ids: Dataset, *,
         labels = updated.drop_columns(["changed"]).materialize()
         if n_changed == 0:
             break
+    else:
+        logger.warning(
+            "connected_components_distributed still propagating after %d "
+            "rounds (%d labels changed in the last round): components may "
+            "be split — raise max_rounds", max_rounds, n_changed)
     return labels
 
 
@@ -396,8 +438,10 @@ class SimHasher:
 
 def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
                   text_col: str = "text", id_col: str = "doc_id",
-                  max_bucket: int = 200, concurrency=(1, 4)) -> Dataset:
-    """Near-dup pairs by SimHash: banded buckets → Hamming verify."""
+                  max_bucket: int = 200, concurrency=(1, 4),
+                  stats: dict | None = None) -> Dataset:
+    """Near-dup pairs by SimHash: banded buckets → Hamming verify.
+    Hot-bucket truncation is logged + surfaced via ``stats``."""
     sigs = ds.map_batches(
         SimHasher, fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow", concurrency=concurrency)
@@ -425,9 +469,11 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
             ham += ((x >> np.uint64(b)) & 1).astype(np.int64)
         iu = np.triu_indices(len(ids), 1)
         keep = ham[iu] <= max_hamming
-        return ids[iu[0][keep]], ids[iu[1][keep]], ham[iu][keep]
+        return (ids[iu[0][keep]], ids[iu[1][keep]], ham[iu][keep],
+                max(0, len(group) - max_bucket))
 
-    pairs = _bucket_verify(banded, ["band", "bucket"], verify, "hamming")
+    pairs = _bucket_verify(banded, ["band", "bucket"], verify, "hamming",
+                           stats=stats)
     return _dedup_pairs(pairs, "hamming")
 
 
@@ -461,7 +507,8 @@ class HyperplaneLSH:
 def embedding_neardup_pairs(ds: Dataset, *, dim: int, threshold: float = 0.95,
                             n_planes: int = 12, seed: int = 29,
                             emb_col: str = "embedding", id_col: str = "vec_id",
-                            max_bucket: int = 500, concurrency=(1, 4)) -> Dataset:
+                            max_bucket: int = 500, concurrency=(1, 4),
+                            stats: dict | None = None) -> Dataset:
     """Near-duplicate embedding pairs: hyperplane-LSH buckets →
     in-bucket pairwise cosine ≥ threshold."""
     bucketed = ds.map_batches(
@@ -480,7 +527,8 @@ def embedding_neardup_pairs(ds: Dataset, *, dim: int, threshold: float = 0.95,
         sims = mat @ mat.T
         iu = np.triu_indices(len(ids), 1)
         keep = sims[iu] >= threshold
-        return ids[iu[0][keep]], ids[iu[1][keep]], sims[iu][keep]
+        return (ids[iu[0][keep]], ids[iu[1][keep]], sims[iu][keep],
+                max(0, len(group) - max_bucket))
 
-    pairs = _bucket_verify(bucketed, ["bucket"], verify, "cosine")
+    pairs = _bucket_verify(bucketed, ["bucket"], verify, "cosine", stats=stats)
     return _dedup_pairs(pairs, "cosine")

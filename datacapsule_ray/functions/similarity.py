@@ -110,14 +110,51 @@ def train_centroids(ds: Dataset, n_cells: int, dim: int, *, seed: int = 31,
     return cent
 
 
+def _block_topk_masked(batch: pa.Table, qmat: np.ndarray, k: int,
+                       id_col: str, emb_col: str,
+                       allowed: np.ndarray) -> pa.Table:
+    """Per-block partial top-k where each query only sees rows whose
+    ``cell`` is in that query's own probe set (``allowed``: (q, n_cells)
+    bool) — proper IVF semantics per query, not the union."""
+    emb = batch.column(emb_col)
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    mat = np.asarray(emb.flatten(), dtype=np.float64).reshape(len(batch), -1)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0] = 1.0
+    sims = (mat @ qmat.T) / (norms[:, None] * qn[None, :])  # (n, q)
+    cells = batch.column("cell").to_numpy(zero_copy_only=False)
+    valid = allowed[:, cells]  # (q, n)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    out_q, out_id, out_sim = [], [], []
+    for qi in range(qmat.shape[0]):
+        vi = np.flatnonzero(valid[qi])
+        if len(vi) == 0:
+            continue
+        s = sims[vi, qi]
+        idx = vi[np.argpartition(-s, k)[:k]] if len(s) > k else vi
+        out_q.extend([qi] * len(idx))
+        out_id.extend(ids[idx].tolist())
+        out_sim.extend(sims[idx, qi].tolist())
+    return pa.table({
+        "query_id": pa.array(out_q, type=pa.int32()),
+        id_col: pa.array(out_id),
+        "sim": pa.array(out_sim, type=pa.float64()),
+    })
+
+
 def ivf_topk_cosine(ds: Dataset, queries: np.ndarray, k: int = 10, *,
                     n_cells: int = 16, nprobe: int = 4, seed: int = 31,
                     id_col: str = "vec_id", emb_col: str = "embedding",
                     concurrency=(1, 4)) -> pd.DataFrame:
     """IVF-style approximate top-k: assign vectors to coarse cells once
     (actor pool, broadcast centroids), then scan only the nprobe closest
-    cells per query. Returns the same (query_id, id, sim) frame as
-    ``topk_cosine`` for recall comparison."""
+    cells PER QUERY (a row in a cell probed by query A but not query B
+    can reach A's result list but never B's). Returns the same
+    (query_id, id, sim) frame as ``topk_cosine`` for recall
+    comparison."""
     import ray
 
     qmat = np.asarray(queries, dtype=np.float32)
@@ -132,13 +169,23 @@ def ivf_topk_cosine(ds: Dataset, queries: np.ndarray, k: int = 10, *,
         batch_format="pyarrow", concurrency=concurrency)
     qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-9)
     probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    allowed = np.zeros((qmat.shape[0], len(cent)), dtype=bool)
+    allowed[np.arange(len(probe))[:, None], probe] = True
     probe_cells = sorted({int(c) for row in probe for c in row})
     import pyarrow.compute as pc
 
+    # cheap union prefilter (rows in NO query's probe set never scanned),
+    # then the per-query mask inside the block top-k enforces real IVF
+    # semantics
     sub = assigned.map_batches(
         lambda t: t.filter(pc.is_in(t.column("cell"),
                                     value_set=pa.array(probe_cells, type=pa.int32()))),
         batch_format="pyarrow")
-    df = topk_cosine(sub, qmat.astype(np.float64), k, id_col=id_col, emb_col=emb_col)
-    # drop hits from cells a given query did not probe
-    return df
+    qmat64 = qmat.astype(np.float64)
+    partials = sub.map_batches(
+        lambda t: _block_topk_masked(t, qmat64, k, id_col, emb_col, allowed),
+        batch_format="pyarrow")
+    df = partials.to_pandas()
+    df = df.sort_values(["query_id", "sim", id_col],
+                        ascending=[True, False, True], kind="stable")
+    return df.groupby("query_id", group_keys=False).head(k).reset_index(drop=True)

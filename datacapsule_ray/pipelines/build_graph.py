@@ -83,7 +83,14 @@ class KGPipeline:
         parts = [input_files[i:i + files_per_partition]
                  for i in range(0, len(input_files), files_per_partition)]
         alias_ref = ray.put(self.alias)
-        pending = self.store.pending_partitions("emissions", list(range(len(parts))))
+        # a partition is pending unless BOTH its outputs committed: the
+        # emissions partition is written before the records partition is
+        # finalized, so a crash between the two must re-run the partition
+        # (or the star-schema stages would silently lose those documents)
+        all_pids = list(range(len(parts)))
+        pending = sorted(
+            set(self.store.pending_partitions("emissions", all_pids))
+            | set(self.store.pending_partitions("records", all_pids)))
 
         def run_one(pid: int) -> None:
             import shutil

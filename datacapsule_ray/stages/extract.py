@@ -87,11 +87,21 @@ def parse_documents_batch(batch: pa.Table) -> pa.Table:
         out_cols[f][docs] = flat_parts[val_idx[sel[first]]]
 
     doc_ids = batch.column("doc_id").to_pylist()
-    doc_num = np.array(
-        [int(d.rsplit("-", 1)[-1]) if d.rsplit("-", 1)[-1].isdigit() else abs(hash(d)) % (1 << 40)
-         for d in doc_ids],
-        dtype=np.int64,
-    )
+    # doc_num is the node-merge tiebreak and feeds checkpoint content
+    # hashes, so the non-numeric fallback must be a STABLE hash (Python's
+    # str hash is salted per process — it would differ across Ray workers
+    # / retries). Mirrors schema.species_id_of; both branches cap below
+    # 2^40 so seq = doc_num*64 + k stays within the 15-digit rank prefix
+    # in stages/graph._local_node_best.
+    import hashlib as _hl
+
+    def _num(d: str) -> int:
+        tail = d.rsplit("-", 1)[-1]
+        if tail.isdigit():
+            return int(tail) % (1 << 40)
+        return int.from_bytes(_hl.sha1(d.encode("utf-8")).digest()[:5], "big")
+
+    doc_num = np.array([_num(d) for d in doc_ids], dtype=np.int64)
     cols: dict[str, object] = {"doc_id": batch.column("doc_id"), "doc_num": pa.array(doc_num)}
     for f in _RECORD_FIELDS:
         cols[f] = pa.array(out_cols[f], type=pa.string())
