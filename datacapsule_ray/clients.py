@@ -1,0 +1,204 @@
+"""Pluggable extractor / embedder clients — the A1/A2 integration path.
+
+The reference's extractors are LLM modules configured from env and
+called over HTTP (DSPy setup at tools/entity_extraction.py:50-66 and
+tools/entity_extraction_db.py:54-81; OpenAI-compatible embedding client
+at react_tools.py:72-78, used per-text at :225-232 despite a declared
+MAX_BATCH_SIZE=100). This module makes that integration path concrete
+for the Ray engine:
+
+- ``OpenAICompatClient``: minimal stdlib-HTTP client for the two public
+  OpenAI-style endpoints the pipeline needs — ``/v1/completions`` with a
+  batched ``prompt`` list and ``/v1/embeddings`` with a batched
+  ``input`` list. Requests are chunked to ``max_batch`` (the reference's
+  MAX_BATCH_SIZE contract, actually honored here).
+- ``RuleSplitterBackend`` / ``HTTPSplitterBackend``: the splitter
+  contract ``GraphEmitter`` consumes — three ``split_*_batch`` methods
+  returning one entry per input text where a failed item is an
+  ``Exception`` value, so the emitter's per-field raw-text fallback
+  (M11) degrades that document only; a transport error never fails the
+  Ray task.
+- ``RemoteEmbedder``: drop-in for ``stages.vectors.HashEmbedder`` whose
+  ``_embed`` goes through the batched embeddings endpoint.
+
+Config via explicit kwargs or env: ``DCRAY_LLM_BASE_URL``,
+``DCRAY_LLM_API_KEY``, ``DCRAY_LLM_MODEL``, ``DCRAY_EMBED_MODEL``,
+``DCRAY_MAX_BATCH_SIZE``. The wire protocol for the splitters is a
+task-tagged prompt (``SPLIT_LOCATIONS\\n<text>`` etc.) whose completion
+text must be JSON — a list of strings for locations, an object with the
+part fields for habits/features (mirroring the output schemas of the
+reference's ClassifyDistribution/ClassifyHabits/ClassifyFeatures
+signatures, tools/entity_extraction.py:7-25).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.request
+
+import numpy as np
+
+from .functions import splitters as sp
+from .schema import EMBED_DIM
+from .stages.vectors import HashEmbedder
+
+TASK_LOCATIONS = "SPLIT_LOCATIONS"
+TASK_HABITS = "SPLIT_HABITS"
+TASK_FEATURES = "SPLIT_FEATURES"
+
+
+class OpenAICompatClient:
+    """Batched HTTP client for an OpenAI-compatible endpoint (stdlib
+    only — no SDK dependency). One instance per actor (A1/A2 state)."""
+
+    def __init__(self, base_url: str | None = None, api_key: str | None = None,
+                 model: str | None = None, embed_model: str | None = None,
+                 timeout: float = 60.0, max_batch: int | None = None) -> None:
+        self.base_url = (base_url or os.environ.get("DCRAY_LLM_BASE_URL", "")).rstrip("/")
+        if not self.base_url:
+            raise ValueError("no endpoint: pass base_url or set DCRAY_LLM_BASE_URL")
+        self.api_key = api_key or os.environ.get("DCRAY_LLM_API_KEY", "")
+        self.model = model or os.environ.get("DCRAY_LLM_MODEL", "default")
+        self.embed_model = (embed_model
+                            or os.environ.get("DCRAY_EMBED_MODEL", "default-embed"))
+        self.timeout = timeout
+        self.max_batch = max_batch or int(os.environ.get("DCRAY_MAX_BATCH_SIZE", "100"))
+
+    def _post(self, path: str, payload: dict) -> dict:
+        req = urllib.request.Request(
+            self.base_url + path,
+            data=json.dumps(payload).encode("utf-8"),
+            headers={"Content-Type": "application/json",
+                     "Authorization": f"Bearer {self.api_key}"})
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    def complete_batch(self, prompts: list[str]) -> list[str]:
+        """/v1/completions with a list prompt; returns one completion
+        text per prompt, chunked to max_batch prompts per request."""
+        out: list[str] = [""] * len(prompts)
+        for s in range(0, len(prompts), self.max_batch):
+            chunk = prompts[s:s + self.max_batch]
+            data = self._post("/v1/completions",
+                              {"model": self.model, "prompt": chunk})
+            for ch in data["choices"]:
+                out[s + int(ch.get("index", 0))] = ch.get("text", "")
+        return out
+
+    def embed(self, texts: list[str]) -> np.ndarray:
+        """/v1/embeddings with a list input (the batched path the
+        reference declares but never uses — react_tools.py:225-232)."""
+        vecs: list = [None] * len(texts)
+        for s in range(0, len(texts), self.max_batch):
+            chunk = texts[s:s + self.max_batch]
+            data = self._post("/v1/embeddings",
+                              {"model": self.embed_model, "input": chunk})
+            for item in data["data"]:
+                vecs[s + int(item["index"])] = item["embedding"]
+        return np.asarray(vecs, dtype=np.float32)
+
+
+def _try(fn, text):
+    if text is None:
+        return None
+    try:
+        return fn(text)
+    except Exception as e:  # noqa: BLE001 — failure becomes data (M11)
+        return e
+
+
+class RuleSplitterBackend:
+    """Deterministic splitters behind the batched backend contract."""
+
+    def split_locations_batch(self, texts: list) -> list:
+        return [_try(sp.split_locations, t) for t in texts]
+
+    def split_habits_batch(self, texts: list) -> list:
+        return [_try(sp.split_habits, t) for t in texts]
+
+    def split_features_batch(self, texts: list) -> list:
+        return [_try(sp.split_features, t) for t in texts]
+
+
+class HTTPSplitterBackend:
+    """LLM splitters over an OpenAI-compatible endpoint, batched per
+    map_batches batch (one HTTP round-trip per field per batch instead
+    of the reference's 3 sequential calls per document)."""
+
+    def __init__(self, client: OpenAICompatClient | None = None, **cfg) -> None:
+        self.client = client or OpenAICompatClient(**cfg)
+
+    def _batch(self, texts: list, task: str, parse) -> list:
+        idx = [i for i, t in enumerate(texts) if t is not None]
+        out: list = [None] * len(texts)
+        if not idx:
+            return out
+        try:
+            res = self.client.complete_batch([f"{task}\n{texts[i]}" for i in idx])
+        except Exception as e:  # noqa: BLE001 — transport error → per-doc fallback
+            for i in idx:
+                out[i] = e
+            return out
+        for i, r in zip(idx, res):
+            out[i] = _try(parse, r)
+        return out
+
+    @staticmethod
+    def _parse_locations(text: str) -> list[str]:
+        vals = json.loads(text)
+        if not isinstance(vals, list):
+            raise ValueError(f"expected JSON list, got {type(vals).__name__}")
+        return [str(v) for v in vals]
+
+    @staticmethod
+    def _parse_habits(text: str) -> sp.HabitParts:
+        obj = json.loads(text)
+        return sp.HabitParts(feeding=str(obj["feeding"]),
+                             reproduction=str(obj["reproduction"]),
+                             behavior=str(obj["behavior"]))
+
+    @staticmethod
+    def _parse_features(text: str) -> sp.FeatureParts:
+        obj = json.loads(text)
+        return sp.FeatureParts(body_shape=str(obj["body_shape"]),
+                               body_color=str(obj["body_color"]),
+                               body_size=str(obj["body_size"]),
+                               special_features=str(obj["special_features"]))
+
+    def split_locations_batch(self, texts: list) -> list:
+        return self._batch(texts, TASK_LOCATIONS, self._parse_locations)
+
+    def split_habits_batch(self, texts: list) -> list:
+        return self._batch(texts, TASK_HABITS, self._parse_habits)
+
+    def split_features_batch(self, texts: list) -> list:
+        return self._batch(texts, TASK_FEATURES, self._parse_features)
+
+
+def make_splitter_backend(splitter: str = "rules",
+                          client_config: dict | None = None):
+    if splitter == "rules":
+        return RuleSplitterBackend()
+    if splitter == "http":
+        return HTTPSplitterBackend(**(client_config or {}))
+    raise ValueError(f"unknown splitter backend {splitter!r}")
+
+
+class RemoteEmbedder(HashEmbedder):
+    """Actor-pool embedding stage backed by the batched /v1/embeddings
+    endpoint — same map_batches interface as HashEmbedder (client built
+    once per actor in __init__, the A2 shape)."""
+
+    def __init__(self, dim: int = EMBED_DIM,
+                 client_config: dict | None = None) -> None:
+        super().__init__(dim)
+        self.client = OpenAICompatClient(**(client_config or {}))
+
+    def _embed(self, texts: list[str]) -> np.ndarray:
+        mat = self.client.embed(texts)
+        if mat.shape != (len(texts), self.dim):
+            raise ValueError(
+                f"endpoint returned shape {mat.shape}, expected "
+                f"({len(texts)}, {self.dim})")
+        return mat

@@ -63,12 +63,23 @@ def _pool_cap() -> int:
 class KGPipeline:
     def __init__(self, ckpt_root: str, *, alias: dict[str, str] | None = None,
                  embed_dim: int = 32, emitter_concurrency: int | tuple = (1, 8),
-                 batch_size: int = 1024) -> None:
+                 batch_size: int = 1024,
+                 emitter_kwargs: dict | None = None,
+                 embedder_cls=None,
+                 embedder_kwargs: dict | None = None) -> None:
+        """``emitter_kwargs`` configures the GraphEmitter actors (e.g.
+        ``{"splitter": "http", "client_config": {...}}`` routes the
+        splitters through an OpenAI-compatible endpoint — clients.py);
+        ``embedder_cls``/``embedder_kwargs`` likewise swap the vector
+        stage's embedder (clients.RemoteEmbedder)."""
         self.store = CheckpointStore(ckpt_root)
         self.alias = alias if alias is not None else alias_table()
         self.embed_dim = embed_dim
         self.emitter_concurrency = emitter_concurrency
         self.batch_size = batch_size
+        self.emitter_kwargs = emitter_kwargs or {}
+        self.embedder_cls = embedder_cls
+        self.embedder_kwargs = embedder_kwargs
 
     # ---- extraction prefix (per-partition, resumable) ----------------------
     def run_extraction(self, input_files: list[str],
@@ -109,7 +120,8 @@ class KGPipeline:
                 make_parse_and_checkpoint(rec_tmp), batch_format="pyarrow",
                 zero_copy_batch=True,
             ).select_columns(RECORD_COLS).map_batches(
-                GraphEmitter, batch_format="pyarrow", batch_size=self.batch_size,
+                GraphEmitter, fn_constructor_kwargs=self.emitter_kwargs,
+                batch_format="pyarrow", batch_size=self.batch_size,
                 concurrency=self.emitter_concurrency,
             ).map_batches(
                 LinkerActor, fn_constructor_kwargs={"alias_ref": alias_ref},
@@ -212,10 +224,12 @@ class KGPipeline:
     def run_vectors(self) -> dict[str, Dataset]:
         entity_vectors = self._stage("entity_vectors", lambda: vectors.build_entity_vectors(
             self.store.read_stage("nodes", columns=["node_id", "node_type", "name"]),
-            dim=self.embed_dim, concurrency=(1, _pool_cap())))
+            dim=self.embed_dim, concurrency=(1, _pool_cap()),
+            embedder_cls=self.embedder_cls, embedder_kwargs=self.embedder_kwargs))
         relation_vectors = self._stage("relation_vectors", lambda: vectors.build_relation_vectors(
             self.store.read_stage("edges", columns=["src", "rel", "dst"]),
-            dim=self.embed_dim, concurrency=(1, _pool_cap())))
+            dim=self.embed_dim, concurrency=(1, _pool_cap()),
+            embedder_cls=self.embedder_cls, embedder_kwargs=self.embedder_kwargs))
         return {"entity_vectors": entity_vectors, "relation_vectors": relation_vectors}
 
     def run_all(self, input_files: list[str], files_per_partition: int = 1,
@@ -278,10 +292,12 @@ class KGPipeline:
         if with_vectors:
             level_b["entity_vectors"] = lambda: vectors.build_entity_vectors(
                 self.store.read_stage("nodes", columns=["node_id", "node_type", "name"]),
-                dim=self.embed_dim, concurrency=(1, 4))
+                dim=self.embed_dim, concurrency=(1, 4),
+                embedder_cls=self.embedder_cls, embedder_kwargs=self.embedder_kwargs)
             level_b["relation_vectors"] = lambda: vectors.build_relation_vectors(
                 self.store.read_stage("edges", columns=["src", "rel", "dst"]),
-                dim=self.embed_dim, concurrency=(1, 4))
+                dim=self.embed_dim, concurrency=(1, 4),
+                embedder_cls=self.embedder_cls, embedder_kwargs=self.embedder_kwargs)
         run_level(level_b)
 
         out["triples"] = self.triples()

@@ -7,9 +7,11 @@ passed through untouched (the per-row invariant).
 `GraphEmitter` is the actor-pool stage (A1 shape,
 SURVEY.md §2.3) that re-expresses the reference's per-document loop
 (tools/entity_extraction.py:78-249) as a batched flat-map: one input
-record → ~10-20 emission rows (triples + node candidates). The
-deterministic splitters stand in for the reference's LLM extractors;
-an LLM client drops into the same __init__/__call__ interface.
+record → ~10-20 emission rows (triples + node candidates). The field
+splitters are pluggable backends (clients.py): "rules" = deterministic
+regex contract (hermetic tests), "http" = batched OpenAI-compatible
+LLM calls — one request per field per batch instead of the reference's
+3 sequential calls per doc; both are built once per actor in __init__.
 
 Per-field failures degrade to the reference's raw-text fallback triples
 (M11, entity_extraction.py:163-169/199-205/243-249) inside the UDF —
@@ -147,12 +149,15 @@ class GraphEmitter:
     # emission buffer column order
     _COLS = [f.name for f in EMISSIONS_SCHEMA]
 
-    def __init__(self) -> None:
-        # splitters hold compiled regexes at module import; referencing them
-        # here pins per-actor setup where a model load would live
-        self._split_locations = sp.split_locations
-        self._split_habits = sp.split_habits
-        self._split_features = sp.split_features
+    def __init__(self, splitter: str = "rules",
+                 client_config: dict | None = None) -> None:
+        # backend built once per actor: compiled regexes for "rules", an
+        # HTTP client (clients.OpenAICompatClient) for "http" — the spot
+        # where the reference sets up its DSPy LM
+        # (tools/entity_extraction.py:50-66)
+        from ..clients import make_splitter_backend
+
+        self.backend = make_splitter_backend(splitter, client_config)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         buf: dict[str, list] = {c: [] for c in self._COLS}
@@ -183,6 +188,15 @@ class GraphEmitter:
                 ["doc_id", "doc_num", "中文学名", "拉丁学名", "命名年份", "作者",
                  "界", "门", "纲", "目", "科", "属",
                  "自然分布地", "生活习性", "生物特征"]}
+
+        # splits are batched through the backend BEFORE the emission
+        # loop: for the HTTP backend this is one request per field per
+        # batch (vs the reference's 3 sequential LLM calls per doc);
+        # failed items come back as Exception values and hit the M11
+        # fallback per document below
+        dist_res = self.backend.split_locations_batch(cols["自然分布地"])
+        habit_res = self.backend.split_habits_batch(cols["生活习性"])
+        feat_res = self.backend.split_features_batch(cols["生物特征"])
 
         for r in range(len(batch)):
             doc_id = cols["doc_id"][r]
@@ -232,35 +246,39 @@ class GraphEmitter:
             # M4-M6 distribution (+M11 fallback)
             dist_text = cols["自然分布地"][r]
             if dist_text is not None:
-                try:
-                    for loc in self._split_locations(dist_text):
+                locs = dist_res[r]
+                if isinstance(locs, Exception):
+                    emit_node(dist_text, "自然分布地", dist_text, None, 1, nseq())
+                    emit_triple(entity_id, "分布于", dist_text, "种", "自然分布地", doc_id)
+                else:
+                    for loc in locs:
                         if loc and loc.strip() and loc not in LOC_INVALID:
                             emit_node(loc, "自然分布地", loc, None, 1, nseq())
                             emit_triple(entity_id, "分布于", loc, "种", "自然分布地", doc_id)
-                except Exception:
-                    emit_node(dist_text, "自然分布地", dist_text, None, 1, nseq())
-                    emit_triple(entity_id, "分布于", dist_text, "种", "自然分布地", doc_id)
 
             # M7-M8 habits (+M11 fallback)
             habits_text = cols["生活习性"][r]
             if habits_text is not None:
-                try:
-                    parts = self._split_habits(habits_text)
+                parts = habit_res[r]
+                if isinstance(parts, Exception):
+                    emit_node(habits_text, "生活习性", habits_text, None, 1, nseq())
+                    emit_triple(entity_id, "生活习性", habits_text, "种", "生活习性", doc_id)
+                else:
                     for part, rel in ((parts.feeding, "食性为"),
                                       (parts.reproduction, "繁殖特征"),
                                       (parts.behavior, "行为特征")):
                         if part and not any(g in part for g in PART_GUARDS):
                             emit_node(part, "生活习性", part, None, 1, nseq())
                             emit_triple(entity_id, rel, part, "种", "生活习性", doc_id)
-                except Exception:
-                    emit_node(habits_text, "生活习性", habits_text, None, 1, nseq())
-                    emit_triple(entity_id, "生活习性", habits_text, "种", "生活习性", doc_id)
 
             # M9-M10 features (+M11 fallback)
             feat_text = cols["生物特征"][r]
             if feat_text is not None:
-                try:
-                    parts = self._split_features(feat_text)
+                parts = feat_res[r]
+                if isinstance(parts, Exception):
+                    emit_node(feat_text, "生物特征", feat_text, None, 1, nseq())
+                    emit_triple(entity_id, "生物特征", feat_text, "种", "生物特征", doc_id)
+                else:
                     for part, rel in ((parts.body_shape, "体型为"),
                                       (parts.body_color, "体色为"),
                                       (parts.body_size, "体长为"),
@@ -268,8 +286,5 @@ class GraphEmitter:
                         if part and not any(g in part for g in PART_GUARDS):
                             emit_node(part, "生物特征", part, None, 1, nseq())
                             emit_triple(entity_id, rel, part, "种", "生物特征", doc_id)
-                except Exception:
-                    emit_node(feat_text, "生物特征", feat_text, None, 1, nseq())
-                    emit_triple(entity_id, "生物特征", feat_text, "种", "生物特征", doc_id)
 
         return pa.Table.from_pydict(buf, schema=EMISSIONS_SCHEMA)

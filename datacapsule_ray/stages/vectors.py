@@ -106,17 +106,27 @@ class HashEmbedder:
 
 
 def build_entity_vectors(nodes: Dataset, dim: int = EMBED_DIM,
-                         concurrency: int | tuple = 4, batch_size: int = 4096) -> Dataset:
+                         concurrency: int | tuple = 4, batch_size: int = 4096,
+                         embedder_cls=None,
+                         embedder_kwargs: dict | None = None) -> Dataset:
+    """``embedder_cls`` swaps the actor-pool embedder (default
+    HashEmbedder; clients.RemoteEmbedder for a real endpoint)."""
+    cls = embedder_cls or HashEmbedder
+    kwargs = {"dim": dim, **(embedder_kwargs or {})}
     return nodes.map_batches(entity_desc_batch, batch_format="pyarrow").map_batches(
-        HashEmbedder, fn_constructor_kwargs={"dim": dim},
+        cls, fn_constructor_kwargs=kwargs,
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
     )
 
 
 def build_relation_vectors(edges: Dataset, dim: int = EMBED_DIM,
-                           concurrency: int | tuple = 4, batch_size: int = 4096) -> Dataset:
+                           concurrency: int | tuple = 4, batch_size: int = 4096,
+                           embedder_cls=None,
+                           embedder_kwargs: dict | None = None) -> Dataset:
+    cls = embedder_cls or HashEmbedder
+    kwargs = {"dim": dim, **(embedder_kwargs or {})}
     return edges.map_batches(relation_desc_batch, batch_format="pyarrow").map_batches(
-        HashEmbedder, fn_constructor_kwargs={"dim": dim},
+        cls, fn_constructor_kwargs=kwargs,
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
     )
 
