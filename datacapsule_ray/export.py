@@ -1,10 +1,16 @@
-"""GraphML export (S2 parity, tools/entity_extraction.py:253-255).
+"""GraphML export + import (S2/S3 parity).
 
-For small-scale conformance diffing against reference artifacts only:
-collects the nodes/edges tables driver-side and writes GraphML via
-networkx (gated behind import — absent networkx falls back to a minimal
-writer). Production output stays columnar (nodes/edges/adjacency
-parquet); never call this on a planet-scale graph.
+- Export mirrors tools/entity_extraction.py:253-255 (nx.write_graphml):
+  small-scale conformance diffing only — collects the nodes/edges
+  tables driver-side. Production output stays columnar
+  (nodes/edges/adjacency parquet); never call this on a planet-scale
+  graph.
+- Import (``read_graphml``) reads a reference-produced GraphML artifact
+  (react_tools.py:45-49 loads the same file into NetworkX at query
+  init) into the engine's nodes/edges tables — stdlib ElementTree, no
+  networkx dependency — so traversal/vector stages can run directly on
+  the reference's shipped graph (round-trip conformance in
+  tests/test_reference_parity.py).
 """
 
 from __future__ import annotations
@@ -12,6 +18,8 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ray.data import Dataset
+
+_NODE_COLS = ["node_id", "node_type", "name", "中文学名", "拉丁学名", "命名年份", "作者"]
 
 
 def write_graphml(nodes: Dataset | pa.Table, edges: Dataset | pa.Table,
@@ -31,16 +39,79 @@ def write_graphml(nodes: Dataset | pa.Table, edges: Dataset | pa.Table,
             g.add_edge(row["src"], row["dst"], relation=row["rel"])
         nx.write_graphml(g, path, encoding="utf-8")
         return g.number_of_nodes()
-    except ImportError:  # pragma: no cover - networkx present in this env
-        from xml.sax.saxutils import escape
+    except ImportError:
+        from xml.sax.saxutils import escape, quoteattr
 
+        # minimal writer emitting the same key/data layout networkx
+        # does, so read_graphml round-trips attributes either way
+        attr_cols = [c for c in nt.columns if c != "node_id"]
         with open(path, "w", encoding="utf-8") as f:
-            f.write('<?xml version="1.0" encoding="utf-8"?>\n'
-                    '<graphml><graph edgedefault="directed">\n')
+            f.write("<?xml version='1.0' encoding='utf-8'?>\n"
+                    '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">\n')
+            for i, c in enumerate(attr_cols):
+                f.write(f'<key id="n{i}" for="node" attr.name={quoteattr(c)} '
+                        'attr.type="string"/>\n')
+            f.write('<key id="e0" for="edge" attr.name="relation" '
+                    'attr.type="string"/>\n<graph edgedefault="directed">\n')
             for row in nt.to_dict("records"):
-                f.write(f'<node id="{escape(str(row["node_id"]))}"/>\n')
+                f.write(f'<node id={quoteattr(str(row["node_id"]))}>')
+                for i, c in enumerate(attr_cols):
+                    v = row.get(c)
+                    if v is not None and v == v:
+                        f.write(f'<data key="n{i}">{escape(str(v))}</data>')
+                f.write("</node>\n")
             for row in et.to_dict("records"):
-                f.write(f'<edge source="{escape(str(row["src"]))}" '
-                        f'target="{escape(str(row["dst"]))}"/>\n')
+                f.write(f'<edge source={quoteattr(str(row["src"]))} '
+                        f'target={quoteattr(str(row["dst"]))}>'
+                        f'<data key="e0">{escape(str(row["rel"]))}</data></edge>\n')
             f.write("</graph></graphml>\n")
         return len(nt)
+
+
+def read_graphml(path: str) -> tuple[pa.Table, pa.Table]:
+    """GraphML → (nodes, edges) Arrow tables (S3,
+    react_tools.py:45-49).
+
+    Stdlib ElementTree (iterparse — bounded memory), honoring the
+    artifact's <key> declarations. Duplicate node ids merge with
+    last-write-wins attrs and re-adds without attrs keep existing
+    values — NetworkX ``add_node`` semantics, the same merge contract
+    as the G1 shuffle. Returns nodes with the engine's NODES_SCHEMA
+    columns and edges as (src, rel, dst)."""
+    import xml.etree.ElementTree as ET
+
+    ns = "{http://graphml.graphdrawing.org/xmlns}"
+    keys: dict[str, str] = {}  # key id → attr.name
+    nodes: dict[str, dict] = {}
+    edges: list[tuple[str, str | None, str]] = []
+    for _, el in ET.iterparse(path, events=("end",)):
+        tag = el.tag.removeprefix(ns)
+        if tag == "key":
+            keys[el.get("id")] = el.get("attr.name")
+        elif tag == "node":
+            attrs = {keys.get(d.get("key")): (d.text or "")
+                     for d in el if d.tag.removeprefix(ns) == "data"}
+            attrs.pop(None, None)
+            nodes.setdefault(el.get("id"), {}).update(attrs)
+            el.clear()
+        elif tag == "edge":
+            rel = None
+            for d in el:
+                if (d.tag.removeprefix(ns) == "data"
+                        and keys.get(d.get("key")) == "relation"):
+                    rel = d.text or ""
+            edges.append((el.get("source"), rel, el.get("target")))
+            el.clear()
+    node_rows = {c: [] for c in _NODE_COLS}
+    for nid, attrs in nodes.items():
+        node_rows["node_id"].append(nid)
+        for c in _NODE_COLS[1:]:
+            node_rows[c].append(attrs.get(c))
+    nodes_t = pa.table({c: pa.array(v, type=pa.string())
+                        for c, v in node_rows.items()})
+    edges_t = pa.table({
+        "src": pa.array([e[0] for e in edges], type=pa.string()),
+        "rel": pa.array([e[1] for e in edges], type=pa.string()),
+        "dst": pa.array([e[2] for e in edges], type=pa.string()),
+    })
+    return nodes_t, edges_t
