@@ -110,6 +110,13 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> None:
+    """N→4N scaling evidence: ≥3 INTERLEAVED trials per CPU level (8,
+    32, 8, 32, …) in one session so co-tenant noise hits both levels
+    alike, reporting median (headline) and min plus every raw trial.
+    This sandbox shows heavy co-tenant noise (the same config measured
+    55s and 97s an hour apart) and all 32 logical CPUs share one memory
+    bus — the full trial table is persisted so the spread is visible."""
+    import statistics
     import subprocess
 
     def run_once(ncpu: int) -> dict:
@@ -122,23 +129,32 @@ def run_scaling() -> None:
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        # this sandbox shows heavy co-tenant noise (same config measured
-        # 55s and 97s an hour apart); min-of-N is the standard way to
-        # measure the machine rather than the neighbors
-        trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
-        results = [run_once(ncpu) for _ in range(trials)]
-        return min(results, key=lambda r: r["value"])
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
+    raw: dict[int, list[dict]] = {8: [], 32: []}
+    for _ in range(trials):
+        for ncpu in (8, 32):  # interleaved
+            raw[ncpu].append(run_once(ncpu))
 
-    lo, hi = run(8), run(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    def stats(ncpu: int) -> tuple[float, float, dict]:
+        vals = [r["value"] for r in raw[ncpu]]
+        med = statistics.median(vals)
+        best = min(raw[ncpu], key=lambda r: r["value"])
+        return med, best["value"], best
+
+    med8, min8, best8 = stats(8)
+    med32, min32, best32 = stats(32)
     print(json.dumps({
-        "sec_8": lo["value"], "sec_32": hi["value"],
-        "docs_per_s_8": lo["docs_per_s"], "docs_per_s_32": hi["docs_per_s"],
-        "triples_per_s_8": lo["triples_per_s"],
-        "triples_per_s_32": hi["triples_per_s"],
-        "scaling_efficiency": round(eff, 3),
-        "sf": lo["sf"], "n_docs": lo["n_docs"],
+        "sec_8": med8, "sec_32": med32,
+        "sec_8_min": min8, "sec_32_min": min32,
+        "docs_per_s_8": round(best8["n_docs"] / med8, 1),
+        "docs_per_s_32": round(best32["n_docs"] / med32, 1),
+        "triples_per_s_8": best8["triples_per_s"],
+        "triples_per_s_32": best32["triples_per_s"],
+        "scaling_efficiency": round((med8 / med32) / (32 / 8), 3),
+        "scaling_efficiency_min": round((min8 / min32) / (32 / 8), 3),
+        "trials_sec_8": [r["value"] for r in raw[8]],
+        "trials_sec_32": [r["value"] for r in raw[32]],
+        "sf": best8["sf"], "n_docs": best8["n_docs"],
     }))
 
 

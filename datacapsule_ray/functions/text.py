@@ -141,26 +141,52 @@ def rolling_fingerprints_batch(batch: pa.Table, window: int = 16,
     """Document fingerprinting via rolling (Rabin-Karp style) hashes:
     one row per (doc, winnowed hash). Winnowing keeps the min hash of
     each non-overlapping window of token 4-grams — a standard local
-    fingerprint for plagiarism/near-dup detection."""
+    fingerprint for plagiarism/near-dup detection.
+
+    Fully vectorized across the batch: tokens from every doc are hashed
+    in ONE hash_pandas_object call (elementwise, so identical to
+    per-doc hashing), the 4-gram rolling hash is computed over the flat
+    token array with doc-boundary grams masked out, and the per-window
+    minima come from a single ``np.minimum.reduceat`` whose indices are
+    each doc's window starts (a doc's first window start IS its gram
+    offset, so segments never cross documents)."""
     import pandas as pd
 
     texts = batch.column(text_col).to_pylist()
     ids = batch.column(id_col).to_pylist()
-    out_id, out_fp = [], []
     B, M = 1000003, (1 << 61) - 1
-    for doc_id, t in zip(ids, texts):
-        toks = (t or "").split()
-        if not toks:
-            continue
-        # stable cross-process token hashes (Python's hash() is salted)
-        hs = pd.util.hash_pandas_object(
-            pd.Series(toks), index=False).to_numpy() & np.uint64(0xFFFFFFFF)
-        if len(hs) < 4:
-            continue
-        g = (hs[:-3] * pow(B, 3, M) + hs[1:-2] * pow(B, 2, M)
-             + hs[2:-1] * B + hs[3:]) % M
-        for start in range(0, len(g), window):
-            out_id.append(doc_id)
-            out_fp.append(int(g[start:start + window].min()))
-    return pa.table({id_col: pa.array(out_id),
-                     "fp": pa.array(out_fp, type=pa.uint64())})
+    tok_lists = [(t or "").split() for t in texts]
+    flat = [tok for toks in tok_lists for tok in toks]
+    if not flat:
+        return pa.table({id_col: pa.array([], type=batch.column(id_col).type),
+                         "fp": pa.array([], type=pa.uint64())})
+    # stable cross-process token hashes (Python's hash() is salted)
+    hs = pd.util.hash_pandas_object(
+        pd.Series(flat, dtype=object), index=False).to_numpy() & np.uint64(0xFFFFFFFF)
+    lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    tok_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    n_grams = np.maximum(lens - 3, 0)  # docs with <4 tokens emit nothing
+    n_grams[lens < 4] = 0
+    # rolling hash over the flat array; grams straddling a doc boundary
+    # are filtered out below (uint64 wraparound matches the per-doc math)
+    g_all = (hs[:-3] * pow(B, 3, M) + hs[1:-2] * pow(B, 2, M)
+             + hs[2:-1] * np.uint64(B) + hs[3:]) % np.uint64(M)
+    keep = np.zeros(len(g_all), dtype=bool)
+    for s, m in zip(tok_start, n_grams):  # O(docs) loop, not O(tokens)
+        if m:
+            keep[s:s + m] = True
+    g = g_all[keep]
+    g_start = np.concatenate(([0], np.cumsum(n_grams)[:-1]))
+    n_win = -(-n_grams // window)  # ceil
+    total = int(n_win.sum())
+    if total == 0:
+        return pa.table({id_col: pa.array([], type=batch.column(id_col).type),
+                         "fp": pa.array([], type=pa.uint64())})
+    doc_of_win = np.repeat(np.arange(len(lens)), n_win)
+    win_base = np.concatenate(([0], np.cumsum(n_win)[:-1]))
+    win_rank = np.arange(total) - win_base[doc_of_win]
+    indices = g_start[doc_of_win] + win_rank * window
+    fps = np.minimum.reduceat(g, indices)
+    out_ids = np.repeat(np.array(ids, dtype=object), n_win)
+    return pa.table({id_col: pa.array(out_ids.tolist()),
+                     "fp": pa.array(fps, type=pa.uint64())})

@@ -100,9 +100,26 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> Dataset:
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     joined = li.join(orders, join_type="inner", num_partitions=num_partitions,
                      on=("l_orderkey",), right_on=("o_orderkey",))
-    spend = joined.groupby("o_custkey").aggregate(
-        Sum("rev_c", alias_name="rev_c"), Sum("n_items", alias_name="n_items"))
 
+    def cust_combine(t: pa.Table) -> pa.Table:
+        # local partial combine per o_custkey: the customer join below
+        # hash-shuffles by the same key, so a GLOBAL pre-aggregate would
+        # only add a redundant shuffle — sums are additive through the
+        # join + final groupby
+        df = pd.DataFrame({
+            "o_custkey": t.column("o_custkey").to_numpy(zero_copy_only=False),
+            "rev_c": t.column("rev_c").to_numpy(zero_copy_only=False),
+            "n_items": t.column("n_items").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("o_custkey", sort=False)
+        return pa.Table.from_pandas(pd.DataFrame({
+            "o_custkey": g["o_custkey"].first().to_numpy(),
+            "rev_c": g["rev_c"].sum().to_numpy(),
+            "n_items": g["n_items"].sum().to_numpy(),
+        }), preserve_index=False)
+
+    spend = joined.map_batches(cust_combine, batch_format="pyarrow",
+                               batch_size=65536)
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     by_cust = spend.join(cust, join_type="inner", num_partitions=num_partitions,
                          on=("o_custkey",), right_on=("c_custkey",))

@@ -170,6 +170,27 @@ def test_sources_io_roundtrip(tmp_path):
     assert sorted(r["id"] for r in back.take_all()) == list(range(10))
 
 
+def test_sources_io_lance_roundtrip(tmp_path):
+    """Exercises the Lance branch of read_table/write_table when the
+    package exists (skipped in containers without it — the branch is
+    import-gated, sources/io.py:15-20)."""
+    import importlib.util
+
+    import pytest
+
+    if importlib.util.find_spec("lance") is None:
+        pytest.skip("lance package not installed in this container")
+    import ray.data as rd
+
+    from datacapsule_ray.sources.io import read_table, write_table
+
+    ds = rd.range(10)
+    path = str(tmp_path / "t.lance")
+    write_table(ds, path)
+    back = read_table(path, columns=["id"])
+    assert sorted(r["id"] for r in back.take_all()) == list(range(10))
+
+
 def test_lang_id():
     df = pd.DataFrame({
         "doc_id": [1, 2, 3, 4, 5],
