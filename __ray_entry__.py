@@ -36,8 +36,25 @@ def _kg_outputs(sf_dir: str) -> dict:
         files = write_corpus(f"{root}/corpus", n_docs, seed=42,
                              docs_per_file=max(64, n_docs // 8))
         pipe = KGPipeline(f"{root}/ckpt")
-        _KG_CACHE[n_docs] = pipe.run_all(files, files_per_partition=1)
+        out = pipe.run_all(files, files_per_partition=1)
+        out["_ckpt_root"] = f"{root}/ckpt"
+        _KG_CACHE[n_docs] = out
     return _KG_CACHE[n_docs]
+
+
+def _kg_nl_sql_family_counts(sf_dir: str) -> Any:
+    """A6 end-to-end in the driver gate: NL question → generated SQL
+    (location-LIKE contract, read-only guard) → executed over the star
+    checkpoint (rows-only check; generation semantics pinned by
+    tests/test_star_query.py)."""
+    import pandas as pd
+
+    from datacapsule_ray.pipelines.star_query import NLQueryEngine
+
+    root = _kg_outputs(sf_dir)["_ckpt_root"]
+    out = NLQueryEngine(root).query_database("各科的物种数量是多少？")
+    assert out["success"], out
+    return pd.DataFrame(out["results"])
 
 
 def _kg_hot_node_neighbors(sf_dir: str) -> Any:
@@ -109,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_numerical_traits": lambda sf: _kg_outputs(sf)["numerical_traits"],
         "kg_descriptions": lambda sf: _kg_outputs(sf)["descriptions"],
         "kg_hot_node_neighbors": _kg_hot_node_neighbors,
+        "kg_nl_sql_family_counts": _kg_nl_sql_family_counts,
         "kg_entity_vectors": lambda sf: _kg_outputs(sf)["entity_vectors"].drop_columns(["embedding"]),
         "kg_relation_vectors": lambda sf: _kg_outputs(sf)["relation_vectors"].drop_columns(["embedding"]),
     }

@@ -130,9 +130,14 @@ def run_scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
-    raw: dict[int, list[dict]] = {8: [], 32: []}
+    # N and 4N; default 8→32. GRAFT_SCALING_LEVELS="4,16" measures a
+    # pair whose high leg stays below this host's shared-memory-bus
+    # ceiling (all 32 logical CPUs share one bus — see BASELINE.md).
+    lo_n, hi_n = (int(x) for x in
+                  os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(","))
+    raw: dict[int, list[dict]] = {lo_n: [], hi_n: []}
     for _ in range(trials):
-        for ncpu in (8, 32):  # interleaved
+        for ncpu in (lo_n, hi_n):  # interleaved
             raw[ncpu].append(run_once(ncpu))
 
     def stats(ncpu: int) -> tuple[float, float, dict]:
@@ -141,20 +146,22 @@ def run_scaling() -> None:
         best = min(raw[ncpu], key=lambda r: r["value"])
         return med, best["value"], best
 
-    med8, min8, best8 = stats(8)
-    med32, min32, best32 = stats(32)
+    med_lo, min_lo, best_lo = stats(lo_n)
+    med_hi, min_hi, best_hi = stats(hi_n)
+    ratio = hi_n / lo_n
     print(json.dumps({
-        "sec_8": med8, "sec_32": med32,
-        "sec_8_min": min8, "sec_32_min": min32,
-        "docs_per_s_8": round(best8["n_docs"] / med8, 1),
-        "docs_per_s_32": round(best32["n_docs"] / med32, 1),
-        "triples_per_s_8": best8["triples_per_s"],
-        "triples_per_s_32": best32["triples_per_s"],
-        "scaling_efficiency": round((med8 / med32) / (32 / 8), 3),
-        "scaling_efficiency_min": round((min8 / min32) / (32 / 8), 3),
-        "trials_sec_8": [r["value"] for r in raw[8]],
-        "trials_sec_32": [r["value"] for r in raw[32]],
-        "sf": best8["sf"], "n_docs": best8["n_docs"],
+        "cpus_lo": lo_n, "cpus_hi": hi_n,
+        f"sec_{lo_n}": med_lo, f"sec_{hi_n}": med_hi,
+        f"sec_{lo_n}_min": min_lo, f"sec_{hi_n}_min": min_hi,
+        f"docs_per_s_{lo_n}": round(best_lo["n_docs"] / med_lo, 1),
+        f"docs_per_s_{hi_n}": round(best_hi["n_docs"] / med_hi, 1),
+        f"triples_per_s_{lo_n}": best_lo["triples_per_s"],
+        f"triples_per_s_{hi_n}": best_hi["triples_per_s"],
+        "scaling_efficiency": round((med_lo / med_hi) / ratio, 3),
+        "scaling_efficiency_min": round((min_lo / min_hi) / ratio, 3),
+        f"trials_sec_{lo_n}": [r["value"] for r in raw[lo_n]],
+        f"trials_sec_{hi_n}": [r["value"] for r in raw[hi_n]],
+        "sf": best_lo["sf"], "n_docs": best_lo["n_docs"],
     }))
 
 

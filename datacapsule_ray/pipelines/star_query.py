@@ -1,15 +1,28 @@
-"""SQL access to the materialized star schema — the data half of the
-reference's NL→SQL channel (A6, dspy_query_db.py:24-148).
+"""The NL→SQL statistical channel over the materialized star schema
+(A6, dspy_query_db.py:24-212).
 
-The reference generates SQL with an LLM and runs it on SQLite; the LLM
-part is serving-side and out of scope (SURVEY.md §2.3), but the contract
-it depends on — a queryable species/distributions/numerical_traits/
-descriptions schema — is this module: DuckDB views over the pipeline's
-parquet checkpoints, plus the reference's canned statistical queries
-(e.g. distinct families, dspy_query_db.py:64-67) as ready functions.
+Three layers, mirroring the reference's MarineSpeciesQuery end-to-end:
+
+1. data: DuckDB views over the pipeline's parquet checkpoints plus the
+   canned statistical queries (distinct families, dspy_query_db.py:64-67).
+2. generation: ``NLQueryEngine`` reproduces query_database's pipeline —
+   live schema introspection serialized as JSON + the location-LIKE
+   usage hint (dspy_query_db.py:68-115: locations must be matched with
+   LIKE '%…%', never equality), SQL generation via a pluggable backend,
+   markdown-fence cleanup (dspy_query_db.py:119-121), read-only guard,
+   execution, and the same result envelope (success/query/sql/
+   explanation/results/column_names/row_count; error+sql on failure).
+3. backends: "rules" = deterministic pattern→template generator (the
+   hermetic stand-in, same role as the splitter rules backend); "http"
+   = one batched /v1/completions call through clients.OpenAICompatClient
+   with the schema+hint+question as the prompt (the production path,
+   integration-tested against a mock endpoint).
 """
 
 from __future__ import annotations
+
+import json
+import re
 
 import duckdb
 
@@ -54,3 +67,135 @@ def avg_trait_by_type(ckpt_root: str):
         FROM numerical_traits
         GROUP BY trait_type, trait_name, unit
         ORDER BY trait_type, trait_name, unit""")
+
+
+# --- NL→SQL generation (A6) -------------------------------------------------
+
+LOCATION_HINT = (
+    "重要提示：当查询涉及地理位置（distributions表的location字段）时，"
+    "必须使用LIKE操作符而不是等号，例如 WHERE location LIKE '%东海%'。")
+
+TASK_NL2SQL = "NL_TO_SQL"
+
+
+def introspect_schema(con: duckdb.DuckDBPyConnection) -> str:
+    """Live table-structure JSON, the shape the reference feeds its
+    generator (dspy_query_db.py:68-97: table name + column name/type)."""
+    out = []
+    for t in STAR_TABLES:
+        cols = con.sql(
+            "SELECT column_name, data_type FROM information_schema.columns "
+            f"WHERE table_name = '{t}' ORDER BY ordinal_position").fetchall()
+        out.append({"table": t,
+                    "columns": [{"name": c, "type": ty} for c, ty in cols]})
+    return json.dumps(out, ensure_ascii=False, indent=2)
+
+
+def clean_sql(sql: str) -> str:
+    """Strip markdown code-block fences (dspy_query_db.py:119-121)."""
+    sql = re.sub(r"```sql\s*", "", sql)
+    sql = re.sub(r"```\s*", "", sql)
+    return sql.strip()
+
+
+class RuleSQLGenerator:
+    """Deterministic pattern→template SQL for the reference's canonical
+    question shapes (counts, per-family stats, location containment with
+    the mandatory LIKE, trait averages, species lookup). The hermetic
+    stand-in for the LLM generator; same (sql, explanation) contract."""
+
+    def generate(self, query: str, db_schema: str) -> tuple[str, str]:
+        m = re.search(r"分布在(.+?)的物种", query)
+        if m:
+            loc = m.group(1)
+            return (
+                "SELECT DISTINCT s.chinese_name FROM species s "
+                "JOIN distributions d ON s.species_id = d.species_id "
+                f"WHERE d.location LIKE '%{loc}%' ORDER BY s.chinese_name",
+                f"列出分布地包含“{loc}”的物种（位置用LIKE模糊匹配）")
+        m = re.search(r"(.+?)的分布", query)
+        if m and "物种" not in m.group(1):
+            sp = m.group(1)
+            return (
+                "SELECT d.location FROM distributions d "
+                "JOIN species s ON s.species_id = d.species_id "
+                f"WHERE s.chinese_name = '{sp}' ORDER BY d.location",
+                f"查询物种“{sp}”的分布地")
+        if re.search(r"各科|按科", query):
+            return ("SELECT family, COUNT(*) AS n_species FROM species "
+                    "GROUP BY family ORDER BY family",
+                    "按科统计物种数量")
+        if re.search(r"哪些科", query):
+            return ("SELECT DISTINCT family FROM species ORDER BY family",
+                    "列出所有科")
+        if re.search(r"多少(个|种)物种|物种(总)?数", query):
+            return ("SELECT COUNT(*) AS n_species FROM species",
+                    "统计物种总数")
+        m = re.search(r"平均(体长|体重|栖息水深)", query)
+        if m:
+            tname = m.group(1)
+            return (
+                "SELECT trait_name, ROUND(AVG(value), 4) AS avg_value, unit "
+                "FROM numerical_traits "
+                f"WHERE trait_name = '{tname}' GROUP BY trait_name, unit",
+                f"计算{tname}的平均值")
+        raise ValueError(f"no SQL template matches the question: {query!r}")
+
+
+class HTTPSQLGenerator:
+    """LLM SQL generation over an OpenAI-compatible endpoint: ONE
+    completion whose prompt carries the task tag, schema JSON, the
+    location-LIKE hint, and the question; the completion text must be
+    JSON ``{"sql": ..., "explanation": ...}``."""
+
+    def __init__(self, client=None, **cfg) -> None:
+        from ..clients import OpenAICompatClient
+
+        self.client = client or OpenAICompatClient(**cfg)
+
+    def generate(self, query: str, db_schema: str) -> tuple[str, str]:
+        prompt = f"{TASK_NL2SQL}\n{db_schema}\n{LOCATION_HINT}\n{query}"
+        text = self.client.complete_batch([prompt])[0]
+        obj = json.loads(clean_sql(text))
+        return str(obj["sql"]), str(obj.get("explanation", ""))
+
+
+class NLQueryEngine:
+    """query_database parity (dspy_query_db.py:53-186) over the star
+    parquet: introspect → generate → clean → read-only guard → execute
+    → result envelope."""
+
+    def __init__(self, ckpt_root: str, generator=None) -> None:
+        self.ckpt_root = ckpt_root
+        self.generator = generator or RuleSQLGenerator()
+
+    def query_database(self, natural_language_query: str) -> dict:
+        con = connect_star(self.ckpt_root)
+        try:
+            schema_str = introspect_schema(con)
+            try:
+                sql, explanation = self.generator.generate(
+                    natural_language_query, schema_str)
+                sql = clean_sql(sql)
+                head = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
+                if head not in ("SELECT", "WITH"):
+                    raise ValueError(f"generated SQL is not read-only: {sql!r}")
+                rel = con.sql(sql)
+                column_names = list(rel.columns)
+                rows = rel.fetchall()
+            except Exception as e:  # noqa: BLE001 — error envelope, like the reference
+                return {"success": False,
+                        "query": natural_language_query,
+                        "sql": locals().get("sql"),
+                        "error": str(e)}
+            return {
+                "success": True,
+                "query": natural_language_query,
+                "sql": sql,
+                "explanation": explanation,
+                "results": [dict(zip(column_names, r)) for r in rows],
+                "column_names": column_names,
+                "row_count": len(rows),
+            }
+        finally:
+            con.close()

@@ -72,9 +72,12 @@ def parse_documents_batch(batch: pa.Table) -> pa.Table:
     # split 'field：value' on the first '：' with one vectorized kernel
     parts = pc.split_pattern(flat.field("text"), "：", max_splits=1)
     has_value = pc.equal(pc.list_value_length(parts), 2).to_numpy(zero_copy_only=False)
-    fields = pc.list_element(parts, 0).to_numpy(zero_copy_only=False)
-    # list_element(_, 1) errors on short lists; flatten + offsets instead
-    flat_parts = np.asarray(parts.flatten().to_pylist(), dtype=object)
+    field_arr = pc.list_element(parts, 0)
+    # list_element(_, 1) errors on short lists; the value of a length-2
+    # split sits at flat offset cumsum(len)-1 — taken per field below so
+    # only SELECTED values ever cross into Python (no full to_pylist of
+    # every span token)
+    flat_vals = parts.flatten()
     val_idx = np.cumsum(pc.list_value_length(parts).to_numpy(zero_copy_only=False)) - 1
 
     out_cols: dict[str, np.ndarray] = {
@@ -82,11 +85,13 @@ def parse_documents_batch(batch: pa.Table) -> pa.Table:
     }
     usable = is_text & has_value
     for f in _RECORD_FIELDS:
-        sel = np.nonzero(usable & (fields == f))[0]
+        eq = pc.fill_null(pc.equal(field_arr, f), False).to_numpy(zero_copy_only=False)
+        sel = np.nonzero(usable & eq)[0]
         if len(sel) == 0:
             continue
         docs, first = np.unique(parent[sel], return_index=True)  # first span wins
-        out_cols[f][docs] = flat_parts[val_idx[sel[first]]]
+        vals = flat_vals.take(pa.array(val_idx[sel[first]])).to_pylist()
+        out_cols[f][docs] = np.asarray(vals, dtype=object)
 
     doc_ids = batch.column("doc_id").to_pylist()
     # doc_num is the node-merge tiebreak and feeds checkpoint content

@@ -44,6 +44,18 @@ class _MockHandler(BaseHTTPRequestHandler):
                 try:
                     if POISON in text:
                         out = "this is not valid json {"
+                    elif task == "NL_TO_SQL":
+                        from datacapsule_ray.pipelines.star_query import (
+                            RuleSQLGenerator)
+
+                        question = text.splitlines()[-1]
+                        sql, expl = RuleSQLGenerator().generate(question, "")
+                        # fenced, as chat models love to do — the engine
+                        # must strip this (dspy_query_db.py:119-121)
+                        out = ("```sql\n"
+                               + json.dumps({"sql": sql, "explanation": expl},
+                                            ensure_ascii=False)
+                               + "\n```")
                     elif task == "SPLIT_LOCATIONS":
                         out = json.dumps(sp.split_locations(text), ensure_ascii=False)
                     elif task == "SPLIT_HABITS":
@@ -158,6 +170,24 @@ def test_transport_failure_degrades_per_document():
     out = em(batch).to_pylist()
     objs = {r["obj"] for r in out if r["kind"] == "triple" and r["pred"] == "分布于"}
     assert objs == {"东海，南海"}  # whole field, unsplit
+
+
+def test_nl_to_sql_http_generator(mock_server, tmp_path):
+    """The A6 generation half over HTTP: schema introspection + hint +
+    question → fenced JSON completion → cleaned, guarded, executed."""
+    from datacapsule_ray.fixtures import write_corpus
+    from datacapsule_ray.pipelines.build_graph import KGPipeline
+    from datacapsule_ray.pipelines.star_query import (
+        HTTPSQLGenerator, NLQueryEngine)
+
+    files = write_corpus(str(tmp_path / "c"), 20, seed=33, docs_per_file=10)
+    ck = str(tmp_path / "ck")
+    KGPipeline(ck).run_all(files, files_per_partition=1, with_vectors=False)
+    eng = NLQueryEngine(ck, generator=HTTPSQLGenerator(base_url=mock_server))
+    out = eng.query_database("数据库里有多少种物种？")
+    assert out["success"] and out["results"][0]["n_species"] == 20
+    out2 = eng.query_database("分布在东海的物种有哪些？")
+    assert out2["success"] and "LIKE '%东海%'" in out2["sql"]
 
 
 def test_embed_batching_chunks(mock_server):

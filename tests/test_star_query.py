@@ -57,3 +57,68 @@ def test_star_views_register(built):
     tables = {r[0] for r in con.sql(
         "SELECT view_name FROM duckdb_views() WHERE NOT internal").fetchall()}
     assert {"species", "distributions", "numerical_traits", "descriptions"} <= tables
+
+
+# --- NL→SQL generation (A6) -------------------------------------------------
+
+def test_nl_query_count(built):
+    from datacapsule_ray.pipelines.star_query import NLQueryEngine
+
+    ck, oracle = built
+    out = NLQueryEngine(ck).query_database("数据库里有多少种物种？")
+    assert out["success"] and out["row_count"] == 1
+    assert out["results"][0]["n_species"] == len(oracle.species_rows)
+    assert out["sql"].upper().startswith("SELECT")
+    assert out["explanation"]
+
+
+def test_nl_query_location_uses_like(built):
+    """The reference's hard rule: location matching MUST be LIKE '%…%'
+    (dspy_query_db.py:27-28) — a species distributed in 东海 must be
+    found even though its location strings can embed more context."""
+    from datacapsule_ray.pipelines.star_query import NLQueryEngine
+
+    ck, oracle = built
+    eng = NLQueryEngine(ck)
+    out = eng.query_database("分布在东海的物种有哪些？")
+    assert out["success"]
+    assert "LIKE '%东海%'" in out["sql"]
+    want_ids = {r["species_id"] for r in oracle.distribution_rows
+                if "东海" in r["location"]}
+    want = sorted(r["chinese_name"] for r in oracle.species_rows
+                  if r["species_id"] in want_ids)
+    got = [r["chinese_name"] for r in out["results"]]
+    assert got == want
+
+
+def test_nl_query_by_family(built):
+    from datacapsule_ray.pipelines.star_query import NLQueryEngine
+
+    ck, oracle = built
+    from collections import Counter
+
+    out = NLQueryEngine(ck).query_database("各科的物种数量是多少？")
+    assert out["success"]
+    got = {r["family"]: r["n_species"] for r in out["results"]}
+    assert got == dict(Counter(r["family"] for r in oracle.species_rows))
+
+
+def test_nl_query_no_template_is_error_envelope(built):
+    from datacapsule_ray.pipelines.star_query import NLQueryEngine
+
+    ck, _ = built
+    out = NLQueryEngine(ck).query_database("写一首关于海洋的诗")
+    assert out["success"] is False and "error" in out
+
+
+def test_nl_query_readonly_guard(built):
+    from datacapsule_ray.pipelines.star_query import NLQueryEngine
+
+    ck, _ = built
+
+    class Evil:
+        def generate(self, q, s):
+            return "DROP TABLE species", "nope"
+
+    out = NLQueryEngine(ck, generator=Evil()).query_database("x")
+    assert out["success"] is False and "read-only" in out["error"]
