@@ -261,6 +261,8 @@ class KGPipeline:
             "distributions": lambda: records(["doc_id", "自然分布地"]).map_batches(
                 star.DistributionsEmitter,
                 fn_constructor_kwargs={"alias_ref": alias_ref},
+                # (1, 4): six level-A stages share the CPU pool — a wider
+                # actor pool here starves the siblings (A/B measured +3s)
                 batch_format="pyarrow", concurrency=(1, 4)),
             "numerical_traits": lambda: records(
                 ["doc_id", "生活习性", "生物特征"]).map_batches(

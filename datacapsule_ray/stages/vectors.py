@@ -24,43 +24,49 @@ from ray.data import Dataset
 from ..schema import EMBED_DIM
 
 
+def _opt_part(prefix: str, col) -> pa.Array:
+    """', <prefix>: <value>' where value is non-null, '' otherwise —
+    one vectorized join + null fill (no per-row Python)."""
+    import pyarrow.compute as pc
+
+    joined = pc.binary_join_element_wise(f", {prefix}: ", col, "")
+    return pc.fill_null(joined, "")
+
+
 def entity_desc_batch(batch: pa.Table) -> pa.Table:
-    """Entity embedding text (M17): '实体ID: {id}, 类型: {t}, 名称: {n}'."""
-    ids = batch.column("node_id").to_pylist()
-    types = batch.column("node_type").to_pylist()
-    names = batch.column("name").to_pylist()
-    texts = []
-    for i, t, n in zip(ids, types, names):
-        desc = f"实体ID: {i}"
-        if t is not None:
-            desc += f", 类型: {t}"
-        if n is not None:
-            desc += f", 名称: {n}"
-        texts.append(desc)
+    """Entity embedding text (M17): '实体ID: {id}, 类型: {t}, 名称: {n}'
+    with null attrs omitted — react_tools.py:244-250 format, built with
+    Arrow string kernels."""
+    import pyarrow.compute as pc
+
+    text = pc.binary_join_element_wise(
+        pc.binary_join_element_wise("实体ID: ", batch.column("node_id"), ""),
+        _opt_part("类型", batch.column("node_type")),
+        _opt_part("名称", batch.column("name")),
+        "")
     return pa.table({
         "entity_id": batch.column("node_id"),
         "entity_type": batch.column("node_type"),
         "entity_name": batch.column("name"),
-        "text": pa.array(texts, type=pa.string()),
+        "text": text,
     })
 
 
 def relation_desc_batch(batch: pa.Table) -> pa.Table:
-    """Relation embedding text: '关系: 从 {s} 到 {t}, 类型: {r}'."""
-    srcs = batch.column("src").to_pylist()
-    dsts = batch.column("dst").to_pylist()
-    rels = batch.column("rel").to_pylist()
-    texts = []
-    for s, d, r in zip(srcs, dsts, rels):
-        desc = f"关系: 从 {s} 到 {d}"
-        if r is not None:
-            desc += f", 类型: {r}"
-        texts.append(desc)
+    """Relation embedding text: '关系: 从 {s} 到 {t}, 类型: {r}'
+    (react_tools.py:264-268), Arrow string kernels."""
+    import pyarrow.compute as pc
+
+    text = pc.binary_join_element_wise(
+        pc.binary_join_element_wise(
+            "关系: 从 ", batch.column("src"), " 到 ", batch.column("dst"), ""),
+        _opt_part("类型", batch.column("rel")),
+        "")
     return pa.table({
         "source_id": batch.column("src"),
         "target_id": batch.column("dst"),
         "relation_type": batch.column("rel"),
-        "text": pa.array(texts, type=pa.string()),
+        "text": text,
     })
 
 
