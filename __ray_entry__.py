@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_stats": r.part_brand_stats,
         "supplier_nation_balance": r.supplier_nation_balance,
         "events_daily": r.events_daily,
+        "brand_nation_revenue": r.brand_nation_revenue,
         "events_sliding_2h": r.events_sliding_2h,
         "user_sessions": r.user_sessions,
         "distinct_users_by_type": r.distinct_users_by_type,
@@ -108,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only driver check; semantics pinned by tests/
         "doc_rolling_fingerprints": docops.doc_rolling_fingerprints,
         "dedup_minhash_docs": docops.dedup_minhash_docs,
+        "dedup_minhash_components": docops.dedup_minhash_components,
         "dedup_simhash_docs": docops.dedup_simhash_docs,
         "neardup_embeddings": docops.neardup_embeddings,
         "sim_ivf_topk_embeddings": docops.sim_ivf_topk_embeddings,
@@ -204,6 +206,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "brand_nation_revenue": """
+            SELECT p_brand, n_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY p_brand, n_name
         """,
         "events_sliding_2h": """
             SELECT event_type,

@@ -108,20 +108,28 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
                 a, b, v, d = verify_pdf(df.iloc[s:e])
                 out_a.extend(a); out_b.extend(b); out_v.extend(v)
                 dropped += d
+        # nullable Int64 everywhere an integer column meets the mixed
+        # pair/raw channel: plain int64 + NaN fill would promote to
+        # float64 and CORRUPT ids above 2^53 (real for hashed ids)
         pairs = pd.DataFrame({
-            "id_a": pd.Series(out_a, dtype="int64"),
-            "id_b": pd.Series(out_b, dtype="int64"),
+            "id_a": pd.Series(out_a, dtype="Int64"),
+            "id_b": pd.Series(out_b, dtype="Int64"),
             pair_value_col: pd.Series(out_v, dtype="float64"),
         })
         pairs["kind"] = "pair"
         if dropped:
-            drow = pd.DataFrame({"id_a": pd.Series([dropped], dtype="int64"),
-                                 "id_b": pd.Series([0], dtype="int64"),
+            drow = pd.DataFrame({"id_a": pd.Series([dropped], dtype="Int64"),
+                                 "id_b": pd.Series([0], dtype="Int64"),
                                  pair_value_col: pd.Series([0.0]),
                                  "kind": ["drop"]})
             pairs = pd.concat([pairs, drow], ignore_index=True)
         if raw_idx:
             raw = df.iloc[np.concatenate(raw_idx)].copy()
+            for c in raw.columns:
+                if raw[c].dtype.kind == "i":
+                    raw[c] = raw[c].astype("Int64")
+                elif raw[c].dtype.kind == "u":
+                    raw[c] = raw[c].astype("UInt64")
             raw["kind"] = "raw"
             pairs = pd.concat([pairs, raw], ignore_index=True)
         # emit Arrow so every downstream block has one type (mixing

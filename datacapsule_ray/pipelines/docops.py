@@ -103,6 +103,52 @@ def dedup_minhash_docs(sf_dir: str) -> pd.DataFrame:
         "est_jaccard", "float64")
 
 
+def dedup_minhash_components(sf_dir: str) -> pd.DataFrame:
+    """The FULL near-dup dedup pipeline: MinHash+LSH candidate pairs →
+    min-label connected components → per-doc keep/drop decision (keep =
+    the component's min-hash id). One row per document that belongs to
+    a multi-doc near-dup cluster, mapped back to string doc_ids with
+    distributed joins — the id↔surrogate mapping never lands on the
+    driver (doc_ids are fact-scale at 100×)."""
+    import pyarrow as _pa
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def with_idx(t: _pa.Table) -> _pa.Table:
+        # stable 63-bit surrogate: min-label CC needs a total order,
+        # any deterministic one works
+        h = pd.util.hash_pandas_object(
+            pd.Series(t.column("doc_id").to_pylist(), dtype=object),
+            index=False).to_numpy() >> np.uint64(1)
+        return t.append_column("doc_idx", _pa.array(h.astype(np.int64)))
+
+    mapped = docs.map_batches(with_idx, batch_format="pyarrow")
+    pairs = dedup.minhash_lsh_pairs(mapped, threshold=0.7, id_col="doc_idx")
+    labels = dedup.connected_components(
+        pairs, mapped.select_columns(["doc_idx"]), id_col="doc_idx")
+    dups = labels.map_batches(
+        lambda t: t.filter(pc_ne(t.column("comp"), t.column("id"))),
+        batch_format="pyarrow").materialize()
+    if dups.count() == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="object"),
+                             "keep_id": pd.Series(dtype="object")})
+    mapping = mapped.select_columns(["doc_idx", "doc_id"])
+    a = dups.join(mapping, join_type="inner", num_partitions=2,
+                  on=("id",), right_on=("doc_idx",))
+    b = a.join(mapping, join_type="inner", num_partitions=2,
+               on=("comp",), right_on=("doc_idx",),
+               left_suffix="", right_suffix="_keep")
+    out = b.to_pandas()
+    out = out.rename(columns={"doc_id_keep": "keep_id"})
+    return out[["doc_id", "keep_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def pc_ne(a, b):
+    import pyarrow.compute as pc
+
+    return pc.invert(pc.equal(a, b))
+
+
 def dedup_simhash_docs(sf_dir: str) -> pd.DataFrame:
     return _typed_pairs(dedup.simhash_pairs(_docs(sf_dir, ["doc_id", "text"])),
                         "hamming", "int64")

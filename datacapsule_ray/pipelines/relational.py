@@ -438,6 +438,56 @@ def customers_without_orders(sf_dir: str, num_partitions: int = 4) -> Dataset:
     return out[["c_custkey", "c_name"]]
 
 
+def brand_nation_revenue(sf_dir: str, num_partitions: int = 8) -> Dataset:
+    """TPC-H Q9-shaped 3-way join: lineitem ⋈ part (l_partkey) ⋈
+    supplier (l_suppkey), nation broadcast, grouped by (brand, nation).
+    Both joins are distributed hash joins — part and supplier are
+    fact-scale at 100×; only the 25-row nation dict ships via ray.put."""
+    import ray
+
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n_ref = ray.put(dict(zip(nation["n_nationkey"].astype(int),
+                             nation["n_name"])))
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(1.0, t.column("l_discount")))
+        return pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "l_suppkey": t.column("l_suppkey"),
+            "rev_c": _cents(rev),
+        })
+
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+            ).map_batches(li_prep, batch_format="pyarrow")
+    withpart = li.join(
+        _t(sf_dir, "part", ["p_partkey", "p_brand"]),
+        join_type="inner", num_partitions=num_partitions,
+        on=("l_partkey",), right_on=("p_partkey",))
+    withsupp = withpart.join(
+        _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        join_type="inner", num_partitions=num_partitions,
+        on=("l_suppkey",), right_on=("s_suppkey",))
+
+    class Annotate:
+        def __init__(self) -> None:
+            self.n = ray.get(n_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nk = pd.Series(t.column("s_nationkey").to_numpy(zero_copy_only=False))
+            return pa.table({
+                "p_brand": t.column("p_brand"),
+                "n_name": pa.array(nk.map(self.n), type=pa.string()),
+                "rev_c": t.column("rev_c"),
+            })
+
+    return withsupp.map_batches(Annotate, batch_format="pyarrow",
+                                concurrency=(1, 4)).groupby(
+        ["p_brand", "n_name"]).aggregate(
+        Sum("rev_c", alias_name="revenue_cents"), Count(alias_name="n_items"))
+
+
 # --- KG construction over relational inputs (SQL-checkable) -----------------
 
 def kg_rel_triples(sf_dir: str) -> Dataset:

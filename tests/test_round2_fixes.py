@@ -168,3 +168,36 @@ def test_resume_rebuilds_missing_records_partition(tmp_path):
     assert pipe2.store.partition_done("records", 1)
     assert sum(r["rows_out"] for r in pipe2.store.lineage("records")) == n_records
     assert pipe2.store.stage_done("records") and pipe2.store.stage_done("emissions")
+
+
+# --- int64 id precision through the mixed pair/raw channel ------------------
+
+def test_minhash_pairs_preserve_large_int64_ids():
+    """ids above 2^53 must survive the pair pipeline exactly (the mixed
+    pair/raw pandas channel used to promote them to float64, rounding
+    the low bits away)."""
+    from datacapsule_ray.functions.dedup import minhash_lsh_pairs
+
+    base = (1 << 62) + 12345  # far beyond float64's 53-bit mantissa
+    ids = np.array([base + i for i in range(6)], dtype=np.int64)
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": ids,
+        "text": [text] * 3 + [f"unique text {i} {i*3} {i*7} x y z w v u t"
+                              for i in range(3)]}))
+    pairs = minhash_lsh_pairs(ds, threshold=0.9).to_pandas()
+    got = set(pairs["id_a"]) | set(pairs["id_b"])
+    assert got == {int(ids[0]), int(ids[1]), int(ids[2])}
+    assert all(isinstance(v, (int, np.integer)) for v in got)
+
+
+def test_dedup_minhash_components_pipeline():
+    """Full dedup: pairs → components → keep/drop, mapped back to the
+    original ids via distributed joins."""
+    from datacapsule_ray.pipelines.docops import dedup_minhash_components
+
+    out = dedup_minhash_components("/root/testdata/sf0.001")
+    # every listed doc has a keeper different from itself, and keepers
+    # are never themselves listed as drops (min-label consistency)
+    assert (out["doc_id"] != out["keep_id"]).all()
+    assert not set(out["keep_id"]) & set(out["doc_id"])
