@@ -192,22 +192,49 @@ def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_SHINGLE_B = np.uint64(1000003)
+
+
+def _combine_token_hashes(hs: np.ndarray, k: int) -> np.ndarray:
+    """k-gram shingle hashes from per-token hashes via a degree-(k-1)
+    polynomial in uint64 (wrapping) — no gram-string materialization.
+    Hashing shingles (vs hashing the joined string) preserves Jaccard
+    up to negligible collisions (Broder 1997; MMDS ch.3)."""
+    n = len(hs)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        if n < k:
+            g = np.uint64(0)
+            for j in range(n):
+                g = g * _SHINGLE_B + hs[j]
+            return np.array([g], dtype=np.uint64)
+        out = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):
+            out += hs[j:n - k + 1 + j] * (_SHINGLE_B ** np.uint64(k - 1 - j))
+    return out
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     toks = text.split()
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    if not grams:
+    if not toks:
         return np.zeros(0, dtype=np.uint64)
-    return np.unique(_stable_u64(grams))
+    return _combine_token_hashes(_stable_u64(toks), k)
 
 
 class MinHasher:
     """Actor stage: text → minhash signature (uint64[num_perm]).
 
-    Permutation params are built once per actor (seeded); signatures are
-    computed with one (n_shingles × num_perm) vectorized min-reduce."""
+    Permutation params are built once per actor (seeded). Signatures for
+    the WHOLE batch come from one flat pipeline: all docs' shingle
+    hashes concatenated, the (shingles × num_perm) permuted values
+    computed in bounded-memory chunks, and per-doc column minima taken
+    with ``np.minimum.reduceat`` at doc offsets — no per-document
+    matrices or Python-level loop over docs (min is idempotent to
+    duplicate shingles, so no per-doc unique either)."""
+
+    # cap the (chunk_shingles × num_perm × 8B) temporary ≈ 64 MB
+    _CHUNK_SHINGLES = 131072
 
     def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 13,
                  text_col: str = "text", id_col: str = "doc_id") -> None:
@@ -225,9 +252,48 @@ class MinHasher:
         vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
         return vals.min(axis=0)
 
+    def _signatures(self, texts: list) -> np.ndarray:
+        n = len(texts)
+        sigs = np.full((n, self.num_perm), _MERSENNE, dtype=np.uint64)
+        tok_lists = [(t or "").split() for t in texts]
+        flat = [tok for toks in tok_lists for tok in toks]
+        if not flat:
+            return sigs
+        tok_hs = _stable_u64(flat)  # ONE hash call for the whole batch
+        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        tok_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        gram_arrays = []
+        counts = np.zeros(n, dtype=np.int64)
+        for i in range(n):  # numpy slice + 3 mults per doc, no strings
+            if lens[i] == 0:
+                continue
+            g = _combine_token_hashes(tok_hs[tok_start[i]:tok_start[i] + lens[i]],
+                                      self.k)
+            gram_arrays.append(g)
+            counts[i] = len(g)
+        hs = np.concatenate(gram_arrays)
+        nonempty = np.flatnonzero(counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))[nonempty]
+        # chunk along the shingle axis, aligned to doc starts so each
+        # reduceat segment stays within one chunk
+        pos = 0
+        while pos < len(nonempty):
+            end = pos + 1
+            while (end < len(nonempty)
+                   and starts[end] - starts[pos] < self._CHUNK_SHINGLES):
+                end += 1
+            lo = starts[pos]
+            hi = (starts[end] if end < len(nonempty) else len(hs))
+            vals = (hs[lo:hi, None] * self.a[None, :] + self.b[None, :]) \
+                % np.uint64(_MERSENNE)
+            idx = starts[pos:end] - lo
+            sigs[nonempty[pos:end]] = np.minimum.reduceat(vals, idx, axis=0)
+            pos = end
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        sigs = np.stack([self.signature(t or "") for t in texts]) if texts else \
+        sigs = self._signatures(texts) if texts else \
             np.zeros((0, self.num_perm), dtype=np.uint64)
         return pa.table({
             self.id_col: batch.column(self.id_col),
