@@ -86,12 +86,16 @@ def run_bench() -> dict:
 
     timed("q1_pricing_summary", r.q1_pricing_summary)
     timed("revenue_by_nation", r.revenue_by_nation)
+    timed("brand_nation_revenue", r.brand_nation_revenue)
+    timed("top10_customers", r.top10_customers)
+    timed("top3_orders_per_customer", r.top3_orders_per_customer)
     timed("events_daily", r.events_daily)
     timed("user_sessions", r.user_sessions)
     timed("kg_rel_triples", lambda s: r.kg_rel_degree(s))
     timed("doc_token_stats", docops.doc_token_stats)
     timed("dedup_exact_docs", docops.dedup_exact_docs)
     timed("dedup_minhash_docs", docops.dedup_minhash_docs)
+    timed("dedup_simhash_docs", docops.dedup_simhash_docs)
     timed("sim_topk_embeddings", docops.sim_topk_embeddings)
 
     ray.shutdown()
