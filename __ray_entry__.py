@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": r.approx_distinct_users,
         "top3_orders_per_customer": r.top3_orders_per_customer,
         "customers_without_orders": r.customers_without_orders,
+        "events_page2": r.events_page2,
         # KG construction over relational inputs (SQL-checkable G1/G2/M3)
         "kg_rel_triples": r.kg_rel_triples,
         "kg_rel_nodes": r.kg_rel_nodes,
@@ -238,6 +239,11 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders)
+        """,
+        "events_page2": """
+            SELECT event_id, ts, user_id FROM events
+            ORDER BY ts DESC, event_id
+            LIMIT 20 OFFSET 20
         """,
         "user_sessions": """
             SELECT user_id, COUNT(*) AS n_events,

@@ -438,6 +438,30 @@ def customers_without_orders(sf_dir: str, num_partitions: int = 4) -> Dataset:
     return out[["c_custkey", "c_name"]]
 
 
+def paginate(ds: Dataset, *, sort_key: str, descending: bool = True,
+             offset: int = 0, limit: int = 20,
+             tiebreak: str | None = None) -> pd.DataFrame:
+    """T5/T6: ORDER BY <key> DESC LIMIT <limit> OFFSET <offset> —
+    the reference pages interactions with SQL offset/limit over a
+    timestamp sort (app.py:469-495). Distributed: global sort →
+    ``limit(offset+limit)`` (per-block truncation under the hood) →
+    driver drops the first ``offset`` rows of a page-sized frame.
+    Driver residency is one page + offset, never the table."""
+    keys = [sort_key] + ([tiebreak] if tiebreak else [])
+    desc = [descending] + ([False] if tiebreak else [])
+    page = ds.sort(keys, descending=desc).limit(offset + limit).to_pandas()
+    return page.iloc[offset:offset + limit].reset_index(drop=True)
+
+
+def events_page2(sf_dir: str) -> pd.DataFrame:
+    """Driver-gate instance of paginate: page 2 (rows 20-39) of events
+    ordered by ts DESC (oracle: ORDER BY ts DESC, event_id LIMIT 20
+    OFFSET 20)."""
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return paginate(ds, sort_key="ts", descending=True,
+                    offset=20, limit=20, tiebreak="event_id")
+
+
 def brand_nation_revenue(sf_dir: str, num_partitions: int = 8) -> Dataset:
     """TPC-H Q9-shaped 3-way join: lineitem ⋈ part (l_partkey) ⋈
     supplier (l_suppkey), nation broadcast, grouped by (brand, nation).
