@@ -230,8 +230,9 @@ def merge_nodes(node_candidates: Dataset,
 
 
 def build_adjacency(edges: Dataset, chunk_size: int = 1024,
-                    degree_strategy: str = "broadcast",
-                    join_partitions: int = 4) -> Dataset:
+                    degree_strategy: str = "auto",
+                    join_partitions: int = 4,
+                    auto_join_threshold: int = 200_000) -> Dataset:
     """edges → (src, chunk, degree, adj: list<struct<rel,dst>>) rows.
 
     Chunking caps per-row adjacency size so hot nodes (台湾海域 degree 64
@@ -246,9 +247,12 @@ def build_adjacency(edges: Dataset, chunk_size: int = 1024,
     chunked layout permits by design.
 
     ``degree_strategy``: "broadcast" ships the degree dict once via
-    ray.put (fine to ~10^7 sources); "join" hash-joins the chunk rows
-    against the degree Dataset on src — the planet-scale path where the
-    degree table itself no longer fits one node."""
+    ray.put (fast only for small graphs — building a multi-million-entry
+    Python dict on the driver is measured slower than the join beyond a
+    few 10^5 sources); "join" hash-joins the chunk rows against the
+    degree Dataset on src — the planet-scale path where the degree table
+    itself no longer fits one node; "auto" (default) picks by the
+    measured source count (> ``auto_join_threshold`` → join)."""
     import ray
 
     def local_count(batch: pa.Table) -> pa.Table:
@@ -275,6 +279,10 @@ def build_adjacency(edges: Dataset, chunk_size: int = 1024,
     deg_partial = edges.select_columns(["src"]).map_batches(
         local_count, batch_format="pyarrow", batch_size=65536)
     deg_ds = _combine_sorted(deg_partial, reduce_pdf)
+    if degree_strategy == "auto":
+        deg_ds = deg_ds.materialize()
+        degree_strategy = ("join" if deg_ds.count() > auto_join_threshold
+                           else "broadcast")
     if degree_strategy == "broadcast":
         deg_df = deg_ds.to_pandas()
         deg_ref = ray.put(dict(zip(deg_df["src"], deg_df["degree"].astype(int))))
