@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_marker_counts": docops.doc_lang_marker_counts,
         "doc_quality_filter": docops.doc_quality_filter,
         "dedup_exact_docs": docops.dedup_exact_docs,
+        "ssjoin_jaccard_docs": docops.ssjoin_jaccard_docs,
         "sim_topk_embeddings": docops.sim_topk_embeddings,
         # non-SQL-expressible (LSH / IVF / multimodal / flagship KG):
         # rows-only driver check; semantics pinned by tests/
@@ -308,6 +309,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "ssjoin_jaccard_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')) AS ts
+                FROM documents
+            ), ne AS (SELECT * FROM toks WHERE len(ts) > 0)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.ts, b.ts)) AS n_inter,
+                   len(a.ts) + len(b.ts)
+                       - len(list_intersect(a.ts, b.ts)) AS n_union
+            FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+            WHERE 10 * len(list_intersect(a.ts, b.ts))
+                  >= 9 * (len(a.ts) + len(b.ts)
+                          - len(list_intersect(a.ts, b.ts)))
         """,
         "sim_topk_embeddings": """
             SELECT e.vec_id,

@@ -1,0 +1,306 @@
+"""Exact set-similarity self-join (token-set Jaccard) via set collapse +
+prefix filtering — the EXACT complement to the estimate-based
+MinHash/SimHash near-dup family in ``dedup.py``.
+
+Algorithm (all-pairs with prefix filtering; Bayardo/Ma/Srikant, "Scaling
+Up All Pairs Similarity Search", WWW 2007; MapReduce formulation per
+Vernica/Carey/Li, SIGMOD 2010; the identical-set collapse is the
+standard "group by record" preprocessing from the latter):
+
+1. tokenize → per-doc DISTINCT token-hash sets (one u64 hash call per
+   batch, per-doc ``np.unique``), plus a 63-bit set fingerprint;
+2. COLLAPSE identical sets: docs with equal token sets form a group
+   (J = 1 pairwise); their pairs are enumerated directly per group, and
+   only one representative per distinct set enters the filter. This is
+   what keeps dup-heavy corpora (the common web case) tractable: a
+   1000-copy template contributes ONE set to the quadratic stage;
+3. document frequencies for FREQUENT tokens (``df > df_cutoff``, at
+   distinct-set granularity) via a (token)-keyed count shuffle,
+   broadcast via ``ray.put`` (the frequent-token table is at worst
+   total_tokens/df_cutoff entries — dimension-sized, not corpus-sized);
+4. each distinct set orders its tokens by the global key ``(df(t), t)``
+   (rare first; any CONSISTENT total order is exact — frequency order is
+   the pruning optimization) and emits its first
+   ``|x| - ceil(tau*|x|) + 1`` tokens as prefix rows, each carrying the
+   full value-sorted token set;
+5. groupby(prefix token) buckets → in-bucket pairwise length filter
+   (``tau*|x| <= |y|``) + exact sorted-array intersection. No false
+   negatives: two sets with J >= tau must share a prefix token under a
+   common total order; no false positives: the intersection is exact;
+6. matching SET pairs expand back to doc pairs with two distributed
+   joins on group membership (every member pair of two matching sets
+   has the same exact (inter, union)).
+
+Shuffles: the df count (u64 rows), one sort by set fingerprint (the
+identical-group enumeration), the prefix-bucket groupby, and the two
+membership joins — all over hashed-int tables, never the text. A prefix
+row carries ~|set| u64s, so prefix-shuffle volume is
+O(prefix_len x set_size) per DISTINCT set — same order as the MinHash
+banded-signature shuffle. Hot buckets are impossible for tokens with
+``df <= df_cutoff`` (bucket size <= df); a frequent token only enters a
+prefix when a set consists almost entirely of even-more-frequent tokens,
+and such degenerate buckets are capped by ``max_bucket`` with a logged
+drop count (``stats['dropped_rows']``). Identical-set groups larger than
+``max_bucket`` are likewise capped + logged (at that point the useful
+representation is ``exact_dedup``-style keep/drop, not the pair list).
+
+Thresholds are exact integer fractions (``tau = tau_num/tau_den``): the
+keep test is ``tau_den*|inter| >= tau_num*|union|`` — bit-identical to a
+SQL oracle's integer comparison, no float rounding anywhere. The 63-bit
+set fingerprint treats distinct sets as distinct; at >>10^9 distinct
+sets widen it to a two-column 128-bit key.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min
+
+from .dedup import _bucket_verify, _stable_u64
+
+logger = logging.getLogger(__name__)
+
+# (inter, union) pairs ride one float64 through the shared bucket-verify
+# machinery: code = inter * 2^26 + union, exact while union < 2^26
+_IU_BASE = 67108864.0
+
+
+def _doc_token_sets(ds: Dataset, text_col: str, id_col: str) -> Dataset:
+    """(id, toks:binary, size, set_hash) — one u64 hash call per batch,
+    per-doc unique over numpy slices, one 8-byte blake2b per doc for the
+    set fingerprint. ``toks`` is the raw little-endian bytes of the
+    value-sorted distinct u64 token hashes (binary rather than
+    list<u64> so it survives Acero join payloads and the pandas
+    raw-channel round trip; decode with ``np.frombuffer``)."""
+
+    def to_sets(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        tok_lists = [(t or "").split() for t in texts]
+        flat = [tok for toks in tok_lists for tok in toks]
+        # 63-bit token hashes: every downstream shuffle key (tok, ptok)
+        # then fits int64, avoiding Arrow conversion fallbacks in the
+        # groupby path; collision odds are unchanged in practice
+        hs = ((_stable_u64(flat) >> np.uint64(1)) if flat
+              else np.zeros(0, dtype=np.uint64))
+        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        uniq = [np.unique(hs[s:s + l]) for s, l in zip(starts, lens)]
+        sizes = np.array([len(u) for u in uniq], dtype=np.int64)
+        fps = np.array([
+            int.from_bytes(hashlib.blake2b(u.tobytes(), digest_size=8)
+                           .digest(), "big") >> 1
+            for u in uniq], dtype=np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "toks": pa.array([u.tobytes() for u in uniq], type=pa.binary()),
+            "size": pa.array(sizes),
+            "set_hash": pa.array(fps),
+        })
+
+    return ds.map_batches(to_sets, batch_format="pyarrow")
+
+
+def _frequent_token_df(reps: Dataset, df_cutoff: int) -> dict[int, int]:
+    """{token_hash: df} over DISTINCT sets for tokens with df >
+    ``df_cutoff``. Bounded by total_token_occurrences / df_cutoff
+    entries; at cluster scale raise ``df_cutoff`` (the table shrinks
+    linearly) or swap the broadcast for a distributed join."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        bufs = batch.column("toks").to_pylist()
+        flat = (np.frombuffer(b"".join(bufs), dtype=np.uint64) if bufs
+                else np.zeros(0, dtype=np.uint64))
+        return pa.table({"tok": pa.array(flat, type=pa.uint64())})
+
+    df = (reps.select_columns(["toks"])
+          .map_batches(explode, batch_format="pyarrow")
+          .groupby("tok").aggregate(Count(alias_name="df")))
+    hot = df.filter(expr=f"df > {int(df_cutoff)}").to_pandas()
+    if "tok" not in hot.columns:  # empty result loses its schema
+        return {}
+    return dict(zip(hot["tok"].astype(np.uint64).tolist(),
+                    hot["df"].astype(np.int64).tolist()))
+
+
+def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   df_cutoff: int = 32, max_bucket: int = 4096,
+                   num_partitions: int = 4,
+                   stats: dict | None = None) -> Dataset:
+    """All pairs (id_a < id_b) with token-set Jaccard >= tau_num/tau_den.
+
+    Returns (id_a, id_b, n_inter, n_union) — exact integers, so a SQL
+    oracle over the same tokenization matches hash-for-hash. Empty
+    documents (no tokens) never pair (J would be 0/0)."""
+    if not (0 < tau_num <= tau_den):
+        raise ValueError("tau must satisfy 0 < tau_num/tau_den <= 1")
+    tau_num, tau_den = int(tau_num), int(tau_den)
+    docsets = _doc_token_sets(
+        ds.select_columns([id_col, text_col]), text_col, id_col
+    ).filter(expr="size > 0").materialize()
+
+    # ---- identical-set groups: reps + direct J=1 pair enumeration ----
+    members = docsets.select_columns(["set_hash", id_col])
+    min_tbl = docsets.groupby("set_hash").aggregate(
+        Min(id_col, alias_name="rep_id"))
+    reps = (docsets.join(min_tbl, join_type="inner",
+                         num_partitions=num_partitions, on=("set_hash",))
+            .filter(expr=f"{id_col} == rep_id")
+            .select_columns(["set_hash", "toks", "size"])).materialize()
+
+    def ident_verify(group: pd.DataFrame):
+        g = group.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].to_numpy()
+        size = int(g["size"].iloc[0])
+        iu = np.triu_indices(len(ids), 1)
+        code = float(size) * _IU_BASE + float(size)
+        return (ids[iu[0]], ids[iu[1]], np.full(len(iu[0]), code),
+                max(0, len(group) - max_bucket))
+
+    ident_stats: dict = {}
+    ident_pairs = _bucket_verify(
+        docsets.select_columns(["set_hash", id_col, "size"]),
+        ["set_hash"], ident_verify, "iu_code", stats=ident_stats)
+
+    # ---- cross-set: prefix filtering over DISTINCT sets --------------
+    df_ref = ray.put(_frequent_token_df(reps, df_cutoff))
+
+    class PrefixEmitter:
+        """Per-set (rarest-first) token ordering + prefix explosion.
+        The df dict is fetched from the object store once per actor."""
+
+        def __init__(self) -> None:
+            self.df = ray.get(df_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bufs = batch.column("toks").to_pylist()
+            hashes = batch.column("set_hash").to_numpy(zero_copy_only=False)
+            sizes = batch.column("size").to_numpy(zero_copy_only=False)
+            flat = (np.frombuffer(b"".join(bufs), dtype=np.uint64) if bufs
+                    else np.zeros(0, dtype=np.uint64))
+            offs = np.concatenate(
+                ([0], np.cumsum(sizes))).astype(np.int64)
+            dfv = np.fromiter((self.df.get(int(t), 0) for t in flat),
+                              dtype=np.int64, count=len(flat))
+            out_ptok, out_id, out_size, out_toks = [], [], [], []
+            for i in range(len(hashes)):
+                s, e = offs[i], offs[i + 1]
+                if e == s:
+                    continue
+                n = int(sizes[i])
+                p = n - (-((-tau_num * n) // tau_den)) + 1  # n - ceil + 1
+                order = np.lexsort((flat[s:e], dfv[s:e]))
+                prefix = flat[s:e][order[:max(p, 1)]]
+                for t in prefix:
+                    out_ptok.append(t)
+                    out_id.append(hashes[i])
+                    out_size.append(n)
+                    out_toks.append(bufs[i])  # value-sorted (np.unique)
+            return pa.table({
+                "ptok": pa.array(np.array(out_ptok, dtype=np.uint64)),
+                "set_hash": pa.array(np.array(out_id, dtype=np.int64)),
+                "size": pa.array(np.array(out_size, dtype=np.int64)),
+                "toks": pa.array(out_toks, type=pa.binary()),
+            })
+
+    banded = reps.map_batches(PrefixEmitter, batch_format="pyarrow",
+                              concurrency=(1, 4))
+
+    def cross_verify(group: pd.DataFrame):
+        """ALL pairwise intersection sizes for the bucket at once: build
+        a bucket-local (set x vocab) incidence matrix and take M @ M.T
+        (near-dup buckets share most tokens, so vocab ~ set size, and
+        the matmul replaces C(m,2) merge-intersections — measured ~50x
+        on 1000-set cliques). float32 accumulates exactly (< 2^24);
+        vocab is chunked so the incidence slab stays < ~64 MB."""
+        g = group.sort_values("set_hash").head(max_bucket)
+        m = len(g)
+        dropped = max(0, len(group) - max_bucket)
+        if m < 2:
+            return [], [], [], dropped
+        hs = g["set_hash"].to_numpy()
+        sizes = g["size"].to_numpy().astype(np.int64)
+        sets = [np.frombuffer(t, dtype=np.uint64) for t in g["toks"]]
+        allt = np.concatenate(sets)
+        vocab, inv = np.unique(allt, return_inverse=True)
+        rows = np.repeat(np.arange(m), sizes)
+        inter = np.zeros((m, m), dtype=np.float32)
+        chunk = max(1, (16 << 20) // max(m, 1))  # ~64 MB float32 slab
+        for lo in range(0, len(vocab), chunk):
+            hi = min(lo + chunk, len(vocab))
+            sel = (inv >= lo) & (inv < hi)
+            slab = np.zeros((m, hi - lo), dtype=np.float32)
+            slab[rows[sel], inv[sel] - lo] = 1.0
+            inter += slab @ slab.T
+        inter_i = inter.astype(np.int64)
+        iu, ju = np.triu_indices(m, 1)
+        ia = inter_i[iu, ju]
+        union = sizes[iu] + sizes[ju] - ia
+        keep = tau_den * ia >= tau_num * union
+        code = ia[keep].astype(np.float64) * _IU_BASE + union[keep]
+        return hs[iu[keep]], hs[ju[keep]], code, dropped
+
+    cross_stats: dict = {}
+    set_pairs = _bucket_verify(banded, ["ptok"], cross_verify, "iu_code",
+                               stats=cross_stats)
+    if stats is not None:
+        stats["dropped_rows"] = (ident_stats.get("dropped_rows", 0)
+                                 + cross_stats.get("dropped_rows", 0))
+    # a set pair can surface from several shared prefix tokens — dedup
+    # at SET granularity, before the (possibly large) member expansion
+    set_pairs = set_pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("iu_code", alias_name="iu_code"))
+
+    # ---- expand set pairs to doc pairs via membership joins ----------
+    def decode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        code = t.column("iu_code")
+        inter = pc.cast(pc.floor(pc.divide(code, _IU_BASE)), pa.int64())
+        union = pc.cast(pc.subtract(
+            code, pc.multiply(pc.cast(inter, pa.float64()), _IU_BASE)),
+            pa.int64())
+        return pa.table({
+            "id_a": t.column("id_a"), "id_b": t.column("id_b"),
+            "n_inter": inter, "n_union": union,
+        })
+
+    ident_pairs = ident_pairs.select_columns(["id_a", "id_b", "iu_code"])
+    if set_pairs.count() == 0:  # empty Datasets lose schema → no join
+        return ident_pairs.map_batches(decode, batch_format="pyarrow")
+
+    mem_a = members.map_batches(
+        lambda t: pa.table({"id_a": t.column("set_hash"),
+                            "doc_a": t.column(id_col)}),
+        batch_format="pyarrow")
+    mem_b = members.map_batches(
+        lambda t: pa.table({"id_b": t.column("set_hash"),
+                            "doc_b": t.column(id_col)}),
+        batch_format="pyarrow")
+    expanded = (set_pairs
+                .join(mem_a, join_type="inner",
+                      num_partitions=num_partitions, on=("id_a",))
+                .join(mem_b, join_type="inner",
+                      num_partitions=num_partitions, on=("id_b",)))
+
+    def orient(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        da, db = t.column("doc_a"), t.column("doc_b")
+        return pa.table({
+            "id_a": pc.min_element_wise(da, db),
+            "id_b": pc.max_element_wise(da, db),
+            "iu_code": t.column("iu_code"),
+        })
+
+    cross_pairs = expanded.map_batches(orient, batch_format="pyarrow")
+    return ident_pairs.union(cross_pairs).map_batches(
+        decode, batch_format="pyarrow")

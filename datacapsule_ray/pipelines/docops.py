@@ -12,7 +12,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data import Dataset
 
-from ..functions import dedup, similarity, text
+from ..functions import dedup, similarity, ssjoin, text
 
 
 def _docs(sf_dir: str, columns=None) -> Dataset:
@@ -77,6 +77,14 @@ def doc_quality_filter(sf_dir: str) -> Dataset:
 
 def dedup_exact_docs(sf_dir: str) -> Dataset:
     return dedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def ssjoin_jaccard_docs(sf_dir: str) -> Dataset:
+    """EXACT token-set Jaccard >= 0.9 self-join (set collapse + prefix
+    filtering + bucket matmul verify) — integer (n_inter, n_union)
+    output, SQL-oracle-checkable, unlike the MinHash/SimHash estimates."""
+    return ssjoin.jaccard_ssjoin(_docs(sf_dir, ["doc_id", "text"]),
+                                 tau_num=9, tau_den=10)
 
 
 def doc_rolling_fingerprints(sf_dir: str) -> Dataset:

@@ -237,3 +237,55 @@ def test_multimodal_plumbing():
 
     with pytest.raises(NotImplementedError):
         mm.MediaFeatureExtractor(decoder="real")
+
+
+def _brute_jaccard_pairs(df: pd.DataFrame, tau: float):
+    """Reference all-pairs token-set Jaccard on the driver (exact)."""
+    sets = {r.doc_id: set(r.text.split()) for r in df.itertuples()
+            if r.text.split()}
+    ids = sorted(sets)
+    out = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter >= tau * union:
+                out.append((a, b, inter, union))
+    return sorted(out)
+
+
+def test_jaccard_ssjoin_exact(dup_docs):
+    """Exact vs brute force: identical-set pairs (word order shuffles
+    too — same SET), near-dup pairs, and nothing else."""
+    from datacapsule_ray.functions import ssjoin
+
+    df = dup_docs.copy()
+    # add a shuffled-word copy of doc 5: identical token SET, J=1
+    toks = df.loc[df.doc_id == 5, "text"].iloc[0].split()
+    df = pd.concat([df, pd.DataFrame(
+        [{"doc_id": 97, "text": " ".join(sorted(toks))}])],
+        ignore_index=True)
+    stats = {}
+    out = ssjoin.jaccard_ssjoin(
+        rd.from_pandas(df), tau_num=4, tau_den=5, stats=stats).to_pandas()
+    got = sorted(map(tuple, out[["id_a", "id_b", "n_inter", "n_union"]]
+                     .to_numpy().tolist()))
+    assert got == _brute_jaccard_pairs(df, 0.8)
+    assert stats["dropped_rows"] == 0
+    # the shuffled copy must pair with its source at J == 1
+    j1 = out[(out.id_a == 5) & (out.id_b == 97)]
+    assert len(j1) == 1 and (j1.n_inter == j1.n_union).all()
+
+
+def test_jaccard_ssjoin_hot_bucket_drop_accounting():
+    """An identical-set group larger than max_bucket is truncated WITH a
+    surfaced drop count (never silently)."""
+    from datacapsule_ray.functions import ssjoin
+
+    df = pd.DataFrame({"doc_id": range(30),
+                       "text": ["alpha beta gamma delta"] * 30})
+    stats = {}
+    out = ssjoin.jaccard_ssjoin(rd.from_pandas(df), tau_num=9, tau_den=10,
+                                max_bucket=10, stats=stats).to_pandas()
+    assert stats["dropped_rows"] > 0
+    assert len(out) == 10 * 9 // 2  # pairs among the kept 10
