@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_orders_per_customer": r.top3_orders_per_customer,
         "customers_without_orders": r.customers_without_orders,
         "events_page2": r.events_page2,
+        "events_asof_purchase": r.events_asof_purchase,
         # KG construction over relational inputs (SQL-checkable G1/G2/M3)
         "kg_rel_triples": r.kg_rel_triples,
         "kg_rel_nodes": r.kg_rel_nodes,
@@ -245,6 +246,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ts, user_id FROM events
             ORDER BY ts DESC, event_id
             LIMIT 20 OFFSET 20
+        """,
+        "events_asof_purchase": """
+            SELECT e.event_id, e.user_id, e.ts,
+                   p.ts AS ts_asof, p.value AS value_asof
+            FROM events e ASOF JOIN (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
+            WHERE e.event_type = 'click'
         """,
         "user_sessions": """
             SELECT user_id, COUNT(*) AS n_events,

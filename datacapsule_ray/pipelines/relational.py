@@ -599,3 +599,21 @@ def kg_rel_degree(sf_dir: str) -> Dataset:
     """Out-degree per subject (adjacency-size stats, G2/G3 shape)."""
     return kg_rel_triples(sf_dir).groupby("subj").count().map_batches(
         lambda t: t.rename_columns(["subj", "out_degree"]), batch_format="pyarrow")
+
+
+def events_asof_purchase(sf_dir: str) -> Dataset:
+    """AS-OF join: every click event picks the user's most recent
+    purchase at-or-before it (inner — clicks with no prior purchase
+    drop). One range-partitioning sort + two block maps; driver state is
+    O(blocks) (functions/asof.py)."""
+    from ..functions.asof import asof_join
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type",
+                               "value"])
+    left = (ev.filter(expr="event_type == 'click'")
+            .select_columns(["event_id", "user_id", "ts"]))
+    right = (ev.filter(expr="event_type == 'purchase'")
+             .select_columns(["event_id", "user_id", "ts", "value"]))
+    return asof_join(left, right, key="user_id", ts_col="ts",
+                     tiebreak_col="event_id", value_cols=["value"],
+                     join_type="inner")

@@ -289,3 +289,48 @@ def test_jaccard_ssjoin_hot_bucket_drop_accounting():
                                 max_bucket=10, stats=stats).to_pandas()
     assert stats["dropped_rows"] > 0
     assert len(out) == 10 * 9 // 2  # pairs among the kept 10
+
+
+def test_asof_join_matches_merge_asof_across_blocks():
+    """asof_join vs pandas merge_asof on a corpus forced into MANY
+    blocks, so key runs straddle block boundaries and the carry path
+    (pass-1 summaries + backward scan) is exercised — including a key
+    whose clicks precede any purchase (inner-drop) and equal-ts ties."""
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 12, size=n),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10**9, size=n), unit="us"),
+        "kind": rng.choice(["L", "R"], size=n, p=[0.8, 0.2]),
+        "value": rng.random(n).round(3),
+    })
+    df.loc[df.user_id == 7, "kind"] = "L"  # user with no right rows
+    # equal-ts tie: two right rows at the same (user, ts)
+    df.loc[0, ["user_id", "ts", "kind"]] = [3, pd.Timestamp("2024-01-01"), "R"]
+    df.loc[1, ["user_id", "ts", "kind"]] = [3, pd.Timestamp("2024-01-01"), "R"]
+    from datacapsule_ray.functions.asof import asof_join
+
+    left = df[df.kind == "L"][["event_id", "user_id", "ts"]]
+    right = df[df.kind == "R"][["event_id", "user_id", "ts", "value"]]
+    out = asof_join(
+        rd.from_pandas(left).repartition(16),
+        rd.from_pandas(right).repartition(4),
+        key="user_id", ts_col="ts", tiebreak_col="event_id",
+        value_cols=["value"], join_type="inner",
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    # reference: merge_asof per user; ties broken by the LAST right row
+    # in (ts, event_id) order — merge_asof's own tie rule
+    ref = pd.merge_asof(
+        left.sort_values(["ts", "event_id"], kind="stable"),
+        right.sort_values(["ts", "event_id"], kind="stable")
+        .rename(columns={"event_id": "r_event_id"}),
+        on="ts", by="user_id", direction="backward",
+        allow_exact_matches=True, suffixes=("", "_r"))
+    ref = ref[ref["value"].notna()].sort_values("event_id").reset_index(drop=True)
+    assert len(out) == len(ref)
+    assert (out["event_id"].to_numpy() == ref["event_id"].to_numpy()).all()
+    assert np.allclose(out["value_asof"].astype(float),
+                       ref["value"].astype(float))
