@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": r.customers_without_orders,
         "events_page2": r.events_page2,
         "events_asof_purchase": r.events_asof_purchase,
+        "events_value_quantiles": r.events_value_quantiles,
         # KG construction over relational inputs (SQL-checkable G1/G2/M3)
         "kg_rel_triples": r.kg_rel_triples,
         "kg_rel_nodes": r.kg_rel_nodes,
@@ -255,6 +256,14 @@ def oracle_sql() -> dict[str, str]:
                 WHERE event_type = 'purchase') p
               ON e.user_id = p.user_id AND e.ts >= p.ts
             WHERE e.event_type = 'click'
+        """,
+        "events_value_quantiles": """
+            SELECT event_type,
+                   quantile_disc(CAST(ROUND(value*100) AS BIGINT), 0.5)
+                       AS median_cents,
+                   quantile_disc(CAST(ROUND(value*100) AS BIGINT), 0.9)
+                       AS p90_cents
+            FROM events GROUP BY event_type
         """,
         "user_sessions": """
             SELECT user_id, COUNT(*) AS n_events,

@@ -617,3 +617,21 @@ def events_asof_purchase(sf_dir: str) -> Dataset:
     return asof_join(left, right, key="user_id", ts_col="ts",
                      tiebreak_col="event_id", value_cols=["value"],
                      join_type="inner")
+
+
+def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-event-type median and p90 of value (in cents) via the
+    distributed value-histogram aggregate (functions/quantiles.py) —
+    no sort, no sketch; bit-identical to DuckDB quantile_disc."""
+    from ..functions.quantiles import grouped_exact_quantiles
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": _cents(t.column("value"))})
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    return grouped_exact_quantiles(
+        cents, "event_type", "cents",
+        [(1, 2, "median_cents"), (9, 10, "p90_cents")])

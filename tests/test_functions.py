@@ -334,3 +334,26 @@ def test_asof_join_matches_merge_asof_across_blocks():
     assert (out["event_id"].to_numpy() == ref["event_id"].to_numpy()).all()
     assert np.allclose(out["value_asof"].astype(float),
                        ref["value"].astype(float))
+
+
+def test_grouped_exact_quantiles_matches_numpy_rank():
+    """Histogram quantile vs direct rank selection on skewed
+    multi-batch data (many duplicate values, uneven key sizes)."""
+    from datacapsule_ray.functions.quantiles import grouped_exact_quantiles
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], size=5000, p=[0.7, 0.2, 0.1]),
+        "v": rng.integers(0, 40, size=5000),
+    })
+    out = grouped_exact_quantiles(
+        rd.from_pandas(df).repartition(8), "k", "v",
+        [(1, 2, "median"), (9, 10, "p90"), (1, 100, "p1")]
+    ).set_index("k")
+    for k, sub in df.groupby("k"):
+        x = np.sort(sub["v"].to_numpy())
+        n = len(x)
+        for q_num, q_den, name in [(1, 2, "median"), (9, 10, "p90"),
+                                   (1, 100, "p1")]:
+            rank = -((-q_num * n) // q_den)
+            assert out.loc[k, name] == x[rank - 1], (k, name)
