@@ -101,6 +101,9 @@ def run_bench() -> dict:
     timed("dedup_exact_docs", docops.dedup_exact_docs)
     timed("dedup_minhash_docs", docops.dedup_minhash_docs)
     timed("dedup_simhash_docs", docops.dedup_simhash_docs)
+    timed("ssjoin_jaccard_docs", docops.ssjoin_jaccard_docs)
+    timed("events_asof_purchase", r.events_asof_purchase)
+    timed("events_value_quantiles", r.events_value_quantiles)
     timed("sim_topk_embeddings", docops.sim_topk_embeddings)
 
     ray.shutdown()
