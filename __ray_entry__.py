@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_page2": r.events_page2,
         "events_asof_purchase": r.events_asof_purchase,
         "events_value_quantiles": r.events_value_quantiles,
+        "user_event_paths": r.user_event_paths,
         # KG construction over relational inputs (SQL-checkable G1/G2/M3)
         "kg_rel_triples": r.kg_rel_triples,
         "kg_rel_nodes": r.kg_rel_nodes,
@@ -108,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": docops.doc_quality_filter,
         "dedup_exact_docs": docops.dedup_exact_docs,
         "ssjoin_jaccard_docs": docops.ssjoin_jaccard_docs,
+        "doc_top_bigrams": docops.doc_top_bigrams,
+        "doc_top_terms": docops.doc_top_terms,
         "sim_topk_embeddings": docops.sim_topk_embeddings,
         # non-SQL-expressible (LSH / IVF / multimodal / flagship KG):
         # rows-only driver check; semantics pinned by tests/
@@ -257,6 +260,16 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = p.user_id AND e.ts >= p.ts
             WHERE e.event_type = 'click'
         """,
+        "user_event_paths": """
+            SELECT user_id, string_agg(event_type, '->' ORDER BY ts, event_id)
+                       AS path
+            FROM (SELECT user_id, event_type, ts, event_id,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS rn
+                  FROM events)
+            WHERE rn <= 10
+            GROUP BY user_id
+        """,
         "events_value_quantiles": """
             SELECT event_type,
                    quantile_disc(CAST(ROUND(value*100) AS BIGINT), 0.5)
@@ -328,6 +341,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "doc_top_bigrams": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS ts
+                FROM documents
+            ), big AS (
+                SELECT ts[i] || ' ' || ts[i+1] AS bigram
+                FROM toks
+                CROSS JOIN unnest(generate_series(1, len(ts) - 1)) AS u(i)
+            )
+            SELECT bigram, COUNT(*) AS n FROM big
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+        """,
+        "doc_top_terms": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS ts
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, t AS token, COUNT(*) AS tf
+                FROM toks CROSS JOIN unnest(ts) AS u(t)
+                GROUP BY doc_id, t
+            ), df AS (
+                SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+            )
+            SELECT doc_id, token, tf, df FROM (
+                SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, df.df ASC, tf.token ASC
+                       ) AS rn
+                FROM tf JOIN df USING (token))
+            WHERE rn = 1
         """,
         "ssjoin_jaccard_docs": r"""
             WITH toks AS (

@@ -102,6 +102,9 @@ def run_bench() -> dict:
     timed("dedup_minhash_docs", docops.dedup_minhash_docs)
     timed("dedup_simhash_docs", docops.dedup_simhash_docs)
     timed("ssjoin_jaccard_docs", docops.ssjoin_jaccard_docs)
+    timed("doc_top_bigrams", docops.doc_top_bigrams)
+    timed("doc_top_terms", docops.doc_top_terms)
+    timed("user_event_paths", r.user_event_paths)
     timed("events_asof_purchase", r.events_asof_purchase)
     timed("events_value_quantiles", r.events_value_quantiles)
     timed("sim_topk_embeddings", docops.sim_topk_embeddings)

@@ -190,3 +190,121 @@ def rolling_fingerprints_batch(batch: pa.Table, window: int = 16,
     out_ids = np.repeat(np.array(ids, dtype=object), n_win)
     return pa.table({id_col: pa.array(out_ids.tolist()),
                      "fp": pa.array(fps, type=pa.uint64())})
+
+
+def bigram_counts(ds: Dataset, *, top_n: int = 20, text_col: str = "text",
+                  id_col: str = "doc_id") -> Dataset:
+    """Corpus-wide top-N word bigrams — the n-gram-count family (word
+    count's big sibling). Per-batch partial counts (vectorized
+    ``np.char.add`` over the flat token array with doc-boundary pairs
+    masked out) keep the shuffle at batch-vocabulary size; a (bigram)
+    groupby sums partials; deterministic order (n DESC, bigram ASC)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        tok_lists = [(t or "").split() for t in texts]
+        flat = np.array([tok for toks in tok_lists for tok in toks],
+                        dtype=object)
+        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        if len(flat) < 2:
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        # pair i is (flat[i], flat[i+1]); mask pairs that cross docs
+        ends = np.cumsum(lens)
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        cross = ends[(ends > 0) & (ends < len(flat))] - 1
+        valid[cross] = False
+        lhs = flat[:-1][valid]
+        rhs = flat[1:][valid]
+        grams = pd.Series(lhs) + " " + pd.Series(rhs)
+        vc = grams.value_counts()
+        return pa.table({"bigram": pa.array(vc.index, type=pa.string()),
+                         "n": pa.array(vc.to_numpy(), type=pa.int64())})
+
+    counts = (ds.select_columns([id_col, text_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("bigram").aggregate(Sum("n", alias_name="n")))
+    return (counts.sort(["n", "bigram"], descending=[True, False])
+            .limit(top_n))
+
+
+def top_distinctive_terms(ds: Dataset, *, text_col: str = "text",
+                          id_col: str = "doc_id") -> Dataset:
+    """Per-doc most distinctive term under a pure-integer TF-IDF rank:
+    highest term frequency, then LOWEST document frequency, then the
+    lexicographically first token (float-free, so a SQL oracle matches
+    hash-for-hash). tf rows shuffle once for the df count, once for the
+    tf⋈df join, then one sort + per-doc first-row selection with the
+    usual block-boundary fixup (driver sees O(blocks) rows)."""
+    import pandas as pd
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        out_id, out_tok, out_tf = [], [], []
+        for i, t in zip(ids, texts):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            uniq, cnt = np.unique(np.array(toks, dtype=object),
+                                  return_counts=True)
+            out_id.extend([i] * len(uniq))
+            out_tok.extend(uniq.tolist())
+            out_tf.extend(cnt.tolist())
+        return pa.table({id_col: pa.array(out_id, type=pa.int64()),
+                         "token": pa.array(out_tok, type=pa.string()),
+                         "tf": pa.array(out_tf, type=pa.int64())})
+
+    tf = ds.select_columns([id_col, text_col]).map_batches(
+        tf_rows, batch_format="pyarrow").materialize()
+    df = tf.groupby("token").aggregate(Count(alias_name="df"))
+    joined = tf.join(df, join_type="inner", num_partitions=4, on=("token",))
+
+    def neg(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("tf_neg", pc.negate(t.column("tf")))
+
+    srt = joined.map_batches(neg, batch_format="pyarrow").sort(
+        [id_col, "tf_neg", "df", "token"]).materialize()
+
+    def first_per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = {id_col: pd.Series(dtype="int64"),
+                "token": pd.Series(dtype="object"),
+                "tf": pd.Series(dtype="int64"),
+                "df": pd.Series(dtype="int64"),
+                "edge": pd.Series(dtype=bool)}
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(cols)
+        ids = pdf[id_col].to_numpy()
+        new = np.ones(n, dtype=bool)
+        new[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new)
+        out = pdf.iloc[starts][[id_col, "token", "tf", "df"]].copy()
+        edge = np.zeros(len(starts), dtype=bool)
+        edge[0] = edge[-1] = True
+        out["edge"] = edge
+        return out.reset_index(drop=True)
+
+    firsts = srt.map_batches(first_per_doc, batch_format="pandas").materialize()
+    interior = firsts.filter(expr="edge == False").map_batches(
+        lambda t: t.select([id_col, "token", "tf", "df"]),
+        batch_format="pyarrow")
+    edge_df = firsts.filter(expr="edge == True").to_pandas()
+    if not len(edge_df):
+        return interior
+    # fragments of a doc split across blocks: the global sort order
+    # means the best row is the (tf DESC, df ASC, token ASC)-min among
+    # the per-block firsts
+    edge_df["tf_neg"] = -edge_df["tf"]
+    fixed = (edge_df.sort_values([id_col, "tf_neg", "df", "token"],
+                                 kind="stable")
+             .drop_duplicates(id_col)[[id_col, "token", "tf", "df"]])
+    return interior.union(rd.from_pandas(fixed.reset_index(drop=True)))

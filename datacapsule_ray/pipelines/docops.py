@@ -234,3 +234,14 @@ def frame_sample_demo(sf_dir: str) -> Dataset:
 
     media = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_media, batch_format="pyarrow")
     return mm.sample_frames(media, every_ms=1000)
+
+
+def doc_top_bigrams(sf_dir: str) -> Dataset:
+    """Top-20 corpus bigrams, deterministic (n DESC, bigram ASC)."""
+    return text.bigram_counts(_docs(sf_dir, ["doc_id", "text"]), top_n=20)
+
+
+def doc_top_terms(sf_dir: str) -> Dataset:
+    """Per-doc most distinctive term (tf DESC, df ASC, token ASC —
+    float-free TF-IDF ranking, SQL-oracle-checkable)."""
+    return text.top_distinctive_terms(_docs(sf_dir, ["doc_id", "text"]))

@@ -635,3 +635,65 @@ def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
     return grouped_exact_quantiles(
         cents, "event_type", "cents",
         [(1, 2, "median_cents"), (9, 10, "p90_cents")])
+
+
+def user_event_paths(sf_dir: str, k: int = 10) -> Dataset:
+    """Grouped ORDERED collect (SQL ``string_agg(... ORDER BY) `` over
+    the first k rows per key): each user's first-k event types in
+    (ts, event_id) order, joined with '->'. Same shape as
+    ``user_sessions``: global sort → per-block vectorized run collect →
+    boundary runs re-assembled driver-side (fragments of a key that
+    crosses blocks are contiguous in the sort, so concatenating them by
+    first_ts restores the global order; the driver sees O(blocks) rows).
+    """
+    import ray.data as rd
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    srt = ds.sort(["user_id", "ts", "event_id"])
+
+    def block_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": pd.Series(dtype="int64"),
+                "path": pd.Series(dtype="object"),
+                "n_run": pd.Series(dtype="int64"),
+                "first_ts": pd.Series(dtype="datetime64[us]"),
+                "first_id": pd.Series(dtype="int64"),
+                "edge": pd.Series(dtype=bool)}
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(cols)
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], n)
+        out = pd.DataFrame({
+            "user_id": uid[starts],
+            "path": ["->".join(et[s:min(e, s + k)]) for s, e in
+                     zip(starts, ends)],
+            "n_run": (ends - starts).astype(np.int64),
+            "first_ts": df["ts"].to_numpy()[starts],
+            "first_id": df["event_id"].to_numpy()[starts],
+        })
+        edge = np.zeros(len(starts), dtype=bool)
+        edge[0] = edge[-1] = True
+        out["edge"] = edge
+        return out
+
+    partial = srt.map_batches(block_partial, batch_format="pandas").materialize()
+    interior = partial.filter(expr="edge == False").map_batches(
+        lambda t: t.select(["user_id", "path"]), batch_format="pyarrow")
+    edge_df = partial.filter(expr="edge == True").to_pandas()
+    if not len(edge_df):
+        return interior
+    edge_df = edge_df.sort_values(["user_id", "first_ts", "first_id"],
+                                  kind="stable")
+    rows = []
+    for user, sub in edge_df.groupby("user_id", sort=False):
+        types: list[str] = []
+        for p in sub["path"]:
+            if len(types) >= k:
+                break
+            types.extend(p.split("->") if p else [])
+        rows.append({"user_id": user, "path": "->".join(types[:k])})
+    return interior.union(rd.from_pandas(pd.DataFrame(rows)))

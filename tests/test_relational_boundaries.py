@@ -96,3 +96,31 @@ def test_anti_join_nonzero(shard_dir):
     want = cust[~cust["c_custkey"].isin(od["o_custkey"])].reset_index(drop=True)
     assert len(want) == 10
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_user_event_paths_multiblock_matches_pandas():
+    """Force tiny sort blocks so user runs straddle block boundaries,
+    then compare the ordered-collect against a driver-side reference."""
+    import ray.data as rd
+    from ray.data import DataContext
+
+    from datacapsule_ray.pipelines.relational import user_event_paths
+    from tests.conftest import SF_DIR
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024
+    try:
+        out = (user_event_paths(SF_DIR).to_pandas()
+               .sort_values("user_id").reset_index(drop=True))
+    finally:
+        ctx.target_max_block_size = old
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "event_type"])
+    ref = (ev.sort_values(["user_id", "ts", "event_id"], kind="stable")
+           .groupby("user_id").head(10)
+           .groupby("user_id")["event_type"]
+           .agg(lambda s: "->".join(s)).reset_index(name="path")
+           .sort_values("user_id").reset_index(drop=True))
+    assert out["user_id"].tolist() == ref["user_id"].tolist()
+    assert out["path"].tolist() == ref["path"].tolist()
