@@ -255,9 +255,11 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
         stats["dropped_rows"] = (ident_stats.get("dropped_rows", 0)
                                  + cross_stats.get("dropped_rows", 0))
     # a set pair can surface from several shared prefix tokens — dedup
-    # at SET granularity, before the (possibly large) member expansion
+    # at SET granularity, before the (possibly large) member expansion.
+    # Materialized once: the empty-schema check below counts it, and the
+    # final plan reuses the same blocks instead of re-running the dedup.
     set_pairs = set_pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("iu_code", alias_name="iu_code"))
+        Min("iu_code", alias_name="iu_code")).materialize()
 
     # ---- expand set pairs to doc pairs via membership joins ----------
     def decode(t: pa.Table) -> pa.Table:
