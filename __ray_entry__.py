@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ssjoin_jaccard_docs": docops.ssjoin_jaccard_docs,
         "doc_top_bigrams": docops.doc_top_bigrams,
         "doc_top_terms": docops.doc_top_terms,
+        "sample_docs_hash": docops.sample_docs_hash,
+        "sample_docs_stratified": docops.sample_docs_stratified,
         "sim_topk_embeddings": docops.sim_topk_embeddings,
         # non-SQL-expressible (LSH / IVF / multimodal / flagship KG):
         # rows-only driver check; semantics pinned by tests/
@@ -341,6 +343,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "sample_docs_hash": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        """,
+        "sample_docs_stratified": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents)
+            WHERE rn <= 3
         """,
         "doc_top_bigrams": r"""
             WITH toks AS (

@@ -245,3 +245,41 @@ def doc_top_terms(sf_dir: str) -> Dataset:
     """Per-doc most distinctive term (tf DESC, df ASC, token ASC —
     float-free TF-IDF ranking, SQL-oracle-checkable)."""
     return text.top_distinctive_terms(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def sample_docs_hash(sf_dir: str) -> Dataset:
+    """Deterministic ~1/16 uniform sample: keep docs whose id-hash first
+    hex digit is '0'. Reproducible across runs/engines (the property a
+    training-data sample needs — rerunning the pipeline yields the SAME
+    subset), embarrassingly parallel, no shuffle."""
+    import hashlib
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keep = [hashlib.md5(str(i).encode()).hexdigest()[0] == "0"
+                for i in ids]
+        return batch.filter(pa.array(keep))
+
+    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        pick, batch_format="pyarrow")
+
+
+def sample_docs_stratified(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Deterministic stratified sample: per language, the k docs with
+    the smallest id-hash (a seedless 'random' pick that is stable across
+    engines). Per-batch partial top-k per stratum, then a driver merge
+    over O(blocks x strata x k) rows — never the table."""
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["h"] = [hashlib.md5(str(i).encode()).hexdigest()
+                   for i in df["doc_id"]]
+        return (df.sort_values(["lang", "h", "doc_id"], kind="stable")
+                .groupby("lang").head(k))
+
+    parts = (_docs(sf_dir, ["doc_id", "lang"])
+             .map_batches(partial, batch_format="pandas").to_pandas())
+    out = (parts.sort_values(["lang", "h", "doc_id"], kind="stable")
+           .groupby("lang").head(k))
+    return out[["lang", "doc_id"]].reset_index(drop=True)
