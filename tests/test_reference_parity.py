@@ -167,3 +167,35 @@ def test_vector_build_on_reference_graph(ref_tables):
     assert ev.count() == len(nodes)
     assert ev.schema().names == ["entity_id", "entity_type", "entity_name",
                                  "embedding"]
+
+
+def test_reference_json_corpus_end_to_end(tmp_path):
+    """Ingest the reference's OWN shipped corpus (docs/demo_18.json, 18
+    real organism records) through the full pipeline and require exact
+    triple-set equality vs the sequential reference-semantics oracle on
+    the same records — conformance on real reference data, not just the
+    synthetic fixture corpus."""
+    import json
+
+    from datacapsule_ray.oracle import build_oracle
+    from datacapsule_ray.pipelines.build_graph import KGPipeline
+    from datacapsule_ray.sources.io import ingest_reference_json
+
+    src = "/root/reference/docs/demo_18.json"
+    files = ingest_reference_json(src, str(tmp_path / "corpus"),
+                                  docs_per_file=6)
+    assert len(files) == 3  # 18 docs, 6 per shard
+    out = KGPipeline(str(tmp_path / "ck")).run_all(
+        files, files_per_partition=1)
+    got = sorted(
+        tuple(r)
+        for r in out["triples"].to_pandas()[
+            ["subj", "pred", "obj", "subj_type", "obj_type", "doc_id"]
+        ].itertuples(index=False)
+    )
+    with open(src, encoding="utf-8") as f:
+        recs = json.load(f)
+    doc_ids = [f"ref-{i:08d}" for i in range(len(recs))]
+    want = sorted(build_oracle(recs, doc_ids).triples)
+    assert got == want
+    assert out["species"].count() == 18
