@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": r.user_sessions,
         "distinct_users_by_type": r.distinct_users_by_type,
         "approx_distinct_users": r.approx_distinct_users,
+        "approx_value_quantiles": r.approx_value_quantiles,
         "top3_orders_per_customer": r.top3_orders_per_customer,
         "customers_without_orders": r.customers_without_orders,
         "events_page2": r.events_page2,

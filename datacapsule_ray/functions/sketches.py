@@ -83,3 +83,65 @@ def hll_distinct_by_key(ds: Dataset, key: str, col: str, p: int = 10) -> pd.Data
             merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
         out.append({key: k, "approx_distinct": _hll_estimate(merged)})
     return pd.DataFrame(out).sort_values(key).reset_index(drop=True)
+
+
+# --- mergeable equi-depth quantile sketch -----------------------------------
+
+def _compact_points(vals: np.ndarray, weights: np.ndarray,
+                    k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Weighted points → k equi-depth points (values at the centers of k
+    equal-mass buckets, each carrying total/k weight). Deterministic; a
+    single compaction's rank error is <= half a bucket of ITS OWN mass,
+    so summing over B compacted blocks keeps the global rank error
+    <= total/(2k) — the 1/(2k) relative bound quoted below."""
+    order = np.argsort(vals, kind="stable")
+    v = vals[order]
+    cw = np.cumsum(weights[order].astype(np.float64))
+    total = cw[-1]
+    targets = (np.arange(k) + 0.5) * (total / k)
+    idx = np.minimum(np.searchsorted(cw, targets, side="left"), len(v) - 1)
+    return v[idx], np.full(k, total / k)
+
+
+def approx_quantiles_by_key(ds: Dataset, key: str, col: str,
+                            qs: list[tuple[float, str]],
+                            k: int = 1024) -> pd.DataFrame:
+    """Approximate per-key quantiles of an UNBOUNDED numeric column via
+    a mergeable equi-depth summary — the companion to
+    ``quantiles.grouped_exact_quantiles`` when the value domain is too
+    wide for an exact histogram. Each block compacts its values to at
+    most k weighted points per key; the driver merges O(blocks x keys
+    x k) points and reads values at the target ranks. Relative rank
+    error is bounded by ~1/(2k) (0.05% at the default k), verified by
+    the accuracy test. ``qs`` is a list of (q, out_name)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, sub in df.groupby(key, sort=False):
+            vals = sub[col].to_numpy(dtype=np.float64)
+            if len(vals) <= k:
+                v, w = np.sort(vals), np.ones(len(vals))
+            else:
+                v, w = _compact_points(vals, np.ones(len(vals)), k)
+            rows.append(pd.DataFrame({key: kv, "v": v, "w": w}))
+        if not rows:
+            return pd.DataFrame({key: pd.Series(dtype="object"),
+                                 "v": pd.Series(dtype="float64"),
+                                 "w": pd.Series(dtype="float64")})
+        return pd.concat(rows, ignore_index=True)
+
+    pts = (ds.select_columns([key, col])
+           .map_batches(partial, batch_format="pandas").to_pandas())
+    out = []
+    for kv, sub in pts.groupby(key, sort=True):
+        order = np.argsort(sub["v"].to_numpy(), kind="stable")
+        v = sub["v"].to_numpy()[order]
+        cw = np.cumsum(sub["w"].to_numpy()[order])
+        total = cw[-1]
+        row = {key: kv}
+        for q, name in qs:
+            i = min(int(np.searchsorted(cw, q * total, side="left")),
+                    len(v) - 1)
+            row[name] = v[i]
+        out.append(row)
+    return pd.DataFrame(out)

@@ -697,3 +697,16 @@ def user_event_paths(sf_dir: str, k: int = 10) -> Dataset:
             types.extend(p.split("->") if p else [])
         rows.append({"user_id": user, "path": "->".join(types[:k])})
     return interior.union(rd.from_pandas(pd.DataFrame(rows)))
+
+
+def approx_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Sketch companion to ``events_value_quantiles`` for unbounded
+    domains (rows-only driver check: ~1/(2k) rank error, not
+    hash-identical; accuracy pinned by tests/test_sketches.py)."""
+    from ..functions.sketches import approx_quantiles_by_key
+
+    out = approx_quantiles_by_key(
+        _t(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value", [(0.5, "p50"), (0.9, "p90")], k=1024)
+    out[["p50", "p90"]] = out[["p50", "p90"]].round(2)
+    return out

@@ -48,3 +48,45 @@ def test_hll_merge_associative():
                        _hll_registers(s[20_000:], 12))
     assert np.array_equal(whole, parts)
     assert _hll_estimate(whole) == _hll_estimate(parts)
+
+
+def test_approx_quantiles_rank_error_bound():
+    """Equi-depth sketch: rank error of the reported quantile must stay
+    within ~2/k of the target rank on a skewed distribution, across a
+    many-block dataset."""
+    import ray.data as rd
+
+    from datacapsule_ray.functions.sketches import approx_quantiles_by_key
+
+    rng = np.random.default_rng(17)
+    vals = np.exp(rng.normal(0, 1.5, size=200_000))  # lognormal, heavy tail
+    keys = rng.choice(["a", "b"], size=len(vals))
+    df = pd.DataFrame({"k": keys, "v": vals})
+    out = approx_quantiles_by_key(
+        rd.from_pandas(df).repartition(32), "k", "v",
+        [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")], k=1024,
+    ).set_index("k")
+    for kv, sub in df.groupby("k"):
+        x = np.sort(sub["v"].to_numpy())
+        n = len(x)
+        for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            got = out.loc[kv, name]
+            rank = np.searchsorted(x, got) / n
+            assert abs(rank - q) < 2 / 1024, (kv, name, rank, q)
+
+
+def test_approx_quantiles_partitioning_invariance():
+    """Same data, different block layout → near-identical estimates
+    (mergeability): p50 must agree within the rank-error bound."""
+    import ray.data as rd
+
+    from datacapsule_ray.functions.sketches import approx_quantiles_by_key
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({"k": ["x"] * 50_000,
+                       "v": rng.random(50_000)})
+    a = approx_quantiles_by_key(rd.from_pandas(df).repartition(4),
+                                "k", "v", [(0.5, "p50")], k=512)
+    b = approx_quantiles_by_key(rd.from_pandas(df).repartition(29),
+                                "k", "v", [(0.5, "p50")], k=512)
+    assert abs(a["p50"].iloc[0] - b["p50"].iloc[0]) < 0.01
