@@ -494,22 +494,37 @@ def brand_nation_revenue(sf_dir: str, num_partitions: int = 8) -> Dataset:
         join_type="inner", num_partitions=num_partitions,
         on=("l_suppkey",), right_on=("s_suppkey",))
 
-    class Annotate:
+    class AnnotateCombine:
+        """Nation lookup + PARTIAL (brand, nation) aggregation per
+        batch: the final groupby shuffles <= |brands|x|nations| rows per
+        batch instead of every joined row (the pre-aggregate-before-
+        shuffle rule)."""
+
         def __init__(self) -> None:
             self.n = ray.get(n_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            nk = pd.Series(t.column("s_nationkey").to_numpy(zero_copy_only=False))
+            df = pd.DataFrame({
+                "p_brand": t.column("p_brand").to_pandas(),
+                "n_name": pd.Series(t.column("s_nationkey")
+                                    .to_numpy(zero_copy_only=False)
+                                    ).map(self.n),
+                "rev_c": t.column("rev_c").to_numpy(zero_copy_only=False),
+            })
+            g = (df.groupby(["p_brand", "n_name"], sort=False)["rev_c"]
+                 .agg(["sum", "count"]).reset_index())
             return pa.table({
-                "p_brand": t.column("p_brand"),
-                "n_name": pa.array(nk.map(self.n), type=pa.string()),
-                "rev_c": t.column("rev_c"),
+                "p_brand": pa.array(g["p_brand"], type=pa.string()),
+                "n_name": pa.array(g["n_name"], type=pa.string()),
+                "rev_c": pa.array(g["sum"].astype("int64")),
+                "n_part": pa.array(g["count"].astype("int64")),
             })
 
-    return withsupp.map_batches(Annotate, batch_format="pyarrow",
+    return withsupp.map_batches(AnnotateCombine, batch_format="pyarrow",
                                 concurrency=(1, 4)).groupby(
         ["p_brand", "n_name"]).aggregate(
-        Sum("rev_c", alias_name="revenue_cents"), Count(alias_name="n_items"))
+        Sum("rev_c", alias_name="revenue_cents"),
+        Sum("n_part", alias_name="n_items"))
 
 
 # --- KG construction over relational inputs (SQL-checkable) -----------------
