@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_purchase": r.events_asof_purchase,
         "events_value_quantiles": r.events_value_quantiles,
         "user_event_paths": r.user_event_paths,
+        "events_in_windows": r.events_in_windows,
+        "events_daily_pivot": r.events_daily_pivot,
         # KG construction over relational inputs (SQL-checkable G1/G2/M3)
         "kg_rel_triples": r.kg_rel_triples,
         "kg_rel_nodes": r.kg_rel_nodes,
@@ -262,6 +264,27 @@ def oracle_sql() -> dict[str, str]:
                 WHERE event_type = 'purchase') p
               ON e.user_id = p.user_id AND e.ts >= p.ts
             WHERE e.event_type = 'click'
+        """,
+        "events_in_windows": """
+            WITH days AS (
+                SELECT UNNEST(generate_series(
+                    date_trunc('day', (SELECT min(ts) FROM events)),
+                    date_trunc('day', (SELECT max(ts) FROM events)),
+                    INTERVAL 1 DAY)) AS d
+            ), w AS (
+                SELECT d + INTERVAL 2 HOUR AS ws, d + INTERVAL 3 HOUR AS we
+                FROM days)
+            SELECT e.event_id, e.ts, e.event_type, w.ws AS window_start
+            FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+        """,
+        "events_daily_pivot": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   COUNT(*) FILTER (event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (event_type = 'view') AS n_view,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+                   COUNT(*) FILTER (event_type = 'error') AS n_error
+            FROM events GROUP BY 1
         """,
         "user_event_paths": """
             SELECT user_id, string_agg(event_type, '->' ORDER BY ts, event_id)

@@ -725,3 +725,68 @@ def approx_value_quantiles(sf_dir: str) -> pd.DataFrame:
         "event_type", "value", [(0.5, "p50"), (0.9, "p90")], k=1024)
     out[["p50", "p90"]] = out[["p50", "p90"]].round(2)
     return out
+
+
+def events_in_windows(sf_dir: str) -> Dataset:
+    """Broadcast RANGE JOIN: events matched into a small interval table
+    (here: the nightly 02:00-02:59 maintenance window per day, derived
+    deterministically). The dimension intervals ship once via ray.put;
+    each batch resolves membership with one vectorized searchsorted —
+    the scale pattern for joining a fact stream against a bounded set
+    of non-overlapping intervals (no shuffle at all)."""
+    import ray
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "event_type"])
+    # windows: [day 02:00, day 03:00) for every day present — derived
+    # from the table's min/max, so the query is self-contained
+    import pyarrow.parquet as pq
+
+    tsc = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"]).column("ts")
+    lo = pd.Timestamp(pc.min(tsc).as_py()).normalize()
+    hi = pd.Timestamp(pc.max(tsc).as_py()).normalize()
+    days = pd.date_range(lo, hi, freq="D")
+    starts = (days + pd.Timedelta(hours=2)).to_numpy()
+    ends = (days + pd.Timedelta(hours=3)).to_numpy()
+    w_ref = ray.put((starts, ends))
+
+    class InWindow:
+        def __init__(self) -> None:
+            self.starts, self.ends = ray.get(w_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ts = t.column("ts").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.starts, ts, side="right") - 1
+            idx_c = np.clip(idx, 0, len(self.starts) - 1)
+            hit = (idx >= 0) & (ts < self.ends[idx_c])
+            out = t.filter(pa.array(hit))
+            widx = idx_c[hit]
+            return out.append_column(
+                "window_start", pa.array(self.starts[widx]))
+
+    return ev.map_batches(InWindow, batch_format="pyarrow",
+                          concurrency=(1, 4))
+
+
+def events_daily_pivot(sf_dir: str) -> Dataset:
+    """Conditional-aggregate PIVOT: one row per day with per-event-type
+    counts as columns (SQL COUNT(*) FILTER ...). Per-batch partial
+    pivot tables keep the shuffle at days x 1 rows per batch."""
+    from ray.data.aggregate import Sum
+
+    types = ["click", "view", "purchase", "signup", "error"]
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        pv = (df.pivot_table(index="day", columns="event_type",
+                             aggfunc="size", fill_value=0)
+              .reindex(columns=types, fill_value=0).reset_index())
+        pv.columns = ["day"] + [f"n_{t}" for t in types]
+        for t in types:
+            pv[f"n_{t}"] = pv[f"n_{t}"].astype("int64")
+        return pv
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("day")
+            .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types]))
