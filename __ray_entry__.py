@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_page2": r.events_page2,
         "events_asof_purchase": r.events_asof_purchase,
         "events_value_quantiles": r.events_value_quantiles,
+        "events_mode_value": r.events_mode_value,
         "user_event_paths": r.user_event_paths,
         "events_in_windows": r.events_in_windows,
         "events_daily_pivot": r.events_daily_pivot,
@@ -295,6 +296,20 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE rn <= 10
             GROUP BY user_id
+        """,
+        "events_mode_value": """
+            SELECT event_type, mode_value, n_mode FROM (
+                SELECT event_type,
+                       CAST(ROUND(value*100) AS BIGINT) AS mode_value,
+                       COUNT(*) AS n_mode,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY COUNT(*) DESC,
+                                    CAST(ROUND(value*100) AS BIGINT) ASC
+                       ) AS rn
+                FROM events
+                GROUP BY event_type, CAST(ROUND(value*100) AS BIGINT))
+            WHERE rn = 1
         """,
         "events_value_quantiles": """
             SELECT event_type,

@@ -790,3 +790,18 @@ def events_daily_pivot(sf_dir: str) -> Dataset:
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("day")
             .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types]))
+
+
+def events_mode_value(sf_dir: str) -> pd.DataFrame:
+    """Exact per-type mode of value-in-cents (deterministic tiebreak:
+    smallest value) via the distributed histogram (quantiles module)."""
+    from ..functions.quantiles import grouped_mode
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": _cents(t.column("value"))})
+
+    return grouped_mode(ds.map_batches(to_cents, batch_format="pyarrow"),
+                        "event_type", "cents")
