@@ -128,6 +128,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_ivf_topk_embeddings": docops.sim_ivf_topk_embeddings,
         "media_features": docops.media_features_demo,
         "frame_sample": docops.frame_sample_demo,
+        # the PLAN half of frame sampling (which frames, at which
+        # timestamps) is deterministic from metadata → SQL-checkable;
+        # only the stubbed frame fingerprint stays rows-only above
+        "frame_sample_plan": lambda sf: docops.frame_sample_demo(sf)
+            .drop_columns(["frame_fp"]),
         "kg_triples": lambda sf: _kg_outputs(sf)["triples"],
         "kg_nodes": lambda sf: _kg_outputs(sf)["nodes"],
         "kg_edges": lambda sf: _kg_outputs(sf)["edges"],
@@ -382,6 +387,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "frame_sample_plan": """
+            SELECT 'media://vid/' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   CAST(i AS INTEGER) AS frame_idx,
+                   CAST(i * 1000 AS INTEGER) AS ts_ms
+            FROM documents
+            CROSS JOIN unnest(generate_series(
+                0, (3000 + 500 * (doc_id % 4) - 1) // 1000)) AS u(i)
         """,
         "sample_docs_hash": """
             SELECT doc_id, n_chars FROM documents
