@@ -26,13 +26,13 @@ import pandas as pd
 from ray.data import Dataset
 
 
-def grouped_exact_quantiles(ds: Dataset, key_col: str, value_col: str,
-                            qs: list[tuple[int, int, str]]) -> pd.DataFrame:
-    """Exact per-key quantiles of an integer-valued column.
-
-    ``qs`` is a list of (num, den, out_name) fractions, e.g.
-    ``[(1, 2, "median"), (9, 10, "p90")]``. Returns one row per key with
-    the named quantile columns."""
+def _value_histogram(ds: Dataset, key_col: str,
+                     value_col: str) -> pd.DataFrame:
+    """(key, value, cnt) histogram: partial per batch, then a
+    second-level combine over LARGE batches of partial rows (a tree
+    combine, all vectorized pandas — Ray's groupby().aggregate executes
+    per-row Python and was measured ~10x slower here). The driver merge
+    sees at most (#final-batches x keys x values) rows — domain-sized."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = (df.groupby([key_col, value_col], sort=False)
@@ -44,17 +44,22 @@ def grouped_exact_quantiles(ds: Dataset, key_col: str, value_col: str,
         return (df.groupby([key_col, value_col], sort=False)["cnt"]
                 .sum().reset_index())
 
-    # partial per batch, then a second-level combine over LARGE batches
-    # of partial rows (a tree combine, all vectorized pandas — Ray's
-    # groupby().aggregate executes per-row Python and was measured ~10x
-    # slower here). The driver merge sees at most
-    # (#final-batches x keys x values) rows — domain-sized.
-    hist = combine(
+    return combine(
         ds.select_columns([key_col, value_col])
         .map_batches(partial, batch_format="pandas")
         .map_batches(combine, batch_format="pandas", batch_size=1 << 20)
         .to_pandas())
 
+
+def grouped_exact_quantiles(ds: Dataset, key_col: str, value_col: str,
+                            qs: list[tuple[int, int, str]]) -> pd.DataFrame:
+    """Exact per-key quantiles of an integer-valued column.
+
+    ``qs`` is a list of (num, den, out_name) fractions, e.g.
+    ``[(1, 2, "median"), (9, 10, "p90")]``. Returns one row per key with
+    the named quantile columns."""
+
+    hist = _value_histogram(ds, key_col, value_col)
     rows = []
     for key, sub in hist.groupby(key_col, sort=True):
         sub = sub.sort_values(value_col, kind="stable")
@@ -74,22 +79,7 @@ def grouped_mode(ds: Dataset, key_col: str, value_col: str) -> pd.DataFrame:
     so the result is deterministic and SQL-mirrorable) over the same
     two-phase histogram as the quantiles — one extra walk, no extra
     distributed work."""
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby([key_col, value_col], sort=False)
-               .size().reset_index(name="cnt"))
-        out["cnt"] = out["cnt"].astype("int64")
-        return out
-
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby([key_col, value_col], sort=False)["cnt"]
-                .sum().reset_index())
-
-    hist = combine(
-        ds.select_columns([key_col, value_col])
-        .map_batches(partial, batch_format="pandas")
-        .map_batches(combine, batch_format="pandas", batch_size=1 << 20)
-        .to_pandas())
+    hist = _value_histogram(ds, key_col, value_col)
     best = (hist.sort_values([key_col, "cnt", value_col],
                              ascending=[True, False, True], kind="stable")
             .drop_duplicates(key_col))

@@ -18,8 +18,13 @@ import pyarrow as pa
 from ray.data import Dataset
 
 
-def _block_topk(batch: pa.Table, qmat: np.ndarray, k: int,
-                id_col: str, emb_col: str) -> pa.Table:
+def _cosine_sims(batch: pa.Table, qmat: np.ndarray,
+                 emb_col: str) -> np.ndarray:
+    """(n, q) cosine similarities of a block's embeddings vs the query
+    matrix — the ONE decode/normalize/matmul kernel shared by the
+    brute-force and IVF paths (so dtype/zero-norm handling can never
+    diverge between the baseline and the ANN being measured against
+    it)."""
     emb = batch.column(emb_col)
     if isinstance(emb, pa.ChunkedArray):
         emb = emb.combine_chunks()
@@ -28,20 +33,40 @@ def _block_topk(batch: pa.Table, qmat: np.ndarray, k: int,
     norms[norms == 0] = 1.0
     qn = np.linalg.norm(qmat, axis=1)
     qn[qn == 0] = 1.0
-    sims = (mat @ qmat.T) / (norms[:, None] * qn[None, :])  # (n, q)
-    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    return (mat @ qmat.T) / (norms[:, None] * qn[None, :])
+
+
+def _topk_table(sims: np.ndarray, ids: np.ndarray, k: int, id_col: str,
+                valid: np.ndarray | None = None) -> pa.Table:
+    """Per-query partial top-k rows from a block's sim matrix; ``valid``
+    ((q, n) bool) restricts each query to its own candidate rows."""
     out_q, out_id, out_sim = [], [], []
-    for qi in range(qmat.shape[0]):
-        s = sims[:, qi]
-        idx = np.argpartition(-s, k)[:k] if len(s) > k else np.arange(len(s))
+    for qi in range(sims.shape[1]):
+        if valid is None:
+            s = sims[:, qi]
+            idx = (np.argpartition(-s, k)[:k] if len(s) > k
+                   else np.arange(len(s)))
+        else:
+            vi = np.flatnonzero(valid[qi])
+            if len(vi) == 0:
+                continue
+            s = sims[vi, qi]
+            idx = vi[np.argpartition(-s, k)[:k]] if len(s) > k else vi
         out_q.extend([qi] * len(idx))
         out_id.extend(ids[idx].tolist())
-        out_sim.extend(s[idx].tolist())
+        out_sim.extend(sims[idx, qi].tolist())
     return pa.table({
         "query_id": pa.array(out_q, type=pa.int32()),
         id_col: pa.array(out_id),
         "sim": pa.array(out_sim, type=pa.float64()),
     })
+
+
+def _block_topk(batch: pa.Table, qmat: np.ndarray, k: int,
+                id_col: str, emb_col: str) -> pa.Table:
+    sims = _cosine_sims(batch, qmat, emb_col)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    return _topk_table(sims, ids, k, id_col)
 
 
 def topk_cosine(ds: Dataset, queries: np.ndarray, k: int = 10, *,
@@ -116,33 +141,10 @@ def _block_topk_masked(batch: pa.Table, qmat: np.ndarray, k: int,
     """Per-block partial top-k where each query only sees rows whose
     ``cell`` is in that query's own probe set (``allowed``: (q, n_cells)
     bool) — proper IVF semantics per query, not the union."""
-    emb = batch.column(emb_col)
-    if isinstance(emb, pa.ChunkedArray):
-        emb = emb.combine_chunks()
-    mat = np.asarray(emb.flatten(), dtype=np.float64).reshape(len(batch), -1)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    qn = np.linalg.norm(qmat, axis=1)
-    qn[qn == 0] = 1.0
-    sims = (mat @ qmat.T) / (norms[:, None] * qn[None, :])  # (n, q)
+    sims = _cosine_sims(batch, qmat, emb_col)
     cells = batch.column("cell").to_numpy(zero_copy_only=False)
-    valid = allowed[:, cells]  # (q, n)
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-    out_q, out_id, out_sim = [], [], []
-    for qi in range(qmat.shape[0]):
-        vi = np.flatnonzero(valid[qi])
-        if len(vi) == 0:
-            continue
-        s = sims[vi, qi]
-        idx = vi[np.argpartition(-s, k)[:k]] if len(s) > k else vi
-        out_q.extend([qi] * len(idx))
-        out_id.extend(ids[idx].tolist())
-        out_sim.extend(sims[idx, qi].tolist())
-    return pa.table({
-        "query_id": pa.array(out_q, type=pa.int32()),
-        id_col: pa.array(out_id),
-        "sim": pa.array(out_sim, type=pa.float64()),
-    })
+    return _topk_table(sims, ids, k, id_col, valid=allowed[:, cells])
 
 
 def ivf_topk_cosine(ds: Dataset, queries: np.ndarray, k: int = 10, *,

@@ -218,7 +218,15 @@ def media_features_demo(sf_dir: str) -> Dataset:
     return mm.extract_media_features(media, out_dim=16)
 
 
+_FRAME_CACHE: dict[str, Dataset] = {}
+
+
 def frame_sample_demo(sf_dir: str) -> Dataset:
+    # materialized + cached: the driver gate runs both `frame_sample`
+    # and `frame_sample_plan` (a projection of this result) — without
+    # the cache the media pipeline executes twice per gate run
+    if sf_dir in _FRAME_CACHE:
+        return _FRAME_CACHE[sf_dir]
     from ..functions import multimodal as mm
 
     def to_media(batch: pa.Table) -> pa.Table:
@@ -233,7 +241,8 @@ def frame_sample_demo(sf_dir: str) -> Dataset:
         })
 
     media = _docs(sf_dir, ["doc_id", "text"]).map_batches(to_media, batch_format="pyarrow")
-    return mm.sample_frames(media, every_ms=1000)
+    _FRAME_CACHE[sf_dir] = mm.sample_frames(media, every_ms=1000).materialize()
+    return _FRAME_CACHE[sf_dir]
 
 
 def doc_top_bigrams(sf_dir: str) -> Dataset:

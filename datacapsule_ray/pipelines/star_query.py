@@ -98,6 +98,13 @@ def clean_sql(sql: str) -> str:
     return sql.strip()
 
 
+def _q(literal: str) -> str:
+    """Escape a user-derived fragment for use inside a single-quoted SQL
+    literal (doubling quotes — closes the ';-- injection route through
+    the question text)."""
+    return literal.replace("'", "''")
+
+
 class RuleSQLGenerator:
     """Deterministic pattern→template SQL for the reference's canonical
     question shapes (counts, per-family stats, location containment with
@@ -107,7 +114,7 @@ class RuleSQLGenerator:
     def generate(self, query: str, db_schema: str) -> tuple[str, str]:
         m = re.search(r"分布在(.+?)的物种", query)
         if m:
-            loc = m.group(1)
+            loc = _q(m.group(1))
             return (
                 "SELECT DISTINCT s.chinese_name FROM species s "
                 "JOIN distributions d ON s.species_id = d.species_id "
@@ -115,7 +122,7 @@ class RuleSQLGenerator:
                 f"列出分布地包含“{loc}”的物种（位置用LIKE模糊匹配）")
         m = re.search(r"(.+?)的分布", query)
         if m and "物种" not in m.group(1):
-            sp = m.group(1)
+            sp = _q(m.group(1))
             return (
                 "SELECT d.location FROM distributions d "
                 "JOIN species s ON s.species_id = d.species_id "
@@ -177,8 +184,16 @@ class NLQueryEngine:
                 sql, explanation = self.generator.generate(
                     natural_language_query, schema_str)
                 sql = clean_sql(sql)
-                head = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
-                if head not in ("SELECT", "WITH"):
+                # read-only guard via the PARSER, not string inspection:
+                # con.sql() executes multi-statement strings, so
+                # "SELECT 1; COPY ... TO ..." would slip past a
+                # first-token check. Require exactly one statement and
+                # that the parser classifies it as SELECT.
+                import duckdb as _duckdb
+
+                stmts = _duckdb.extract_statements(sql) if sql.strip() else []
+                if (len(stmts) != 1
+                        or stmts[0].type != _duckdb.StatementType.SELECT):
                     raise ValueError(f"generated SQL is not read-only: {sql!r}")
                 rel = con.sql(sql)
                 column_names = list(rel.columns)

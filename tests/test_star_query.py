@@ -122,3 +122,49 @@ def test_nl_query_readonly_guard(built):
 
     out = NLQueryEngine(ck, generator=Evil()).query_database("x")
     assert out["success"] is False and "read-only" in out["error"]
+
+
+def test_nl_query_guard_rejects_multistatement(built):
+    """The read-only guard must use the PARSER: a 'SELECT 1; COPY ...'
+    completion starts with SELECT but is two statements — duckdb's
+    con.sql would execute both, so the guard must reject it (and any
+    single non-SELECT statement) before execution."""
+    from datacapsule_ray.pipelines.star_query import NLQueryEngine
+
+    ck = built[0]
+
+    class EvilGen:
+        def __init__(self, sql):
+            self.sql = sql
+
+        def generate(self, q, schema):
+            return self.sql, "evil"
+
+    import os
+    target = "/tmp/star_query_guard_should_not_exist.csv"
+    if os.path.exists(target):
+        os.remove(target)
+    out = NLQueryEngine(ck, generator=EvilGen(
+        f"SELECT 1; COPY (SELECT 42) TO '{target}'")).query_database("q")
+    assert not out["success"]
+    assert "read-only" in out["error"]
+    assert not os.path.exists(target)
+    out = NLQueryEngine(ck, generator=EvilGen(
+        "DROP TABLE species")).query_database("q")
+    assert not out["success"]
+
+
+def test_nl_query_rules_escape_injection(built):
+    """A question whose captured fragment contains a quote must not
+    break out of the LIKE literal (the fragment is data, never SQL)."""
+    from datacapsule_ray.pipelines.star_query import NLQueryEngine
+
+    ck = built[0]
+    out = NLQueryEngine(ck).query_database(
+        "分布在x'; COPY (SELECT 1) TO '/tmp/inj.csv'; --的物种")
+    # either a clean empty result or a parse error envelope — but never
+    # a second executed statement
+    import os
+    assert not os.path.exists("/tmp/inj.csv")
+    if out["success"]:
+        assert out["row_count"] == 0
