@@ -67,3 +67,32 @@ def test_hash_embed_unit_norm(text):
 
     v = hash_embed(text, 32)
     assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+
+
+@given(st.lists(st.frozensets(st.integers(0, 60), min_size=1, max_size=30),
+                min_size=2, max_size=12),
+       st.sampled_from([(1, 2), (7, 10), (9, 10), (1, 1)]))
+@settings(max_examples=200)
+def test_prefix_filter_completeness(sets, tau):
+    """The exactness theorem behind functions/ssjoin.py: under ANY
+    consistent total token order, two sets with J >= tau_num/tau_den
+    must share a token within each other's first n - ceil(tau*n) + 1
+    tokens. An off-by-one in the prefix-length formula would break the
+    ssjoin's zero-false-negative guarantee — this pins the formula
+    itself, independent of the distributed machinery."""
+    tau_num, tau_den = tau
+
+    def prefix(s):
+        toks = sorted(s)  # the consistent global order
+        n = len(toks)
+        p = n - (-((-tau_num * n) // tau_den)) + 1  # ssjoin's formula
+        return set(toks[:max(p, 1)])
+
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            inter = len(a & b)
+            union = len(a | b)
+            if tau_den * inter >= tau_num * union:  # J >= tau
+                assert prefix(a) & prefix(b), (
+                    f"pair with J={inter}/{union} shares no prefix token")
