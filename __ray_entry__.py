@@ -57,6 +57,25 @@ def _kg_nl_sql_family_counts(sf_dir: str) -> Any:
     return pd.DataFrame(out["results"])
 
 
+def _kg_reference_demo18_triples(sf_dir: str) -> Any:
+    """The reference's OWN shipped corpus (docs/demo_18.json) ingested
+    via sources.io.ingest_reference_json and run through the full
+    pipeline — rows-only here; exact triple-set equality vs the
+    sequential reference-semantics oracle is asserted in
+    tests/test_reference_parity.py (demo130 likewise: 2,019/2,019)."""
+    import tempfile
+
+    from datacapsule_ray.pipelines.build_graph import KGPipeline
+    from datacapsule_ray.sources.io import ingest_reference_json
+
+    d = tempfile.mkdtemp(prefix="dcray_ref18_")
+    files = ingest_reference_json("/root/reference/docs/demo_18.json",
+                                  f"{d}/corpus", docs_per_file=6)
+    out = KGPipeline(f"{d}/ckpt").run_all(files, files_per_partition=1,
+                                          with_vectors=False)
+    return out["triples"]
+
+
 def _kg_hot_node_neighbors(sf_dir: str) -> Any:
     """Distributed 1-hop expansion from the hottest node (动物界) over the
     materialized edges — the J3 frontier-join path in the driver gate."""
@@ -146,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_numerical_traits": lambda sf: _kg_outputs(sf)["numerical_traits"],
         "kg_descriptions": lambda sf: _kg_outputs(sf)["descriptions"],
         "kg_hot_node_neighbors": _kg_hot_node_neighbors,
+        "kg_reference_demo18_triples": _kg_reference_demo18_triples,
         "kg_nl_sql_family_counts": _kg_nl_sql_family_counts,
         "kg_entity_vectors": lambda sf: _kg_outputs(sf)["entity_vectors"].drop_columns(["embedding"]),
         "kg_relation_vectors": lambda sf: _kg_outputs(sf)["relation_vectors"].drop_columns(["embedding"]),
