@@ -90,7 +90,13 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
 
     def process_block(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
-        out_a, out_b, out_v = [], [], []
+        # accumulate per-bucket RESULT ARRAYS and concatenate once —
+        # .extend() of ndarrays boxes every element into a Python
+        # object, which dominated wall time on clique-dense buckets
+        # emitting millions of pairs
+        parts_a: list[np.ndarray] = []
+        parts_b: list[np.ndarray] = []
+        parts_v: list[np.ndarray] = []
         dropped = 0
         raw_idx: list[np.ndarray] = []
         if n:
@@ -106,8 +112,16 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
                 if e - s < 2:
                     continue
                 a, b, v, d = verify_pdf(df.iloc[s:e])
-                out_a.extend(a); out_b.extend(b); out_v.extend(v)
+                parts_a.append(np.asarray(a, dtype=np.int64))
+                parts_b.append(np.asarray(b, dtype=np.int64))
+                parts_v.append(np.asarray(v, dtype=np.float64))
                 dropped += d
+        out_a = (np.concatenate(parts_a) if parts_a
+                 else np.zeros(0, dtype=np.int64))
+        out_b = (np.concatenate(parts_b) if parts_b
+                 else np.zeros(0, dtype=np.int64))
+        out_v = (np.concatenate(parts_v) if parts_v
+                 else np.zeros(0, dtype=np.float64))
         # nullable Int64 everywhere an integer column meets the mixed
         # pair/raw channel: plain int64 + NaN fill would promote to
         # float64 and CORRUPT ids above 2^53 (real for hashed ids)
