@@ -72,7 +72,12 @@ def run_bench() -> dict:
     # (measured 15.9s → 7.9s extraction at 160k docs); resume
     # granularity stays partition-level
     fpp = int(os.environ.get("GRAFT_BENCH_FPP", "16"))
-    pipe = KGPipeline(ck, emitter_concurrency=(1, max(2, NUM_CPUS - 4)),
+    # emitter pool scaled to the corpus: a 28-actor pool pays ~2s of
+    # spin-up that a 20k-doc run never amortizes (measured 5.5s -> 3.8s
+    # extraction with a 10-actor cap); big corpora still get the full
+    # pool
+    pool_cap = min(max(2, NUM_CPUS - 4), max(4, n_docs // 2000))
+    pipe = KGPipeline(ck, emitter_concurrency=(1, pool_cap),
                       batch_size=256)
     out = pipe.run_all(files, files_per_partition=fpp, with_vectors=True)
     n_triples = sum(r_["rows_out"] for r_ in pipe.store.lineage("edges"))
