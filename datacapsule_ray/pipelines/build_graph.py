@@ -145,6 +145,22 @@ class KGPipeline:
             else:
                 with ThreadPoolExecutor(max_workers=workers) as pool:
                     list(pool.map(run_one, pending))
+            # APPEND support: if new partitions were processed while the
+            # extraction stages were already committed (corpus shards
+            # appended to a finished build), the downstream shuffle/star/
+            # vector stages were built over the OLD emissions and must
+            # rebuild — refresh the extraction manifests and invalidate
+            # everything derived. A mid-extraction crash-resume never
+            # hits this (downstream doesn't exist yet → no-op).
+            if self.store.stage_done("emissions") or self.store.stage_done("records"):
+                for st in ("edges", "nodes", "adjacency", "species",
+                           "distributions", "numerical_traits",
+                           "descriptions", "entity_vectors",
+                           "relation_vectors"):
+                    if self.store.stage_done(st):
+                        self.store.invalidate_stage(st)
+                self.store.commit_stage("records")
+                self.store.commit_stage("emissions")
         if not self.store.stage_done("records"):
             self.store.commit_stage("records")
         if not self.store.stage_done("emissions"):

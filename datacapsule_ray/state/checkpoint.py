@@ -133,6 +133,21 @@ class CheckpointStore:
     def stage_done(self, stage: str) -> bool:
         return os.path.exists(self._stage_manifest(stage))
 
+    def invalidate_stage(self, stage: str) -> None:
+        """Remove a stage's manifest AND partition outputs so the next
+        run rebuilds it from scratch. Used when a stage's INPUT gained
+        data (e.g. corpus shards appended after a completed build):
+        lineage-based resume would otherwise treat the stale partitions
+        as done and silently exclude the new rows."""
+        import shutil
+
+        m = self._stage_manifest(stage)
+        if os.path.exists(m):
+            os.remove(m)
+        stage_dir = os.path.join(self.root, stage)
+        if os.path.isdir(stage_dir):
+            shutil.rmtree(stage_dir)
+
     def commit_stage(self, stage: str, extra: dict | None = None) -> None:
         lineage = self.lineage(stage)
         with open(self._stage_manifest(stage) + ".tmp", "w") as f:

@@ -97,3 +97,38 @@ def test_partitioning_invariance(tmp_path):
     na = a.run_graph()["nodes"].to_pandas().sort_values("node_id").reset_index(drop=True)
     nb = b.run_graph()["nodes"].to_pandas().sort_values("node_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(na, nb)
+
+
+def test_append_shards_rebuilds_downstream(tmp_path):
+    """Appending corpus shards to a FINISHED build must re-extract only
+    the new partitions (old lineage untouched) and rebuild every
+    derived stage — without the invalidation, the committed shuffle
+    stages would silently exclude the appended documents."""
+    d = str(tmp_path / "corpus")
+    files_all = write_corpus(d, 120, seed=9, docs_per_file=40)  # 3 shards
+    ck = str(tmp_path / "ck")
+
+    pipe = KGPipeline(ck)
+    pipe.run_all(files_all[:2], files_per_partition=1, with_vectors=False)
+    n_triples_before = pipe.triples().count()
+    hashes_before = {r["partition_id"]: r["content_hash"]
+                     for r in pipe.store.lineage("records")}
+
+    pipe2 = KGPipeline(ck)
+    out = pipe2.run_all(files_all, files_per_partition=1, with_vectors=False)
+    hashes_after = {r["partition_id"]: r["content_hash"]
+                    for r in pipe2.store.lineage("records")}
+    # old partitions were NOT re-extracted, the new one was added
+    assert hashes_after[0] == hashes_before[0]
+    assert hashes_after[1] == hashes_before[1]
+    assert set(hashes_after) == {0, 1, 2}
+    # downstream rebuilt over the full corpus: species covers 120 docs
+    # and the triple count strictly grew
+    assert out["species"].count() == 120
+    assert pipe2.triples().count() > n_triples_before
+    # the full-corpus result equals a from-scratch build
+    ck2 = str(tmp_path / "ck_fresh")
+    fresh = KGPipeline(ck2).run_all(files_all, files_per_partition=1,
+                                    with_vectors=False)
+    assert fresh["edges"].count() == out["edges"].count()
+    assert fresh["nodes"].count() == out["nodes"].count()
