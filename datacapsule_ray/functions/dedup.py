@@ -112,8 +112,11 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
                 if e - s < 2:
                     continue
                 a, b, v, d = verify_pdf(df.iloc[s:e])
-                parts_a.append(np.asarray(a, dtype=np.int64))
-                parts_b.append(np.asarray(b, dtype=np.int64))
+                # preserve the kernel's id dtype: forcing int64 here
+                # would silently WRAP uint64 ids >= 2^63 negative; the
+                # Int64 Series construction below raises loudly instead
+                parts_a.append(np.asarray(a))
+                parts_b.append(np.asarray(b))
                 parts_v.append(np.asarray(v, dtype=np.float64))
                 dropped += d
         out_a = (np.concatenate(parts_a) if parts_a

@@ -53,6 +53,14 @@ RECORD_COLS = ["doc_id", "doc_num", "ä¸­æ–‡å­¦å", "æ‹‰ä¸å­¦å", "å‘½åå¹´ä»
                "ç•Œ", "é—¨", "çº²", "ç›®", "ç§‘", "å±ž", "ç§",
                "è‡ªç„¶åˆ†å¸ƒåœ°", "ç”Ÿæ´»ä¹ æ€§", "ç”Ÿç‰©ç‰¹å¾"]
 
+# every stage derived from the extraction outputs â€” the single source of
+# truth for append-time invalidation (a stage added to run_graph/
+# run_star/run_vectors must be added here or appends would serve it
+# stale)
+DERIVED_STAGES = ("edges", "nodes", "adjacency", "species", "distributions",
+                  "numerical_traits", "descriptions", "entity_vectors",
+                  "relation_vectors")
+
 
 def _pool_cap() -> int:
     """Actor-pool max size proportional to the session's CPUs."""
@@ -94,14 +102,23 @@ class KGPipeline:
         parts = [input_files[i:i + files_per_partition]
                  for i in range(0, len(input_files), files_per_partition)]
         alias_ref = ray.put(self.alias)
-        # a partition is pending unless BOTH its outputs committed: the
-        # emissions partition is written before the records partition is
-        # finalized, so a crash between the two must re-run the partition
-        # (or the star-schema stages would silently lose those documents)
-        all_pids = list(range(len(parts)))
-        pending = sorted(
-            set(self.store.pending_partitions("emissions", all_pids))
-            | set(self.store.pending_partitions("records", all_pids)))
+        # a partition is pending unless BOTH its outputs committed WITH
+        # the partition's CURRENT file list: the emissions partition is
+        # written before the records partition is finalized, so a crash
+        # between the two must re-run the partition (or the star-schema
+        # stages would silently lose those documents); and an append
+        # that grows the LAST partition (file count not a multiple of
+        # files_per_partition) changes its fragment list, which an
+        # existence-only check would miss â€” the new files would silently
+        # never be extracted
+        frags = {
+            stage: {r["partition_id"]: r["input_fragments"]
+                    for r in self.store.lineage(stage)}
+            for stage in ("records", "emissions")
+        }
+        pending = [pid for pid in range(len(parts))
+                   if frags["records"].get(pid) != parts[pid]
+                   or frags["emissions"].get(pid) != parts[pid]]
 
         def run_one(pid: int) -> None:
             import shutil
@@ -134,6 +151,22 @@ class KGPipeline:
                 wall_ms=int((_time.monotonic() - t0) * 1000))
 
         if pending:
+            # APPEND support, BEFORE any processing (crash-safe order â€”
+            # worst case after a mid-sequence crash is an unnecessary
+            # rebuild, never a stale result): pending work against
+            # already-committed extraction stages means the input set
+            # grew after a finished build, so every derived stage was
+            # built over the OLD emissions and must rebuild. Invalidate
+            # derived stages first, then reopen the extraction stages;
+            # the durable pending predicate (fragment mismatch persists
+            # until the partition is rewritten, which only happens
+            # below) re-fires this block on any crash-resume in between.
+            if self.store.stage_done("emissions") or self.store.stage_done("records"):
+                for st in DERIVED_STAGES:
+                    if self.store.stage_done(st):
+                        self.store.invalidate_stage(st)
+                self.store.uncommit_stage("records")
+                self.store.uncommit_stage("emissions")
             # each concurrent execution needs headroom (read+map+write tasks
             # plus an actor); on small sessions fall back to sequential or
             # the pipelines starve each other
@@ -145,22 +178,6 @@ class KGPipeline:
             else:
                 with ThreadPoolExecutor(max_workers=workers) as pool:
                     list(pool.map(run_one, pending))
-            # APPEND support: if new partitions were processed while the
-            # extraction stages were already committed (corpus shards
-            # appended to a finished build), the downstream shuffle/star/
-            # vector stages were built over the OLD emissions and must
-            # rebuild â€” refresh the extraction manifests and invalidate
-            # everything derived. A mid-extraction crash-resume never
-            # hits this (downstream doesn't exist yet â†’ no-op).
-            if self.store.stage_done("emissions") or self.store.stage_done("records"):
-                for st in ("edges", "nodes", "adjacency", "species",
-                           "distributions", "numerical_traits",
-                           "descriptions", "entity_vectors",
-                           "relation_vectors"):
-                    if self.store.stage_done(st):
-                        self.store.invalidate_stage(st)
-                self.store.commit_stage("records")
-                self.store.commit_stage("emissions")
         if not self.store.stage_done("records"):
             self.store.commit_stage("records")
         if not self.store.stage_done("emissions"):

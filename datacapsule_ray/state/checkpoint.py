@@ -133,20 +133,32 @@ class CheckpointStore:
     def stage_done(self, stage: str) -> bool:
         return os.path.exists(self._stage_manifest(stage))
 
-    def invalidate_stage(self, stage: str) -> None:
-        """Remove a stage's manifest AND partition outputs so the next
-        run rebuilds it from scratch. Used when a stage's INPUT gained
-        data (e.g. corpus shards appended after a completed build):
-        lineage-based resume would otherwise treat the stale partitions
-        as done and silently exclude the new rows."""
-        import shutil
-
+    def uncommit_stage(self, stage: str) -> None:
+        """Remove just the stage manifest (partition outputs stay):
+        reopens a committed stage whose input set changed (append), so
+        finished partitions keep resuming while the stage re-commits
+        after the new ones land."""
         m = self._stage_manifest(stage)
         if os.path.exists(m):
             os.remove(m)
+
+    def invalidate_stage(self, stage: str) -> None:
+        """Remove a stage's partition outputs AND manifest so the next
+        run rebuilds it from scratch. Used when a stage's INPUT gained
+        data (e.g. corpus shards appended after a completed build):
+        lineage-based resume would otherwise treat the stale partitions
+        as done and silently exclude the new rows.
+
+        Order matters for crash safety: partition dirs first, manifest
+        last. The reverse order could crash after the manifest removal
+        with stale per-partition lineage surviving — a later run would
+        then 're-commit' the stale outputs as fresh."""
         stage_dir = os.path.join(self.root, stage)
         if os.path.isdir(stage_dir):
             shutil.rmtree(stage_dir)
+        m = self._stage_manifest(stage)
+        if os.path.exists(m):
+            os.remove(m)
 
     def commit_stage(self, stage: str, extra: dict | None = None) -> None:
         lineage = self.lineage(stage)

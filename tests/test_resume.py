@@ -132,3 +132,28 @@ def test_append_shards_rebuilds_downstream(tmp_path):
                                     with_vectors=False)
     assert fresh["edges"].count() == out["edges"].count()
     assert fresh["nodes"].count() == out["nodes"].count()
+
+
+def test_append_grows_last_partition(tmp_path):
+    """Append where the prior file count is NOT a multiple of
+    files_per_partition: the last partition's file list GROWS, so an
+    existence-only pending check would silently skip the new files —
+    the fragment-list comparison must re-extract that partition."""
+    d = str(tmp_path / "corpus")
+    files_all = write_corpus(d, 120, seed=12, docs_per_file=30)  # 4 shards
+    ck = str(tmp_path / "ck")
+
+    pipe = KGPipeline(ck)
+    # 3 shards at fpp=2 → partitions [s0,s1], [s2] (s2 alone in part 1)
+    pipe.run_all(files_all[:3], files_per_partition=2, with_vectors=False)
+    h_before = {r["partition_id"]: r["content_hash"]
+                for r in pipe.store.lineage("records")}
+
+    # append shard 4 → partition 1 becomes [s2, s3]: must re-extract
+    pipe2 = KGPipeline(ck)
+    out = pipe2.run_all(files_all, files_per_partition=2, with_vectors=False)
+    h_after = {r["partition_id"]: r["content_hash"]
+               for r in pipe2.store.lineage("records")}
+    assert h_after[0] == h_before[0]          # untouched
+    assert h_after[1] != h_before[1]          # grew → re-extracted
+    assert out["species"].count() == 120      # nothing silently dropped
