@@ -149,7 +149,11 @@ class HTTPSplitterBackend:
         vals = json.loads(text)
         if not isinstance(vals, list):
             raise ValueError(f"expected JSON list, got {type(vals).__name__}")
-        return [str(v) for v in vals]
+        # strip like the rules backend (splitters.split_locations):
+        # un-stripped LLM output would create distinct ' 南海 ' nodes,
+        # miss the alias dict, and sneak '无信息 ' past the LOC_INVALID
+        # guard
+        return [s for s in (str(v).strip() for v in vals) if s]
 
     @staticmethod
     def _parse_habits(text: str) -> sp.HabitParts:

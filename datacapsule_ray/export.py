@@ -25,8 +25,8 @@ _NODE_COLS = ["node_id", "node_type", "name", "ä¸­æ–‡å­¦å", "æ‹‰ä¸å­¦å", "å
 def write_graphml(nodes: Dataset | pa.Table, edges: Dataset | pa.Table,
                   path: str) -> int:
     """Write nodes+edges as GraphML; returns node count."""
-    nt = nodes.to_pandas() if hasattr(nodes, "to_pandas") else nodes.to_pandas()
-    et = edges.to_pandas() if hasattr(edges, "to_pandas") else edges.to_pandas()
+    nt = nodes.to_pandas()  # Dataset and pa.Table both expose this
+    et = edges.to_pandas()
     try:
         import networkx as nx
 

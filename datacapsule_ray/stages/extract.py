@@ -23,7 +23,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions import splitters as sp
 from ..schema import DOC_FIELDS, LOC_INVALID, PART_GUARDS, TAXONOMY_LEVELS
 
 # emissions table: a tagged union of triple rows and node-candidate rows,
@@ -69,8 +68,13 @@ def parse_documents_batch(batch: pa.Table) -> pa.Table:
     flat = spans.flatten()  # struct array of all spans
     is_text = pc.equal(flat.field("kind"), "text").to_numpy(zero_copy_only=False)
 
-    # split 'field：value' on the first '：' with one vectorized kernel
-    parts = pc.split_pattern(flat.field("text"), "：", max_splits=1)
+    # split 'field：value' on the first '：' with one vectorized kernel.
+    # Null span text (legal per SPAN_STRUCT; media spans may encode it
+    # as null instead of "") must become "" first: a null split yields a
+    # null list whose length is None, which both poisons the boolean
+    # mask (None & bool raises) and NaN-corrupts the cumsum value index.
+    parts = pc.split_pattern(pc.fill_null(flat.field("text"), ""),
+                             "：", max_splits=1)
     has_value = pc.equal(pc.list_value_length(parts), 2).to_numpy(zero_copy_only=False)
     field_arr = pc.list_element(parts, 0)
     # list_element(_, 1) errors on short lists; the value of a length-2

@@ -63,6 +63,13 @@ def _local_edge_dedup(batch: pa.Table,
     mask = _key_range_mask(h1, key_filter)
     if mask is not None:
         h1, h2, ks = h1[mask], h2[mask], ks[mask].reset_index(drop=True)
+    if len(h1) == 0:  # empty batch / fully-masked slice: typed empty
+        return pa.table({
+            "h1": pa.array([], type=pa.int64()),
+            "h2": pa.array([], type=pa.int64()),
+            "key": pa.array([], type=pa.string()),
+            "n_dups": pa.array([], type=pa.int64()),
+        })
     order = np.lexsort((h2, h1))
     sh1, sh2 = h1[order], h2[order]
     starts = np.flatnonzero(np.concatenate(
@@ -186,6 +193,14 @@ def _local_node_best(batch: pa.Table,
     if mask is not None:
         h1, h2 = h1[mask], h2[mask]
         packed = packed[mask]
+    if len(h1) == 0:  # typed empty: an all-null 'packed' column would
+        # give this block a null-typed schema that fails to unify with
+        # the string-typed non-empty blocks in the sort/union downstream
+        return pa.table({
+            "h1": pa.array([], type=pa.int64()),
+            "h2": pa.array([], type=pa.int64()),
+            "packed": pa.array([], type=pa.string()),
+        })
     return pa.Table.from_pandas(
         pd.DataFrame({"h1": h1, "h2": h2, "packed": packed}),
         preserve_index=False)

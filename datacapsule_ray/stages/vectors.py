@@ -139,6 +139,10 @@ def build_relation_vectors(edges: Dataset, dim: int = EMBED_DIM,
 
 def _topk_batch(batch: pa.Table, q: np.ndarray, k: int, id_cols: list[str]) -> pa.Table:
     """Partial top-k within one block: cosine via a single matmul."""
+    if len(batch) == 0:  # reshape(0, -1) on a zero-size array raises
+        sub = batch.select(id_cols)
+        return sub.append_column(
+            "similarity", pa.array([], type=pa.float64()))
     emb = batch.column("embedding")
     if isinstance(emb, pa.ChunkedArray):
         emb = emb.combine_chunks()

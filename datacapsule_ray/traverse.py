@@ -48,8 +48,16 @@ class GraphIndex:
 
     @classmethod
     def from_datasets(cls, nodes: Dataset, edges: Dataset) -> "GraphIndex":
-        return cls(pa.Table.from_pandas(nodes.to_pandas()),
-                   pa.Table.from_pandas(edges.to_pandas()))
+        # straight Arrow materialization — the pandas round trip copied
+        # every string into object dtype (≈3x peak memory) only to
+        # convert back
+        import ray
+
+        def gather(ds: Dataset) -> pa.Table:
+            return pa.concat_tables(ray.get(ds.to_arrow_refs()),
+                                    promote_options="default")
+
+        return cls(gather(nodes), gather(edges))
 
     # --- J2 ---
     def get_node_attribute(self, node_id: str) -> dict:
@@ -130,6 +138,11 @@ def expand_frontier(edges: Dataset, frontier: set[str], *, rounds: int = 1,
     document: per-round frontier must fit on the driver)."""
     import pyarrow.compute as pc
 
+    if direction not in ("out", "in", "both"):
+        # fail at the call site — an unknown value would otherwise
+        # surface as an opaque concat_tables([]) error inside a worker
+        raise ValueError(f"direction must be 'out', 'in' or 'both', "
+                         f"got {direction!r}")
     visited = set(frontier)
     cur = set(frontier)
     for _ in range(rounds):

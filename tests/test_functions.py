@@ -357,3 +357,57 @@ def test_grouped_exact_quantiles_matches_numpy_rank():
                                    (1, 100, "p1")]:
             rank = -((-q_num * n) // q_den)
             assert out.loc[k, name] == x[rank - 1], (k, name)
+
+
+def test_stage_kernels_tolerate_empty_and_masked_batches():
+    """The phase-1 combine kernels must emit TYPED empty tables for
+    empty / fully-masked batches (null-typed columns fail schema
+    unification downstream; indexing an empty lexsort crashed)."""
+    from datacapsule_ray.stages.graph import (_local_edge_dedup,
+                                              _local_node_best)
+    from datacapsule_ray.stages.vectors import _topk_batch
+
+    one = pa.table({"subj": ["a"], "pred": ["p"], "obj": ["b"]})
+    # a 1-row batch whose key hashes outside every slice of some n
+    for i in range(4):
+        out = _local_edge_dedup(one, key_filter=(i, 4))
+        assert out.schema.field("key").type == pa.string()
+        assert out.schema.field("n_dups").type == pa.int64()
+    empty = one.slice(0, 0)
+    out = _local_edge_dedup(empty)
+    assert len(out) == 0 and out.schema.field("key").type == pa.string()
+
+    node = pa.table({"node_id": ["x"], "node_type": ["种"],
+                     "name": ["x"], "中文学名": ["x"], "拉丁学名": ["X y"],
+                     "命名年份": ["1901"], "作者": ["A"],
+                     "prio": pa.array([0], type=pa.int8()),
+                     "seq": pa.array([1], type=pa.int64())})
+    for i in range(4):
+        out = _local_node_best(node, key_filter=(i, 4))
+        assert out.schema.field("packed").type == pa.string()
+
+    emb = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                    "embedding": pa.array([], type=pa.list_(pa.float32()))})
+    out = _topk_batch(emb, np.ones(4, dtype=np.float32), 3, ["vec_id"])
+    assert len(out) == 0
+
+
+def test_parse_tolerates_null_span_text():
+    """SPAN_STRUCT permits null text (a natural media-span encoding);
+    the vectorized parse must treat it as empty, not crash or corrupt
+    the value index of later spans."""
+    from datacapsule_ray.schema import DOCUMENTS_SCHEMA
+    from datacapsule_ray.stages.extract import parse_documents_batch
+
+    batch = pa.Table.from_pydict({
+        "doc_id": ["doc-00000001"],
+        "spans": [[
+            {"kind": "text", "text": "中文学名：测试鱼", "media_ref": "", "offset": 0},
+            {"kind": "image", "text": None, "media_ref": "m://1", "offset": 9},
+            {"kind": "text", "text": "界：动物界", "media_ref": "", "offset": 10},
+        ]],
+    }, schema=DOCUMENTS_SCHEMA)
+    out = parse_documents_batch(batch)
+    df = out.to_pandas()
+    assert df["中文学名"].iloc[0] == "测试鱼"
+    assert df["界"].iloc[0] == "动物界"  # index NOT corrupted by the null
