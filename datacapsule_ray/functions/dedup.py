@@ -100,9 +100,15 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
         dropped = 0
         raw_idx: list[np.ndarray] = []
         if n:
-            keys = df[key_cols].to_numpy()
+            # per-column comparison: df[key_cols].to_numpy() would
+            # promote mixed int32/uint64 key columns to float64, where
+            # distinct 64-bit bucket hashes within one ulp (~2^11 near
+            # 2^63) compare equal and MERGE adjacent buckets
             change = np.ones(n, dtype=bool)
-            change[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+            change[1:] = False
+            for kc in key_cols:
+                col = df[kc].to_numpy()
+                change[1:] |= col[1:] != col[:-1]
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], n)
             for i, (s, e) in enumerate(zip(starts, ends)):
@@ -362,6 +368,10 @@ def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 64, bands: int = 16,
     with id_a < id_b, deduplicated across bands. Hot buckets beyond
     ``max_bucket`` are truncated with a logged drop count (and
     ``stats['dropped_rows']`` when a dict is passed)."""
+    if num_perm % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm}) — a "
+            "non-divisor would truncate the signature silently")
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
         MinHasher,
@@ -399,6 +409,10 @@ def connected_components(pairs: Dataset, ids: Dataset, *, id_col: str = "doc_id"
     pandas; larger ones switch to the distributed variant (hash-join
     rounds over Datasets). Returns every input id with its component
     label (= min id in its cluster)."""
+    # materialized once: count() below plus the edge pull (or the
+    # distributed variant's per-round joins) would otherwise re-execute
+    # the candidate-pair plan — an LSH pipeline — multiple times
+    pairs = pairs.materialize()
     n_pairs = pairs.count()
     if n_pairs > driver_limit:
         return connected_components_distributed(
@@ -412,18 +426,23 @@ def connected_components(pairs: Dataset, ids: Dataset, *, id_col: str = "doc_id"
             edges.rename(columns={"id_a": "u", "id_b": "v"}),
             edges.rename(columns={"id_a": "v", "id_b": "u"})[["u", "v"]],
         ])
-        comp = dict(zip(labels["id"], labels["comp"]))
+        comp = pd.Series(labels["comp"].to_numpy(),
+                         index=labels["id"].to_numpy())
         changed = False
         for _ in range(max_rounds):
-            changed = False
-            m = both.assign(cu=both["u"].map(comp), cv=both["v"].map(comp))
-            upd = m.groupby("u")["cv"].min()
-            for node, c in upd.items():
-                if c < comp[node]:
-                    comp[node] = c
-                    changed = True
+            # vectorized min-label pull: neighbor labels → per-node min
+            # → elementwise minimum update (no per-node Python loop).
+            # Stays int64 throughout: a reindex over ALL ids would
+            # introduce NaN → float64, which corrupts 63-bit ids above
+            # 2^53 — so the update is restricted to nodes that have
+            # edges (upd's own index)
+            upd = both["v"].map(comp).groupby(both["u"].to_numpy()).min()
+            cur = comp.loc[upd.index]
+            better_idx = upd.index[upd.to_numpy() < cur.to_numpy()]
+            changed = len(better_idx) > 0
             if not changed:
                 break
+            comp.loc[better_idx] = upd.loc[better_idx]
         if changed:
             logger.warning(
                 "connected_components did not converge within %d rounds: a "
@@ -463,8 +482,9 @@ def connected_components_distributed(pairs: Dataset, ids: Dataset, *,
     if pairs.count() == 0:  # empty Datasets lose schema → join would fail
         return labels
     edges = pairs.select_columns(["id_a", "id_b"]).map_batches(
-        symmetrize, batch_format="pyarrow")
+        symmetrize, batch_format="pyarrow").materialize()
 
+    n_changed = 0
     for _ in range(max_rounds):
         # neighbor-label pull: edges ⋈ labels on v → min label per u
         lab_v = labels.map_batches(

@@ -124,8 +124,8 @@ def train_centroids(ds: Dataset, n_cells: int, dim: int, *, seed: int = 31,
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
     cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-9)
+    normed = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-9)
     for _ in range(5):  # a few Lloyd rounds on the sample
-        normed = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-9)
         assign = (normed @ cent.T).argmax(axis=1)
         for c in range(len(cent)):
             members = normed[assign == c]

@@ -26,22 +26,15 @@ LANG_PROFILES: dict[str, set[str]] = {
 _PUNCT = set(".,!?;:'\"()[]{}-")
 
 
-def _token_lists(texts: pa.Array) -> tuple[pa.ListArray, np.ndarray, np.ndarray]:
-    """(token list array, flat tokens as numpy object, parent index)."""
-    toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
-    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-    flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
-    parent = np.repeat(np.arange(len(texts)), lengths)
-    return toks, flat, parent
-
-
 def token_stats_batch(batch: pa.Table, text_col: str = "text",
                       id_col: str = "doc_id") -> pa.Table:
     """Per-doc integer stats: n_tokens (whitespace), n_chars, n_stop_en,
-    n_punct_chars. Integers only so a SQL oracle can match exactly."""
+    n_punct_chars. Integers only so a SQL oracle can match exactly.
+    Null text counts as empty (like the siblings' ``(t or '')``)."""
     texts = batch.column(text_col)
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
     trimmed = pc.utf8_trim_whitespace(texts)
     toks = pc.utf8_split_whitespace(trimmed)
     n_tokens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)

@@ -118,7 +118,12 @@ class CheckpointStore:
         out = []
         for part in sorted(os.listdir(stage_dir)):
             pdir = os.path.join(stage_dir, part)
-            if part.startswith("part-") and os.path.isdir(pdir):
+            # '.tmp' dirs are crash leftovers from an interrupted
+            # write_partition — NEVER read them: a resumed run that no
+            # longer rewrites that partition id would otherwise serve
+            # partial/duplicate rows silently
+            if (part.startswith("part-") and not part.endswith(".tmp")
+                    and os.path.isdir(pdir)):
                 out.extend(
                     os.path.join(pdir, f)
                     for f in sorted(os.listdir(pdir))
@@ -177,6 +182,8 @@ class CheckpointStore:
         if not os.path.isdir(stage_dir):
             return rows
         for part in sorted(os.listdir(stage_dir)):
+            if not part.startswith("part-") or part.endswith(".tmp"):
+                continue  # skip crash-leftover tmp dirs (see stage_files)
             path = os.path.join(stage_dir, part, "_lineage.json")
             if os.path.exists(path):
                 with open(path) as f:

@@ -411,3 +411,18 @@ def test_parse_tolerates_null_span_text():
     df = out.to_pandas()
     assert df["中文学名"].iloc[0] == "测试鱼"
     assert df["界"].iloc[0] == "动物界"  # index NOT corrupted by the null
+
+
+def test_token_stats_null_text():
+    """Null text counts as empty instead of crashing the stats kernel."""
+    t = pa.table({"doc_id": [1, 2], "text": ["a b", None]})
+    out = text.token_stats_batch(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 2
+    assert out.loc[2, "n_tokens"] == 0 and out.loc[2, "n_chars"] == 0
+
+
+def test_minhash_bands_must_divide_num_perm():
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_lsh_pairs(
+            rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x"]})),
+            num_perm=64, bands=12)

@@ -157,3 +157,28 @@ def test_append_grows_last_partition(tmp_path):
     assert h_after[0] == h_before[0]          # untouched
     assert h_after[1] != h_before[1]          # grew → re-extracted
     assert out["species"].count() == 120      # nothing silently dropped
+
+
+def test_crash_leftover_tmp_dirs_are_never_read(tmp_path):
+    """A part-*.tmp dir from an interrupted write must be invisible to
+    stage_files/lineage — reading it would serve partial rows, and
+    lineage-ing it would re-commit stale data as fresh."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datacapsule_ray.state.checkpoint import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path))
+    import ray.data as rd
+
+    store.write_partition("s", 0, rd.from_items([{"x": 1}]), ["f"])
+    tmp = store.partition_dir("s", 1) + ".tmp"
+    os.makedirs(tmp)
+    pq.write_table(pa.table({"x": [99]}), os.path.join(tmp, "junk.parquet"))
+    with open(os.path.join(tmp, "_lineage.json"), "w") as f:
+        f.write('{"stage": "s", "partition_id": 1}')
+    assert all(".tmp" not in p for p in store.stage_files("s"))
+    assert [r["partition_id"] for r in store.lineage("s")] == [0]
+    assert store.read_stage("s").to_pandas()["x"].tolist() == [1]
