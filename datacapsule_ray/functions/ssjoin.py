@@ -62,15 +62,28 @@ import pyarrow as pa
 
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count
 
-from .dedup import _bucket_verify, _stable_u64
+from .dedup import _bucket_verify, _dedup_pairs, _stable_u64
 
 logger = logging.getLogger(__name__)
 
 # (inter, union) pairs ride one float64 through the shared bucket-verify
 # machinery: code = inter * 2^26 + union, exact while union < 2^26
 _IU_BASE = 67108864.0
+
+# per-worker-process deserialization cache for broadcast ObjectRefs:
+# ray.get inside a task re-deserializes the object on every call, which
+# matters once the frequent-token dict stops being tiny
+_GET_CACHE: dict = {}
+
+
+def _cached_get(ref):
+    key = ref.hex()
+    if key not in _GET_CACHE:
+        _GET_CACHE.clear()  # hold at most one broadcast per worker
+        _GET_CACHE[key] = ray.get(ref)
+    return _GET_CACHE[key]
 
 
 def _doc_token_sets(ds: Dataset, text_col: str, id_col: str) -> Dataset:
@@ -133,7 +146,7 @@ def _frequent_token_df(reps: Dataset, df_cutoff: int) -> dict[int, int]:
 def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
                    text_col: str = "text", id_col: str = "doc_id",
                    df_cutoff: int = 32, max_bucket: int = 4096,
-                   num_partitions: int = 4,
+                   num_partitions: int = 4, broadcast_cap: int = 2_000_000,
                    stats: dict | None = None) -> Dataset:
     """All pairs (id_a < id_b) with token-set Jaccard >= tau_num/tau_den.
 
@@ -143,18 +156,17 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
     if not (0 < tau_num <= tau_den):
         raise ValueError("tau must satisfy 0 < tau_num/tau_den <= 1")
     tau_num, tau_den = int(tau_num), int(tau_den)
+    # ONE global sort by set_hash feeds everything downstream: the
+    # identical-group enumeration scans the sorted blocks in place
+    # (presorted _bucket_verify), and reps fall out of a per-block
+    # distinct instead of a groupby+join (each shuffle round-trip costs
+    # seconds of fixed overhead and an extra exchange at scale)
     docsets = _doc_token_sets(
         ds.select_columns([id_col, text_col]), text_col, id_col
-    ).filter(expr="size > 0").materialize()
+    ).filter(expr="size > 0").sort("set_hash").materialize()
 
     # ---- identical-set groups: reps + direct J=1 pair enumeration ----
     members = docsets.select_columns(["set_hash", id_col])
-    min_tbl = docsets.groupby("set_hash").aggregate(
-        Min(id_col, alias_name="rep_id"))
-    reps = (docsets.join(min_tbl, join_type="inner",
-                         num_partitions=num_partitions, on=("set_hash",))
-            .filter(expr=f"{id_col} == rep_id")
-            .select_columns(["set_hash", "toks", "size"])).materialize()
 
     def ident_verify(group: pd.DataFrame):
         g = group.sort_values(id_col).head(max_bucket)
@@ -168,51 +180,68 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
     ident_stats: dict = {}
     ident_pairs = _bucket_verify(
         docsets.select_columns(["set_hash", id_col, "size"]),
-        ["set_hash"], ident_verify, "iu_code", stats=ident_stats)
+        ["set_hash"], ident_verify, "iu_code", stats=ident_stats,
+        presorted=True)
+
+    # one representative per distinct set: per-block first occurrence
+    # over the sorted blocks. A set straddling a block boundary yields
+    # ONE duplicate rep — harmless: all members carry identical toks,
+    # so the dup produces only (s,s) self-pairs (filtered below) and
+    # repeated (s,t) rows (collapsed by the pair dedup); df counts for
+    # its tokens are off by one, which only perturbs the PRUNING order,
+    # never exactness (any consistent total order is exact).
+    def rep_scan(t: pa.Table) -> pa.Table:
+        hs = t.column("set_hash").to_numpy(zero_copy_only=False)
+        sub = t.select(["set_hash", "toks", "size"])
+        if len(hs) == 0:
+            return sub
+        keep = np.ones(len(hs), dtype=bool)
+        keep[1:] = hs[1:] != hs[:-1]
+        return sub.take(pa.array(np.flatnonzero(keep)))
+
+    reps = docsets.map_batches(
+        rep_scan, batch_format="pyarrow").materialize()
 
     # ---- cross-set: prefix filtering over DISTINCT sets --------------
     df_ref = ray.put(_frequent_token_df(reps, df_cutoff))
 
-    class PrefixEmitter:
+    def emit_prefixes(batch: pa.Table) -> pa.Table:
         """Per-set (rarest-first) token ordering + prefix explosion.
-        The df dict is fetched from the object store once per actor."""
+        Stateless TASK stage (an actor pool paid ~2s spin-up the small
+        df dict never justified); the dict is deserialized once per
+        worker process via ``_cached_get``."""
+        df = _cached_get(df_ref)
+        bufs = batch.column("toks").to_pylist()
+        hashes = batch.column("set_hash").to_numpy(zero_copy_only=False)
+        sizes = batch.column("size").to_numpy(zero_copy_only=False)
+        flat = (np.frombuffer(b"".join(bufs), dtype=np.uint64) if bufs
+                else np.zeros(0, dtype=np.uint64))
+        offs = np.concatenate(
+            ([0], np.cumsum(sizes))).astype(np.int64)
+        dfv = np.fromiter((df.get(int(t), 0) for t in flat),
+                          dtype=np.int64, count=len(flat))
+        out_ptok, out_id, out_size, out_toks = [], [], [], []
+        for i in range(len(hashes)):
+            s, e = offs[i], offs[i + 1]
+            if e == s:
+                continue
+            n = int(sizes[i])
+            p = n - (-((-tau_num * n) // tau_den)) + 1  # n - ceil + 1
+            order = np.lexsort((flat[s:e], dfv[s:e]))
+            prefix = flat[s:e][order[:max(p, 1)]]
+            for t in prefix:
+                out_ptok.append(t)
+                out_id.append(hashes[i])
+                out_size.append(n)
+                out_toks.append(bufs[i])  # value-sorted (np.unique)
+        return pa.table({
+            "ptok": pa.array(np.array(out_ptok, dtype=np.uint64)),
+            "set_hash": pa.array(np.array(out_id, dtype=np.int64)),
+            "size": pa.array(np.array(out_size, dtype=np.int64)),
+            "toks": pa.array(out_toks, type=pa.binary()),
+        })
 
-        def __init__(self) -> None:
-            self.df = ray.get(df_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bufs = batch.column("toks").to_pylist()
-            hashes = batch.column("set_hash").to_numpy(zero_copy_only=False)
-            sizes = batch.column("size").to_numpy(zero_copy_only=False)
-            flat = (np.frombuffer(b"".join(bufs), dtype=np.uint64) if bufs
-                    else np.zeros(0, dtype=np.uint64))
-            offs = np.concatenate(
-                ([0], np.cumsum(sizes))).astype(np.int64)
-            dfv = np.fromiter((self.df.get(int(t), 0) for t in flat),
-                              dtype=np.int64, count=len(flat))
-            out_ptok, out_id, out_size, out_toks = [], [], [], []
-            for i in range(len(hashes)):
-                s, e = offs[i], offs[i + 1]
-                if e == s:
-                    continue
-                n = int(sizes[i])
-                p = n - (-((-tau_num * n) // tau_den)) + 1  # n - ceil + 1
-                order = np.lexsort((flat[s:e], dfv[s:e]))
-                prefix = flat[s:e][order[:max(p, 1)]]
-                for t in prefix:
-                    out_ptok.append(t)
-                    out_id.append(hashes[i])
-                    out_size.append(n)
-                    out_toks.append(bufs[i])  # value-sorted (np.unique)
-            return pa.table({
-                "ptok": pa.array(np.array(out_ptok, dtype=np.uint64)),
-                "set_hash": pa.array(np.array(out_id, dtype=np.int64)),
-                "size": pa.array(np.array(out_size, dtype=np.int64)),
-                "toks": pa.array(out_toks, type=pa.binary()),
-            })
-
-    banded = reps.map_batches(PrefixEmitter, batch_format="pyarrow",
-                              concurrency=(1, 4))
+    banded = reps.map_batches(emit_prefixes, batch_format="pyarrow")
 
     def cross_verify(group: pd.DataFrame):
         """ALL pairwise intersection sizes for the bucket at once: build
@@ -254,12 +283,15 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
     if stats is not None:
         stats["dropped_rows"] = (ident_stats.get("dropped_rows", 0)
                                  + cross_stats.get("dropped_rows", 0))
-    # a set pair can surface from several shared prefix tokens — dedup
-    # at SET granularity, before the (possibly large) member expansion.
+    # a set pair can surface from several shared prefix tokens (and a
+    # boundary-duplicated rep yields (s,s) self-pairs) — filter the
+    # self-pairs, then dedup at SET granularity before the (possibly
+    # large) member expansion. ``_dedup_pairs`` is the sorted-scan
+    # combine (one range exchange, no aggregate-shuffle fixed cost).
     # Materialized once: the empty-schema check below counts it, and the
     # final plan reuses the same blocks instead of re-running the dedup.
-    set_pairs = set_pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("iu_code", alias_name="iu_code")).materialize()
+    set_pairs = _dedup_pairs(
+        set_pairs.filter(expr="id_a != id_b"), "iu_code").materialize()
 
     # ---- expand set pairs to doc pairs via membership joins ----------
     def decode(t: pa.Table) -> pa.Table:
@@ -276,33 +308,100 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
         })
 
     ident_pairs = ident_pairs.select_columns(["id_a", "id_b", "iu_code"])
-    if set_pairs.count() == 0:  # empty Datasets lose schema → no join
+    n_set_pairs = set_pairs.count()
+    if n_set_pairs == 0:  # empty Datasets lose schema → no join
         return ident_pairs.map_batches(decode, batch_format="pyarrow")
 
-    mem_a = members.map_batches(
-        lambda t: pa.table({"id_a": t.column("set_hash"),
-                            "doc_a": t.column(id_col)}),
-        batch_format="pyarrow")
-    mem_b = members.map_batches(
-        lambda t: pa.table({"id_b": t.column("set_hash"),
-                            "doc_b": t.column(id_col)}),
-        batch_format="pyarrow")
-    expanded = (set_pairs
-                .join(mem_a, join_type="inner",
-                      num_partitions=num_partitions, on=("id_a",))
-                .join(mem_b, join_type="inner",
-                      num_partitions=num_partitions, on=("id_b",)))
+    # ---- expansion strategy: broadcast when small, join at scale -----
+    # the matched-membership table (docs belonging to sets that appear
+    # in some matching pair) is bounded by the OUTPUT size, so when it
+    # fits under ``broadcast_cap`` rows a broadcast dict + one map
+    # replaces two Acero join exchanges (each ~2s fixed cost at small
+    # scale); dup-heavy corpora exceed the probe and take the join path.
+    cross_pairs = None
+    if n_set_pairs <= broadcast_cap:
+        pairs_df = set_pairs.to_pandas()
+        hset = np.unique(np.concatenate([pairs_df["id_a"].to_numpy(),
+                                         pairs_df["id_b"].to_numpy()]))
+        hs_ref = ray.put(hset)
 
-    def orient(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        def member_filter(t: pa.Table) -> pa.Table:
+            hs = _cached_get(hs_ref)
+            mask = np.isin(
+                t.column("set_hash").to_numpy(zero_copy_only=False), hs)
+            return t.filter(pa.array(mask))
 
-        da, db = t.column("doc_a"), t.column("doc_b")
-        return pa.table({
-            "id_a": pc.min_element_wise(da, db),
-            "id_b": pc.max_element_wise(da, db),
-            "iu_code": t.column("iu_code"),
-        })
+        # limit(cap+1) probes the size in the same pass that collects:
+        # exactly cap+1 rows back ⇒ over the cap ⇒ join path
+        mdf = (members.map_batches(member_filter, batch_format="pyarrow")
+               .limit(broadcast_cap + 1).to_pandas())
+        if len(mdf) <= broadcast_cap:
+            keys = mdf["set_hash"].to_numpy()
+            order = np.argsort(keys, kind="stable")
+            keys = keys[order]
+            vals = mdf[id_col].to_numpy()[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], keys[1:] != keys[:-1])))
+            ends = np.append(starts[1:], len(keys))
+            groups = {int(keys[s]): vals[s:e]
+                      for s, e in zip(starts, ends)}
+            grp_ref = ray.put(groups)
 
-    cross_pairs = expanded.map_batches(orient, batch_format="pyarrow")
+            def expand_bcast(t: pa.Table) -> pa.Table:
+                grp = _cached_get(grp_ref)
+                ia = t.column("id_a").to_numpy(zero_copy_only=False)
+                ib = t.column("id_b").to_numpy(zero_copy_only=False)
+                code = t.column("iu_code").to_numpy(zero_copy_only=False)
+                outs_a, outs_b, outs_c = [], [], []
+                for x, y, c in zip(ia, ib, code):
+                    ma, mb = grp[int(x)], grp[int(y)]
+                    da = np.repeat(ma, len(mb))
+                    db = np.tile(mb, len(ma))
+                    outs_a.append(np.minimum(da, db))
+                    outs_b.append(np.maximum(da, db))
+                    outs_c.append(np.full(len(da), c))
+                if not outs_a:
+                    return pa.table({
+                        "id_a": pa.array([], pa.int64()),
+                        "id_b": pa.array([], pa.int64()),
+                        "iu_code": pa.array([], pa.float64())})
+                return pa.table({
+                    "id_a": pa.array(
+                        np.concatenate(outs_a).astype(np.int64)),
+                    "id_b": pa.array(
+                        np.concatenate(outs_b).astype(np.int64)),
+                    "iu_code": pa.array(np.concatenate(outs_c)),
+                })
+
+            cross_pairs = set_pairs.map_batches(
+                expand_bcast, batch_format="pyarrow")
+
+    if cross_pairs is None:
+        mem_a = members.map_batches(
+            lambda t: pa.table({"id_a": t.column("set_hash"),
+                                "doc_a": t.column(id_col)}),
+            batch_format="pyarrow")
+        mem_b = members.map_batches(
+            lambda t: pa.table({"id_b": t.column("set_hash"),
+                                "doc_b": t.column(id_col)}),
+            batch_format="pyarrow")
+        expanded = (set_pairs
+                    .join(mem_a, join_type="inner",
+                          num_partitions=num_partitions, on=("id_a",))
+                    .join(mem_b, join_type="inner",
+                          num_partitions=num_partitions, on=("id_b",)))
+
+        def orient(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            da, db = t.column("doc_a"), t.column("doc_b")
+            return pa.table({
+                "id_a": pc.min_element_wise(da, db),
+                "id_b": pc.max_element_wise(da, db),
+                "iu_code": t.column("iu_code"),
+            })
+
+        cross_pairs = expanded.map_batches(orient, batch_format="pyarrow")
+
     return ident_pairs.union(cross_pairs).map_batches(
         decode, batch_format="pyarrow")
