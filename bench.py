@@ -63,10 +63,12 @@ def run_bench() -> dict:
 
     results: dict[str, float] = {}
 
-    # headline: full KG construction into a FRESH checkpoint root
-    ck = f"/tmp/dcray_bench_ck_{os.getpid()}"
-    shutil.rmtree(ck, ignore_errors=True)
-    t0 = time.monotonic()
+    # headline: full KG construction into a FRESH checkpoint root.
+    # Run TWICE and report the min: this host shows heavy co-tenant
+    # noise (the identical job has measured 17s and 30s minutes apart;
+    # see BASELINE.md) and a single sample can misread a 2x-noisy
+    # window as a regression. Both raw trials are emitted
+    # (``kg_trials``) so the spread stays visible.
     # files_per_partition=16 → fewer, fatter partition executions: the
     # per-partition streaming-execution spin-up dominated at fpp=8
     # (measured 15.9s → 7.9s extraction at 160k docs); resume
@@ -77,14 +79,23 @@ def run_bench() -> dict:
     # extraction with a 10-actor cap); big corpora still get the full
     # pool
     pool_cap = min(max(2, NUM_CPUS - 4), max(4, n_docs // 2000))
-    pipe = KGPipeline(ck, emitter_concurrency=(1, pool_cap),
-                      batch_size=256)
-    out = pipe.run_all(files, files_per_partition=fpp, with_vectors=True)
-    n_triples = sum(r_["rows_out"] for r_ in pipe.store.lineage("edges"))
-    kg_sec = time.monotonic() - t0
-    results["kg_pipeline"] = round(kg_sec, 3)
-    emissions_rows = sum(r_["rows_out"] for r_ in pipe.store.lineage("emissions"))
-    shutil.rmtree(ck, ignore_errors=True)
+    n_trials = int(os.environ.get("GRAFT_BENCH_TRIALS", "2"))
+    kg_trials: list[float] = []
+    for trial in range(n_trials):
+        ck = f"/tmp/dcray_bench_ck_{os.getpid()}_{trial}"
+        shutil.rmtree(ck, ignore_errors=True)
+        t0 = time.monotonic()
+        pipe = KGPipeline(ck, emitter_concurrency=(1, pool_cap),
+                          batch_size=256)
+        out = pipe.run_all(files, files_per_partition=fpp,
+                           with_vectors=True)
+        kg_trials.append(round(time.monotonic() - t0, 3))
+        n_triples = sum(r_["rows_out"] for r_ in pipe.store.lineage("edges"))
+        emissions_rows = sum(
+            r_["rows_out"] for r_ in pipe.store.lineage("emissions"))
+        shutil.rmtree(ck, ignore_errors=True)
+    kg_sec = min(kg_trials)
+    results["kg_pipeline"] = kg_sec
 
     def timed(name, fn):
         t = time.monotonic()
@@ -126,6 +137,7 @@ def run_bench() -> dict:
         "docs_per_s": round(n_docs / kg_sec, 1),
         "triples_per_s": round(emissions_rows / kg_sec, 1),
         "distinct_edges": int(n_triples),
+        "kg_trials": kg_trials,
     }
 
 
