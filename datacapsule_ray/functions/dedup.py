@@ -224,16 +224,17 @@ def _dedup_pairs(pairs: Dataset, value_col: str) -> Dataset:
     srt = pairs.sort(["id_a", "id_b"])
 
     def block(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                              "id_b": pd.Series(dtype="int64"),
-                              value_col: pd.Series(dtype="float64"),
-                              "kind": pd.Series(dtype="object")})
+        # empty frame derives dtypes from the INPUT block so every block
+        # emits one schema (ids may be strings, value may be integer)
         n = len(df)
         if not n:
+            empty = df[["id_a", "id_b", value_col]].copy()
+            empty["kind"] = pd.Series(dtype="object")
             return empty
         a = df["id_a"].to_numpy()
         b = df["id_b"].to_numpy()
-        v = df[value_col].to_numpy(dtype=np.float64)
+        vals = df[value_col].to_numpy()
+        v = vals.astype(np.float64)  # exact for hamming/iu_code < 2^52
         change = np.ones(n, dtype=bool)
         change[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
         gid = np.cumsum(change) - 1
@@ -245,11 +246,11 @@ def _dedup_pairs(pairs: Dataset, value_col: str) -> Dataset:
         # last group may straddle a block boundary → raw channel
         out = pd.DataFrame({"id_a": a[first][1:ngroups - 1],
                             "id_b": b[first][1:ngroups - 1],
-                            value_col: mins[1:ngroups - 1]})
+                            value_col: mins[1:ngroups - 1].astype(vals.dtype)})
         out["kind"] = "pair"
         raw_mask = (gid == 0) | (gid == ngroups - 1)
         raw = pd.DataFrame({"id_a": a[raw_mask], "id_b": b[raw_mask],
-                            value_col: v[raw_mask]})
+                            value_col: vals[raw_mask]})
         raw["kind"] = "raw"
         return pd.concat([out, raw], ignore_index=True)
 

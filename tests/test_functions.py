@@ -426,3 +426,31 @@ def test_minhash_bands_must_divide_num_perm():
         dedup.minhash_lsh_pairs(
             rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x"]})),
             num_perm=64, bands=12)
+
+
+def test_dedup_pairs_string_ids_and_int_dtype():
+    """The sorted-scan pair combine keeps one block schema regardless of
+    id dtype (strings included) and preserves an integer value column's
+    dtype, matching the groupby-Min semantics it replaced."""
+    pairs = rd.from_pandas(pd.DataFrame({
+        "id_a": ["a", "a", "b", "c", "c", "c"],
+        "id_b": ["x", "x", "y", "z", "z", "w"],
+        "hamming": [3, 1, 2, 5, 4, 0],
+    }))
+    out = (dedup._dedup_pairs(pairs, "hamming").to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert out["hamming"].dtype == np.int64
+    assert out.to_dict("records") == [
+        {"id_a": "a", "id_b": "x", "hamming": 1},
+        {"id_a": "b", "id_b": "y", "hamming": 2},
+        {"id_a": "c", "id_b": "w", "hamming": 0},
+        {"id_a": "c", "id_b": "z", "hamming": 4},
+    ]
+
+
+def test_dedup_pairs_empty_input():
+    empty = rd.from_pandas(pd.DataFrame({
+        "id_a": pd.Series(dtype="int64"),
+        "id_b": pd.Series(dtype="int64"),
+        "v": pd.Series(dtype="float64")}))
+    assert len(dedup._dedup_pairs(empty, "v").to_pandas()) == 0
