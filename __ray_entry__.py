@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_docs": docops.dedup_simhash_docs,
         "neardup_embeddings": docops.neardup_embeddings,
         "sim_ivf_topk_embeddings": docops.sim_ivf_topk_embeddings,
+        # nprobe = n_cells → exact; full SQL oracle over the IVF path
+        "sim_ivf_exhaustive_topk": docops.sim_ivf_exhaustive_topk,
         "media_features": docops.media_features_demo,
         "frame_sample": docops.frame_sample_demo,
         # the PLAN half of frame sampling (which frames, at which
@@ -485,6 +487,16 @@ def oracle_sql() -> dict[str, str]:
                           - len(list_intersect(a.ts, b.ts)))
         """,
         "sim_topk_embeddings": """
+            SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+                   ), 4) AS sim_r
+            FROM embeddings e
+            ORDER BY sim_r DESC, e.vec_id
+            LIMIT 10
+        """,
+        "sim_ivf_exhaustive_topk": """
             SELECT e.vec_id,
                    ROUND(list_cosine_similarity(
                        CAST(e.embedding AS DOUBLE[]),

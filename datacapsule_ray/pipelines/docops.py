@@ -198,6 +198,22 @@ def sim_ivf_topk_embeddings(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out[["vec_id", "sim_r"]].reset_index(drop=True)
 
 
+def sim_ivf_exhaustive_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """IVF with nprobe = n_cells (every cell probed) is EXACT, so the
+    whole IVF machinery — centroid training, cell assignment, union
+    prefilter, per-query probe mask, per-block partial top-k, final
+    merge — carries the full brute-force SQL oracle. The nprobe=4 twin
+    above exercises the approximate path (rows-only + recall test)."""
+    q = _query_vec(sf_dir)
+    df = similarity.ivf_topk_cosine(_emb(sf_dir), q, max(k * 5, 50),
+                                    n_cells=8, nprobe=8)
+    out = df[["vec_id", "sim"]].copy()
+    out["sim_r"] = out["sim"].round(4)
+    out = out.sort_values(["sim_r", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k)
+    return out[["vec_id", "sim_r"]].reset_index(drop=True)
+
+
 def media_features_demo(sf_dir: str) -> Dataset:
     """Multimodal plumbing demo over a deterministic media table derived
     from documents (payload = utf-8 text bytes standing in for image
