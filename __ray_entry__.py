@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_marker_counts": docops.doc_lang_marker_counts,
         "doc_quality_filter": docops.doc_quality_filter,
         "dedup_exact_docs": docops.dedup_exact_docs,
+        "dedup_keep_best_docs": docops.dedup_keep_best_docs,
         "ssjoin_jaccard_docs": docops.ssjoin_jaccard_docs,
         "doc_top_bigrams": docops.doc_top_bigrams,
         "doc_top_terms": docops.doc_top_terms,
@@ -410,6 +411,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "dedup_keep_best_docs": """
+            WITH s AS (
+                SELECT doc_id, md5(text) AS fingerprint,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents),
+            r AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY fingerprint
+                           ORDER BY n_tokens DESC, doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies
+                FROM s)
+            SELECT fingerprint, doc_id AS keep_id,
+                   n_tokens AS keep_n_tokens, n_copies
+            FROM r WHERE rn = 1
         """,
         "frame_sample_plan": """
             SELECT 'media://vid/' || CAST(doc_id AS VARCHAR) AS media_ref,

@@ -67,6 +67,62 @@ def exact_dedup(ds: Dataset, text_col: str = "text",
     )
 
 
+def keep_best_dedup(ds: Dataset, *, group_col: str = "fingerprint",
+                    score_col: str = "score",
+                    id_col: str = "doc_id") -> Dataset:
+    """One row per group: the member with the HIGHEST score (ties →
+    smallest id) plus the group size — the quality-aware keep policy
+    (CCNet/FineWeb-style curation) complementing ``exact_dedup``'s
+    keep-first.
+
+    Input: any (group_col, id_col, score_col) dataset. One global range
+    exchange: sort by (group, -score, id), then each block reduces every
+    run to its first row + run length. Runs touching a block boundary
+    ride a raw channel (their per-block best + partial count) and are
+    re-combined driver-side — ≤ 2 groups per block, bounded by block
+    count, never by data size. Output columns: (group_col, id_col,
+    score_col, n_copies) with id/score taken from the kept member."""
+    import ray.data as rd
+
+    base_cols = [group_col, id_col, score_col]
+    sort_keys = [group_col, score_col, id_col]  # best first within group
+    srt = ds.sort(sort_keys, descending=[False, True, False])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if not n:
+            empty = df[base_cols].copy()
+            empty["n_copies"] = pd.Series(dtype="int64")
+            empty["edge"] = pd.Series(dtype="bool")
+            return empty
+        g = df[group_col].to_numpy()
+        change = np.ones(n, dtype=bool)
+        change[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(change)
+        nruns = len(starts)
+        counts = np.diff(np.append(starts, n))
+        out = df.iloc[starts][base_cols].copy()
+        out["n_copies"] = counts.astype(np.int64)
+        edge = np.zeros(nruns, dtype=bool)
+        edge[0] = edge[-1] = True  # runs that may straddle block bounds
+        out["edge"] = edge
+        return out
+
+    partial = srt.map_batches(block, batch_format="pandas").materialize()
+    interior = partial.filter(expr="edge == False").drop_columns(["edge"])
+    edge_df = partial.filter(expr="edge == True").to_pandas()
+    if not len(edge_df):
+        return interior
+    frag = edge_df.drop(columns=["edge"]).sort_values(
+        sort_keys, ascending=[True, False, True], kind="stable")
+    best = frag.drop_duplicates(group_col, keep="first")[base_cols]
+    totals = frag.groupby(group_col, sort=False, as_index=False)[
+        "n_copies"].sum()
+    fixed = best.merge(totals, on=group_col)[base_cols + ["n_copies"]]
+    return interior.union(
+        rd.from_arrow(pa.Table.from_pandas(fixed, preserve_index=False)))
+
+
 def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
                    pair_value_col: str, stats: dict | None = None,
                    presorted: bool = False) -> Dataset:

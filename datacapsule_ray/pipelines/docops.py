@@ -79,6 +79,35 @@ def dedup_exact_docs(sf_dir: str) -> Dataset:
     return dedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def dedup_keep_best_docs(sf_dir: str) -> Dataset:
+    """Quality-aware exact dedup: per content-hash group keep the doc
+    with the most tokens (tie → smallest doc_id), with the group size.
+    The keep-POLICY half of the dedup family (pairs → components →
+    which copy survives); integer score so the SQL oracle matches
+    exactly."""
+    import hashlib
+
+    def prep(batch: pa.Table) -> pa.Table:
+        stats = text.token_stats_batch(batch)
+        texts = batch.column("text").to_pylist()
+        fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+               for t in texts]
+        return pa.table({
+            "fingerprint": pa.array(fps, type=pa.string()),
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": stats.column("n_tokens"),
+        })
+
+    scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        prep, batch_format="pyarrow")
+    out = dedup.keep_best_dedup(scored, group_col="fingerprint",
+                                score_col="n_tokens", id_col="doc_id")
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["fingerprint", "keep_id", "keep_n_tokens", "n_copies"]),
+        batch_format="pyarrow")
+
+
 def ssjoin_jaccard_docs(sf_dir: str) -> Dataset:
     """EXACT token-set Jaccard >= 0.9 self-join (set collapse + prefix
     filtering + bucket matmul verify) — integer (n_inter, n_union)

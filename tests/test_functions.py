@@ -454,3 +454,28 @@ def test_dedup_pairs_empty_input():
         "id_b": pd.Series(dtype="int64"),
         "v": pd.Series(dtype="float64")}))
     assert len(dedup._dedup_pairs(empty, "v").to_pandas()) == 0
+
+
+def test_keep_best_dedup_boundary_groups():
+    """Quality-aware keep: max score wins, ties break to smallest id;
+    groups deliberately straddle block boundaries (many tiny blocks) so
+    the run-boundary raw channel is exercised."""
+    rows = []
+    for g in range(10):
+        for m in range(7):  # 7 members per group, scores 0..6
+            rows.append({"grp": f"g{g:02d}", "doc_id": 100 * g + m,
+                         "score": (m * 3) % 7})
+    # duplicate the top score so the id tiebreak matters
+    rows.append({"grp": "g03", "doc_id": 999, "score": 6})
+    df = pd.DataFrame(rows).sample(frac=1, random_state=5)
+    ds = rd.from_pandas(df).repartition(13)
+    out = (dedup.keep_best_dedup(ds, group_col="grp", score_col="score",
+                                 id_col="doc_id")
+           .to_pandas().sort_values("grp").reset_index(drop=True))
+    assert len(out) == 10
+    assert (out["n_copies"] == [7, 7, 7, 8] + [7] * 6).all()
+    assert (out["score"] == 6).all()
+    # g03 has scores 6 at doc 302 and 999 → keep 302
+    assert out.loc[out["grp"] == "g03", "doc_id"].item() == 302
+    exp = {f"g{g:02d}": 100 * g + 2 for g in range(10)}
+    assert dict(zip(out["grp"], out["doc_id"])) == exp
