@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_ivf_exhaustive_topk": docops.sim_ivf_exhaustive_topk,
         "media_features": docops.media_features_demo,
         "frame_sample": docops.frame_sample_demo,
+        # resize geometry is integer arithmetic → full SQL oracle
+        "media_resize_plan": docops.media_resize_plan,
         # the PLAN half of frame sampling (which frames, at which
         # timestamps) is deterministic from metadata → SQL-checkable;
         # only the stubbed frame fingerprint stays rows-only above
@@ -437,6 +439,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             CROSS JOIN unnest(generate_series(
                 0, (3000 + 500 * (doc_id % 4) - 1) // 1000)) AS u(i)
+        """,
+        "media_resize_plan": """
+            WITH m AS (
+                SELECT 'media://img/' || CAST(doc_id AS VARCHAR) AS media_ref,
+                       320 + (doc_id % 5) * 80 AS in_w,
+                       200 + (doc_id % 7) * 60 AS in_h
+                FROM documents)
+            SELECT media_ref,
+                   CAST(in_w AS INTEGER) AS in_w,
+                   CAST(in_h AS INTEGER) AS in_h,
+                   CAST(CASE WHEN in_w * 224 >= in_h * 224 THEN 224
+                        ELSE GREATEST(1, (in_w * 224) // in_h)
+                   END AS INTEGER) AS out_w,
+                   CAST(CASE WHEN in_w * 224 >= in_h * 224
+                        THEN GREATEST(1, (in_h * 224) // in_w)
+                        ELSE 224
+                   END AS INTEGER) AS out_h
+            FROM m
         """,
         "sample_docs_hash": """
             SELECT doc_id, n_chars FROM documents

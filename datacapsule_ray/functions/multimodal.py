@@ -112,3 +112,64 @@ def sample_frames(ds: Dataset, every_ms: int = 1000,
                           fn_constructor_kwargs={"every_ms": every_ms},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+class MediaResizer:
+    """Actor-pool stage: media rows → aspect-preserving resize into a
+    (max_w, max_h) box. The geometry is PURE INTEGER arithmetic (cross-
+    multiplied comparison + floor division), so the plan half is exact
+    and SQL-checkable; the pixel resample itself is the stubbed codec
+    call (``decoder="fake"`` emits a deterministic bytes-derived stand-
+    in payload, ``"real"`` raises — no PIL/cv2 in this container)."""
+
+    def __init__(self, max_w: int = 224, max_h: int = 224,
+                 decoder: str = "fake") -> None:
+        if decoder not in ("fake", "real"):
+            raise ValueError(decoder)
+        if decoder == "real":  # pragma: no cover - no codec libs here
+            raise NotImplementedError(
+                "real resize (PIL/cv2) is not available in this "
+                "environment; use decoder='fake'")
+        self.max_w = int(max_w)
+        self.max_h = int(max_h)
+
+    def plan(self, w: int, h: int) -> tuple[int, int]:
+        """(out_w, out_h) fitting (w, h) into the box, aspect kept.
+        Width binds when w*max_h >= h*max_w; the other edge floors."""
+        w, h = max(int(w), 1), max(int(h), 1)
+        if w * self.max_h >= h * self.max_w:
+            return self.max_w, max(1, (h * self.max_w) // w)
+        return max(1, (w * self.max_h) // h), self.max_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = batch.column("meta").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        in_w, in_h, out_w, out_h, out_payload = [], [], [], [], []
+        for meta, payload in zip(metas, payloads):
+            w = (meta or {}).get("width") or 1
+            h = (meta or {}).get("height") or 1
+            ow, oh = self.plan(w, h)
+            in_w.append(w)
+            in_h.append(h)
+            out_w.append(ow)
+            out_h.append(oh)
+            out_payload.append(hashlib.sha1(
+                (payload or b"") + ow.to_bytes(4, "big")
+                + oh.to_bytes(4, "big")).digest())
+        return pa.table({
+            "media_ref": batch.column("media_ref"),
+            "in_w": pa.array(in_w, type=pa.int32()),
+            "in_h": pa.array(in_h, type=pa.int32()),
+            "out_w": pa.array(out_w, type=pa.int32()),
+            "out_h": pa.array(out_h, type=pa.int32()),
+            "payload": pa.array(out_payload, type=pa.binary()),
+        })
+
+
+def resize_media(ds: Dataset, max_w: int = 224, max_h: int = 224,
+                 concurrency=(1, 4), batch_size: int = 64) -> Dataset:
+    return ds.map_batches(MediaResizer,
+                          fn_constructor_kwargs={"max_w": max_w,
+                                                 "max_h": max_h},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)

@@ -263,6 +263,33 @@ def media_features_demo(sf_dir: str) -> Dataset:
     return mm.extract_media_features(media, out_dim=16)
 
 
+def media_resize_plan(sf_dir: str) -> Dataset:
+    """Aspect-preserving resize into a 224×224 box over a media table
+    with doc_id-derived dimensions. The geometry columns are exact
+    integer arithmetic → full SQL oracle; the resampled payload (the
+    stubbed codec half) is dropped from the checked projection."""
+    from ..functions import multimodal as mm
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "media_ref": pa.array([f"media://img/{i}" for i in ids]),
+            "kind": pa.array(["image"] * len(ids)),
+            "payload": pa.array([(t or "").encode() for t in texts],
+                                type=pa.binary()),
+            "meta": pa.array([
+                {"width": 320 + (int(i) % 5) * 80,
+                 "height": 200 + (int(i) % 7) * 60,
+                 "duration_ms": 0} for i in ids]),
+        })
+
+    media = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow")
+    return mm.resize_media(media, max_w=224, max_h=224).drop_columns(
+        ["payload"])
+
+
 _FRAME_CACHE: dict[str, Dataset] = {}
 
 

@@ -479,3 +479,22 @@ def test_keep_best_dedup_boundary_groups():
     assert out.loc[out["grp"] == "g03", "doc_id"].item() == 302
     exp = {f"g{g:02d}": 100 * g + 2 for g in range(10)}
     assert dict(zip(out["grp"], out["doc_id"])) == exp
+
+
+def test_media_resizer_plan_geometry():
+    from datacapsule_ray.functions import multimodal as mm
+
+    r = mm.MediaResizer(max_w=224, max_h=224)
+    assert r.plan(448, 224) == (224, 112)    # width binds
+    assert r.plan(224, 448) == (112, 224)    # height binds
+    assert r.plan(224, 224) == (224, 224)    # exact fit
+    assert r.plan(0, 100) == (2, 224)        # degenerate width clamps to 1
+    assert r.plan(10000, 1) == (224, 1)      # extreme aspect floors to >=1
+    with pytest.raises(NotImplementedError):
+        mm.MediaResizer(decoder="real")
+    out = mm.resize_media(rd.from_arrow(pa.table({
+        "media_ref": ["m1"], "kind": ["image"], "payload": [b"xyz"],
+        "meta": [{"width": 640, "height": 200, "duration_ms": 0}],
+    })), max_w=224, max_h=224).to_pandas()
+    assert out.loc[0, "out_w"] == 224 and out.loc[0, "out_h"] == 70
+    assert len(out.loc[0, "payload"]) == 20  # sha1 stand-in payload
