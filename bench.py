@@ -79,7 +79,7 @@ def run_bench() -> dict:
     # extraction with a 10-actor cap); big corpora still get the full
     # pool
     pool_cap = min(max(2, NUM_CPUS - 4), max(4, n_docs // 2000))
-    n_trials = int(os.environ.get("GRAFT_BENCH_TRIALS", "2"))
+    n_trials = max(1, int(os.environ.get("GRAFT_BENCH_TRIALS", "2")))
     kg_trials: list[float] = []
     for trial in range(n_trials):
         ck = f"/tmp/dcray_bench_ck_{os.getpid()}_{trial}"

@@ -40,6 +40,19 @@ def _stable_u64(texts: list[str]) -> np.ndarray:
                                       index=False).to_numpy()
 
 
+def _run_change_mask(*keys: np.ndarray) -> np.ndarray:
+    """True where a sorted block starts a new key run (row 0 always
+    True): the shared kernel of every sorted-scan combine in this
+    module (pair dedup, keep-best, ssjoin's rep scan)."""
+    n = len(keys[0])
+    change = np.zeros(n, dtype=bool)
+    if n:
+        change[0] = True
+        for a in keys:
+            change[1:] |= a[1:] != a[:-1]
+    return change
+
+
 # --- exact dedup ------------------------------------------------------------
 
 def exact_dedup(ds: Dataset, text_col: str = "text",
@@ -95,10 +108,7 @@ def keep_best_dedup(ds: Dataset, *, group_col: str = "fingerprint",
             empty["n_copies"] = pd.Series(dtype="int64")
             empty["edge"] = pd.Series(dtype="bool")
             return empty
-        g = df[group_col].to_numpy()
-        change = np.ones(n, dtype=bool)
-        change[1:] = g[1:] != g[:-1]
-        starts = np.flatnonzero(change)
+        starts = np.flatnonzero(_run_change_mask(df[group_col].to_numpy()))
         nruns = len(starts)
         counts = np.diff(np.append(starts, n))
         out = df.iloc[starts][base_cols].copy()

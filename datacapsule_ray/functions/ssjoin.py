@@ -74,14 +74,18 @@ _IU_BASE = 67108864.0
 
 # per-worker-process deserialization cache for broadcast ObjectRefs:
 # ray.get inside a task re-deserializes the object on every call, which
-# matters once the frequent-token dict stops being tiny
+# matters once the frequent-token dict stops being tiny. Bounded at a
+# few entries (not one) so two pipelines sharing a worker pool don't
+# thrash it into a per-batch deserialize.
 _GET_CACHE: dict = {}
+_GET_CACHE_MAX = 4
 
 
 def _cached_get(ref):
     key = ref.hex()
     if key not in _GET_CACHE:
-        _GET_CACHE.clear()  # hold at most one broadcast per worker
+        if len(_GET_CACHE) >= _GET_CACHE_MAX:
+            _GET_CACHE.pop(next(iter(_GET_CACHE)))  # oldest insert
         _GET_CACHE[key] = ray.get(ref)
     return _GET_CACHE[key]
 
@@ -326,9 +330,14 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
         hs_ref = ray.put(hset)
 
         def member_filter(t: pa.Table) -> pa.Table:
-            hs = _cached_get(hs_ref)
-            mask = np.isin(
-                t.column("set_hash").to_numpy(zero_copy_only=False), hs)
+            hs = _cached_get(hs_ref)  # np.unique output → sorted
+            x = t.column("set_hash").to_numpy(zero_copy_only=False)
+            # searchsorted probe instead of np.isin (which re-sorts the
+            # broadcast array on every batch); hs is non-empty here
+            idx = np.searchsorted(hs, x)
+            ok = idx < len(hs)
+            idx[~ok] = 0
+            mask = ok & (hs[idx] == x)
             return t.filter(pa.array(mask))
 
         # limit(cap+1) probes the size in the same pass that collects:
@@ -336,25 +345,36 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
         mdf = (members.map_batches(member_filter, batch_format="pyarrow")
                .limit(broadcast_cap + 1).to_pandas())
         if len(mdf) <= broadcast_cap:
+            # three FLAT arrays (sorted keys, member values, run starts)
+            # instead of a per-set dict: ~2M one-element ndarray slices
+            # in a dict cost hundreds of MB of object overhead to
+            # pickle/deserialize; flat arrays ship as three buffers and
+            # lookups become np.searchsorted
             keys = mdf["set_hash"].to_numpy()
             order = np.argsort(keys, kind="stable")
             keys = keys[order]
             vals = mdf[id_col].to_numpy()[order]
             starts = np.flatnonzero(
                 np.concatenate(([True], keys[1:] != keys[:-1])))
-            ends = np.append(starts[1:], len(keys))
-            groups = {int(keys[s]): vals[s:e]
-                      for s, e in zip(starts, ends)}
-            grp_ref = ray.put(groups)
+            uniq = keys[starts]
+            bounds = np.append(starts, len(keys))
+            grp_ref = ray.put((uniq, bounds, vals))
+
+            def _empty_ids(arr: np.ndarray) -> pa.Array:
+                if arr.dtype == object:  # string doc ids
+                    return pa.array([], type=pa.string())
+                return pa.array(np.array([], dtype=arr.dtype))
 
             def expand_bcast(t: pa.Table) -> pa.Table:
-                grp = _cached_get(grp_ref)
+                uq, bd, vl = _cached_get(grp_ref)
                 ia = t.column("id_a").to_numpy(zero_copy_only=False)
                 ib = t.column("id_b").to_numpy(zero_copy_only=False)
                 code = t.column("iu_code").to_numpy(zero_copy_only=False)
+                pa_, pb_ = np.searchsorted(uq, ia), np.searchsorted(uq, ib)
                 outs_a, outs_b, outs_c = [], [], []
-                for x, y, c in zip(ia, ib, code):
-                    ma, mb = grp[int(x)], grp[int(y)]
+                for x, y, c in zip(pa_, pb_, code):
+                    ma = vl[bd[x]:bd[x + 1]]
+                    mb = vl[bd[y]:bd[y + 1]]
                     da = np.repeat(ma, len(mb))
                     db = np.tile(mb, len(ma))
                     outs_a.append(np.minimum(da, db))
@@ -362,14 +382,13 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
                     outs_c.append(np.full(len(da), c))
                 if not outs_a:
                     return pa.table({
-                        "id_a": pa.array([], pa.int64()),
-                        "id_b": pa.array([], pa.int64()),
+                        "id_a": _empty_ids(vl), "id_b": _empty_ids(vl),
                         "iu_code": pa.array([], pa.float64())})
+                # no astype: member ids keep their input dtype (uint64 /
+                # string), matching the join path's behavior exactly
                 return pa.table({
-                    "id_a": pa.array(
-                        np.concatenate(outs_a).astype(np.int64)),
-                    "id_b": pa.array(
-                        np.concatenate(outs_b).astype(np.int64)),
+                    "id_a": pa.array(np.concatenate(outs_a)),
+                    "id_b": pa.array(np.concatenate(outs_b)),
                     "iu_code": pa.array(np.concatenate(outs_c)),
                 })
 
