@@ -96,7 +96,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from datacapsule_ray.pipelines import docops, relational as r
+    from datacapsule_ray.pipelines import docops, relational as r, serving
 
     q: dict[str, Callable[[str], Any]] = {
         # classic relational operator coverage
@@ -126,6 +126,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rel_triples": r.kg_rel_triples,
         "kg_rel_nodes": r.kg_rel_nodes,
         "kg_rel_degree": r.kg_rel_degree,
+        # serving-side operators as data ops (A7 agent loop, A8 judge
+        # stage, S6 interaction store lifecycle) — all SQL-checkable
+        "judge_scores": serving.judge_scores,
+        "agent_nation_customers": serving.agent_nation_customers,
+        "interactions_page": serving.interactions_page,
         # text analysis / fingerprinting / dedup / similarity
         "doc_token_stats": docops.doc_token_stats,
         "doc_fingerprint": docops.doc_fingerprint,
@@ -366,6 +371,37 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "kg_rel_triples": _KG_REL_TRIPLES_SQL,
+        "judge_scores": """
+            SELECT a.doc_id,
+                   CAST(FLOOR((0.7 * jaccard(a.text, b.text)
+                        + 0.3 * (CASE WHEN a.lang = b.lang
+                                      THEN 1.0 ELSE 0.0 END)) * 10000
+                        + 0.5) AS BIGINT) AS score_bp
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        """,
+        "agent_nation_customers": """
+            SELECT n_name, CAST(COUNT(c_custkey) AS BIGINT) AS n_customers
+            FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "interactions_page": """
+            WITH base AS (
+                SELECT CAST(event_id AS VARCHAR) AS id,
+                       ts AS "timestamp",
+                       'q-' || CAST(event_id AS VARCHAR) AS question,
+                       CASE WHEN event_id % 5 = 0 THEN 'm2'
+                            ELSE 'm1' END AS model,
+                       event_type AS version,
+                       CAST(ROUND(value*100) AS BIGINT) AS processingTime,
+                       event_id
+                FROM events)
+            SELECT id, "timestamp", question, model, version, processingTime
+            FROM base
+            WHERE version = 'click'
+              AND (event_id % 7 != 0 OR event_id % 5 = 0)
+            ORDER BY "timestamp" DESC, id
+            LIMIT 20 OFFSET 10
+        """,
         "kg_rel_nodes": """
             SELECT DISTINCT r_name AS node_id, 'region' AS node_type FROM region
             UNION SELECT DISTINCT n_name, 'nation' FROM nation

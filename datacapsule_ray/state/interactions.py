@@ -1,0 +1,316 @@
+"""Interaction + saved-data stores (S6/S7) — the reference's serving-side
+persistence re-expressed as log-structured columnar stores a Ray cluster
+can write concurrently.
+
+The reference keeps interactions in a single SQLite table behind
+SQLAlchemy (app.py:58-85: id/timestamp/question/model/version/messages/
+retrievmethod/prompt/modelResponse/reasoning/processingTime/tokens) with
+insert (app.py:279-325, duplicate ids rejected), update (:385-387),
+delete (:329-351), point get (:401-432) and a version-filtered
+offset/limit page (:443-498); saved data is one growing JSON array file
+(app.py:253-276). A single mutable file is exactly what a multi-node
+engine cannot share, so both become append-only segment logs:
+
+- a *segment* is a directory of parquet files written atomically
+  (tmp → rename, the checkpoint.py convention) with a monotonically
+  increasing generation number and an op (``upsert``/``delete``) in its
+  name. Distributed ingest is ``Dataset.write_parquet`` straight into a
+  segment — no driver materialization, any number of part files.
+- reads resolve *last write wins* per id: union of segments with their
+  generation stamped on, one ``sort(id, seq)`` and a vectorized
+  take-last-of-run per block; runs touching a block boundary are
+  re-resolved driver-side (O(blocks) rows — the user_sessions /
+  top3_orders_per_customer boundary pattern). A winning tombstone drops
+  the id. Upsert-over-upsert reproduces the reference's update
+  endpoint; the duplicate-id insert rejection becomes idempotent
+  last-wins (documented divergence: a log store checks nothing at
+  append time).
+- ``compact()`` folds all segments into one resolved generation and
+  removes the old ones (crash-safe: new segment renamed in before old
+  ones are unlinked; a crash in between only leaves redundant rows that
+  the next resolve collapses).
+
+At 100 TB the id-hash could additionally bucket each segment's files so
+resolution shuffles only within buckets; the sort-based resolve here is
+the same shape Ray would execute for that — range-partition by id.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data import Dataset
+
+INTERACTION_FIELDS = pa.schema([
+    ("id", pa.string()),
+    ("timestamp", pa.timestamp("us")),
+    ("question", pa.string()),
+    ("model", pa.string()),
+    ("version", pa.string()),
+    ("messages", pa.string()),       # JSON-encoded, like the reference's
+    ("retrievmethod", pa.string()),  # JSON columns (app.py:77-78)
+    ("prompt", pa.string()),
+    ("modelResponse", pa.string()),
+    ("reasoning", pa.string()),
+    ("processingTime", pa.int64()),
+    ("tokens", pa.string()),
+])
+
+_SEG_PAT = re.compile(r"^seg-(\d{6})-(upsert|delete)$")
+
+
+class InteractionStore:
+    """Log-structured interaction store rooted at a directory."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # --- segment plumbing ----------------------------------------------------
+    def _segments(self) -> list[tuple[int, str, str]]:
+        """Sorted (seq, op, path) for committed segments."""
+        out = []
+        for name in os.listdir(self.root):
+            m = _SEG_PAT.match(name)
+            if m:
+                out.append((int(m.group(1)), m.group(2),
+                            os.path.join(self.root, name)))
+        return sorted(out)
+
+    def _next_seq(self) -> int:
+        segs = self._segments()
+        return (segs[-1][0] + 1) if segs else 0
+
+    def _commit_segment(self, op: str, write_fn) -> str:
+        """Atomic segment commit: write into a tmp dir, rename in. The
+        rename IS the commit — a crash mid-write leaves only .tmp junk
+        that is ignored by _segments and swept by compact()."""
+        seq = self._next_seq()
+        final = os.path.join(self.root, f"seg-{seq:06d}-{op}")
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        try:
+            write_fn(tmp)
+            os.rename(tmp, final)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        return final
+
+    # --- writes --------------------------------------------------------------
+    def append(self, records: list[dict]) -> str:
+        """Driver-side ingest of a few records (the per-request serving
+        path, app.py:279-325). Fields are normalized to the reference
+        schema; dict-valued messages/retrievmethod/tokens are
+        JSON-encoded like the reference does."""
+        rows = []
+        for r in records:
+            row = {}
+            for field in INTERACTION_FIELDS:
+                v = r.get(field.name)
+                if field.name in ("messages", "retrievmethod", "tokens") \
+                        and v is not None and not isinstance(v, str):
+                    v = json.dumps(v, ensure_ascii=False)
+                row[field.name] = v
+            if not row["id"]:
+                row["id"] = str(uuid.uuid4())
+            rows.append(row)
+        table = pa.Table.from_pylist(rows, schema=INTERACTION_FIELDS)
+        return self._commit_segment(
+            "upsert", lambda d: pq.write_table(table, f"{d}/part-0.parquet"))
+
+    def append_dataset(self, ds: Dataset) -> str:
+        """Distributed ingest: the Dataset's blocks stream straight into
+        the segment's part files — no driver materialization."""
+        return self._commit_segment(
+            "upsert", lambda d: ds.map_batches(
+                _conform_batch, batch_format="pyarrow").write_parquet(d))
+
+    def delete(self, ids: list[str]) -> str:
+        """Tombstone segment (app.py:329-351's delete endpoint)."""
+        t = pa.table({"id": pa.array([str(i) for i in ids], type=pa.string())})
+        return self._commit_segment(
+            "delete", lambda d: pq.write_table(t, f"{d}/part-0.parquet"))
+
+    def delete_dataset(self, ids: Dataset) -> str:
+        """Distributed tombstones from a Dataset with an ``id`` column."""
+        return self._commit_segment(
+            "delete", lambda d: ids.map_batches(
+                lambda t: pa.table({"id": t.column("id").cast(pa.string())}),
+                batch_format="pyarrow").write_parquet(d))
+
+    # --- reads ---------------------------------------------------------------
+    def scan(self) -> Dataset:
+        """Live rows after last-write-wins resolution (distributed)."""
+        segs = self._segments()
+        if not segs:
+            return rd.from_arrow(INTERACTION_FIELDS.empty_table())
+        parts = []
+        for seq, op, path in segs:
+            ds = rd.read_parquet(path)
+            parts.append(ds.map_batches(
+                _stamp(seq, op), batch_format="pyarrow"))
+        log = parts[0]
+        for p in parts[1:]:
+            log = log.union(p)
+        # conform the resolved blocks back onto the interaction schema:
+        # the boundary-fixup branch rides through pandas, which would
+        # otherwise leak object/float dtypes for nullable int columns
+        return _resolve_last_wins(log).map_batches(
+            _conform_batch, batch_format="pyarrow")
+
+    def get(self, interaction_id: str) -> dict | None:
+        """Point lookup (app.py:401-432): predicate pushdown at the read
+        — only matching row groups leave storage — then resolve the tiny
+        survivor set driver-side."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        frames = []
+        for seq, op, path in self._segments():
+            t = pads.dataset(path, format="parquet").to_table(
+                filter=pc.field("id") == interaction_id)
+            if t.num_rows:
+                frames.append(_stamp(seq, op)(t))
+        if not frames:
+            return None
+        allt = pa.concat_tables(frames, promote_options="default")
+        win = allt.to_pylist()[int(np.argmax(allt.column("_seq").to_numpy()))]
+        if win.pop("_op") == "delete":
+            return None
+        win.pop("_seq")
+        return win
+
+    def by_version(self, version: str, *, offset: int = 0,
+                   limit: int = 20) -> pd.DataFrame:
+        """Version-filtered page, timestamp DESC with id tiebreak
+        (app.py:443-498's offset/limit contract). Distributed sort +
+        limit — driver residency is one page + offset."""
+        from ..pipelines.relational import paginate
+
+        live = self.scan().filter(expr=f"version == '{version}'")
+        return paginate(live, sort_key="timestamp", descending=True,
+                        offset=offset, limit=limit, tiebreak="id")
+
+    # --- maintenance ---------------------------------------------------------
+    def compact(self) -> str:
+        """Fold the log into one resolved upsert segment and drop the
+        old segments + stray tmp dirs."""
+        old = self._segments()
+        resolved = self.scan()
+        new = self._commit_segment(
+            "upsert", lambda d: resolved.write_parquet(d))
+        for _, _, path in old:
+            shutil.rmtree(path, ignore_errors=True)
+        for name in os.listdir(self.root):
+            if ".tmp-" in name:
+                shutil.rmtree(os.path.join(self.root, name),
+                              ignore_errors=True)
+        return new
+
+
+def _conform_batch(t: pa.Table) -> pa.Table:
+    """Project/cast an ingest batch onto the interaction schema (missing
+    columns become nulls — the reference's nullable columns)."""
+    cols = {}
+    for field in INTERACTION_FIELDS:
+        if field.name in t.column_names:
+            cols[field.name] = t.column(field.name).cast(field.type)
+        else:
+            cols[field.name] = pa.nulls(t.num_rows, field.type)
+    return pa.table(cols)
+
+
+def _stamp(seq: int, op: str):
+    def inner(t: pa.Table) -> pa.Table:
+        if op == "delete":  # widen tombstones to the full schema
+            t = _conform_batch(t)
+        return (t.append_column("_seq", pa.array(
+                    np.full(t.num_rows, seq, dtype=np.int64)))
+                 .append_column("_op", pa.array([op] * t.num_rows,
+                                                type=pa.string())))
+    return inner
+
+
+def _resolve_last_wins(log: Dataset) -> Dataset:
+    """sort(id, _seq) → vectorized take-last-of-run per block; boundary
+    runs re-resolved driver-side (O(blocks) rows)."""
+    srt = log.sort(["id", "_seq"])
+
+    def block_last(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            df["_edge"] = pd.Series(dtype=bool)
+            return df
+        ids = df["id"].to_numpy()
+        last_of_run = np.ones(n, dtype=bool)
+        last_of_run[:-1] = ids[:-1] != ids[1:]
+        keep = last_of_run.copy()
+        keep[0] = keep[-1] = True  # boundary candidates ride along raw
+        out = df.iloc[np.flatnonzero(keep)].copy()
+        oid = out["id"].to_numpy()
+        edge = np.zeros(len(out), dtype=bool)
+        edge[oid == ids[0]] = True
+        edge[oid == ids[-1]] = True
+        out["_edge"] = edge
+        return out
+
+    partial = srt.map_batches(block_last, batch_format="pandas").materialize()
+    interior = (partial.filter(expr="_edge == False")
+                .filter(expr="_op == 'upsert'")
+                .drop_columns(["_edge", "_seq", "_op"]))
+    edge_df = partial.filter(expr="_edge == True").to_pandas()
+    if not len(edge_df):
+        return interior
+    fixed = (edge_df.sort_values(["id", "_seq"], kind="stable")
+             .groupby("id", sort=False).tail(1))
+    fixed = fixed[fixed["_op"] == "upsert"].drop(
+        columns=["_edge", "_seq", "_op"])
+    if not len(fixed):
+        return interior
+    return interior.union(rd.from_pandas(fixed.reset_index(drop=True)))
+
+
+class SavedDataStore:
+    """S7: the saved_data.json append channel (app.py:253-276) as an
+    append-only JSON-part log — same content as the reference's growing
+    array, but each save is its own immutable part (atomic tmp→rename),
+    so concurrent writers never rewrite shared state."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def save(self, data: dict) -> str:
+        n = len([f for f in os.listdir(self.root) if f.endswith(".json")])
+        final = os.path.join(self.root, f"part-{n:06d}.json")
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(data, f, ensure_ascii=False, indent=2)
+        os.rename(tmp, final)
+        return final
+
+    def load(self) -> list[dict]:
+        """All saved records in save order (the reference returns the
+        whole array; bounded by what was explicitly saved)."""
+        out = []
+        for name in sorted(os.listdir(self.root)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.root, name),
+                          encoding="utf-8") as f:
+                    out.append(json.load(f))
+        return out
+
+    def load_dataset(self) -> Dataset:
+        """The same records as a Dataset (distributed read)."""
+        return rd.read_json(self.root)

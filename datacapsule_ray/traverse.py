@@ -35,7 +35,17 @@ class GraphIndex:
     dspy_inference.py:64-78 (the reference loops over the whole list by
     mistake at :76 — documented divergence)."""
 
-    def __init__(self, nodes: pa.Table, edges: pa.Table) -> None:
+    def __init__(self, nodes: pa.Table, edges: pa.Table, *,
+                 hierarchy: dict[str, int] | None = None,
+                 leaf_level: int = 7) -> None:
+        # hierarchy is data, not a constant: the same traversal semantics
+        # apply to any typed DAG (the agent runs it over the relational
+        # region→nation→customer graph with its own level map).
+        # leaf_level = the deepest level that participates in recursion,
+        # at which distinct type names are equivalent (species semantics:
+        # 种 == 中文学名 at level 7, react_tools.py:118-122).
+        self.hierarchy = NODE_HIERARCHY if hierarchy is None else hierarchy
+        self.leaf_level = leaf_level
         self.attrs: dict[str, dict] = {}
         for row in nodes.to_pylist():
             node_id = row.pop("node_id")
@@ -47,7 +57,8 @@ class GraphIndex:
             self.in_adj[row["dst"]].append((row["rel"], row["src"]))
 
     @classmethod
-    def from_datasets(cls, nodes: Dataset, edges: Dataset) -> "GraphIndex":
+    def from_datasets(cls, nodes: Dataset, edges: Dataset,
+                      **kwargs) -> "GraphIndex":
         # straight Arrow materialization — the pandas round trip copied
         # every string into object dtype (≈3x peak memory) only to
         # convert back
@@ -57,7 +68,7 @@ class GraphIndex:
             return pa.concat_tables(ray.get(ds.to_arrow_refs()),
                                     promote_options="default")
 
-        return cls(gather(nodes), gather(edges))
+        return cls(gather(nodes), gather(edges), **kwargs)
 
     # --- J2 ---
     def get_node_attribute(self, node_id: str) -> dict:
@@ -88,8 +99,8 @@ class GraphIndex:
         source_type = self.attrs[node].get("node_type")
         if not source_type:
             return
-        source_level = NODE_HIERARCHY.get(source_type, float("inf"))
-        target_level = NODE_HIERARCHY.get(target, float("inf"))
+        source_level = self.hierarchy.get(source_type, float("inf"))
+        target_level = self.hierarchy.get(target, float("inf"))
         if source_level == target_level:
             nodes.add(node)
             return
@@ -99,12 +110,13 @@ class GraphIndex:
             ntype = self.attrs.get(neighbor, {}).get("node_type")
             if not ntype:
                 continue
-            nlevel = NODE_HIERARCHY.get(ntype, float("inf"))
-            if ntype == target or (nlevel == 7 and nlevel == target_level):
+            nlevel = self.hierarchy.get(ntype, float("inf"))
+            if ntype == target or (nlevel == self.leaf_level
+                                   and nlevel == target_level):
                 nodes.add(neighbor)
                 if target_level <= source_level:
                     return
-            elif nlevel <= 7:
+            elif nlevel <= self.leaf_level:
                 if target_level < source_level and nlevel < source_level:
                     self._find_recursive(neighbor, target, nodes, checked)
                 elif target_level > source_level and nlevel > source_level:
