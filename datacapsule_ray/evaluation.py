@@ -156,3 +156,28 @@ def mean_score(scored: Dataset) -> float:
     score in [0, 1] — a streaming aggregate, no materialization."""
     agg = scored.mean("score_bp")
     return float(agg) / 10000.0
+
+
+def bootstrap_demos(examples: Dataset, run_predictions, *,
+                    judge_factory=RubricJudge, k: int = 15,
+                    threshold: float = 0.9, **judge_kwargs) -> Dataset:
+    """The optimizer's demo-selection loop (BootstrapFewShot with the
+    judge metric, app.py:580-594 + max_labeled_demos=15) as a data
+    pipeline: run the predictor over every candidate example, judge each
+    prediction against the example's own reasoning/answer, keep
+    examples whose score clears ``threshold``, and take the top ``k``
+    deterministically (score desc, question asc). Every stage is a
+    Dataset op — predictions and judging both distribute; the driver
+    sees only the ≤k selected demos.
+
+    ``examples`` columns: question, standard_reasoning, standard_answer
+    (the dspy.Example fields built at app.py:554 from question /
+    reasoning / modelResponse). ``run_predictions(ds) -> ds`` must
+    append predicted_reasoning + predicted_answer (e.g. the A7 agent's
+    batch inference mapped onto those names)."""
+    scored = evaluate(run_predictions(examples), judge_factory,
+                      **judge_kwargs)
+    bp = score_to_bp(threshold)
+    kept = scored.filter(expr=f"score_bp >= {bp}")
+    return kept.sort(["score_bp", "question"],
+                     descending=[True, False]).limit(k)

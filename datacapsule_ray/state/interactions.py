@@ -202,6 +202,32 @@ class InteractionStore:
         return paginate(live, sort_key="timestamp", descending=True,
                         offset=offset, limit=limit, tiebreak="id")
 
+    def training_set(self, ids: list[str]) -> Dataset:
+        """The /addtraining export (app.py:677-733): the selected
+        interactions as dspy-Example-shaped rows (question / reasoning /
+        modelResponse → question / standard_reasoning / standard_answer,
+        app.py:554). The id set is the broadcast small side — a
+        vectorized ``is_in`` semi-join against the resolved store, never
+        a shuffle; rows missing any field are skipped like the
+        reference's ``if x.question and x.reasoning and ...`` guard
+        (app.py:703-713)."""
+        import pyarrow.compute as pc
+
+        wanted = pa.array(sorted({str(i) for i in ids}), type=pa.string())
+
+        def pick(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t.column("id"), value_set=wanted))
+            for col in ("question", "reasoning", "modelResponse"):
+                t = t.filter(pc.is_valid(t.column(col)))
+            return pa.table({
+                "id": t.column("id"),
+                "question": t.column("question"),
+                "standard_reasoning": t.column("reasoning"),
+                "standard_answer": t.column("modelResponse"),
+            })
+
+        return self.scan().map_batches(pick, batch_format="pyarrow")
+
     # --- maintenance ---------------------------------------------------------
     def compact(self) -> str:
         """Fold the log into one resolved upsert segment and drop the
@@ -279,6 +305,36 @@ def _resolve_last_wins(log: Dataset) -> Dataset:
     if not len(fixed):
         return interior
     return interior.union(rd.from_pandas(fixed.reset_index(drop=True)))
+
+
+class VersionStore:
+    """The reference's ``versions`` model (app.py:88-94: version PK,
+    file_path, description, created_at — one row per optimized-model
+    artifact, written at app.py:629) as an append-only JSON-part log.
+    Last write per version wins (re-registering a version updates it,
+    mirroring SQLAlchemy merge semantics)."""
+
+    def __init__(self, root: str) -> None:
+        self._log = SavedDataStore(root)
+
+    def register(self, version: str, file_path: str,
+                 description: str = "", created_at: str | None = None) -> str:
+        return self._log.save({"version": version, "file_path": file_path,
+                               "description": description,
+                               "created_at": created_at})
+
+    def get(self, version: str) -> dict | None:
+        hit = None
+        for row in self._log.load():      # save order == write order
+            if row.get("version") == version:
+                hit = row
+        return hit
+
+    def list_versions(self) -> list[dict]:
+        latest: dict[str, dict] = {}
+        for row in self._log.load():
+            latest[row.get("version")] = row
+        return sorted(latest.values(), key=lambda r: r.get("version") or "")
 
 
 class SavedDataStore:

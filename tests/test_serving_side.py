@@ -347,6 +347,67 @@ def test_resolve_matches_pandas_reference(tmp_path):
     assert live["model"].tolist() == expect["model"].tolist()
 
 
+def test_training_set_export(tmp_path):
+    store = InteractionStore(str(tmp_path / "s"))
+    recs = [_rec(i) for i in range(6)]
+    for r in recs:
+        r["reasoning"] = f"think-{r['id']}"
+        r["modelResponse"] = f"ans-{r['id']}"
+    recs[4]["reasoning"] = None  # incomplete → skipped (app.py:703-713)
+    store.append(recs)
+    ts = store.training_set(["1", "3", "4", "999"]).to_pandas()
+    assert sorted(ts["id"]) == ["1", "3"]
+    row = ts.set_index("id").loc["3"]
+    assert row["standard_reasoning"] == "think-3"
+    assert row["standard_answer"] == "ans-3"
+
+
+def test_bootstrap_demos_selects_correct_examples():
+    """The optimizer data loop end-to-end: agent predictions judged
+    against logged standards; only examples the agent reproduces clear
+    the threshold (BootstrapFewShot's metric-gated demo selection)."""
+    from datacapsule_ray.evaluation import bootstrap_demos
+
+    nodes, edges = _rel_graph()
+    agent = _agent()
+    good_reasoning = agent("CHINA下有多少个customer？")["reasoning"]
+
+    examples = rd.from_items([
+        {"question": "CHINA下有多少个customer？",
+         "standard_reasoning": good_reasoning, "standard_answer": "2"},
+        {"question": "JAPAN下有多少个customer？",
+         "standard_reasoning": "完全不同的推理路径零重叠",
+         "standard_answer": "999"},  # wrong answer, alien reasoning
+    ])
+
+    def run_pred(ds):
+        out = answer_questions(ds, nodes, edges, hierarchy=REL_HIER,
+                               leaf_level=3, concurrency=(1, 2))
+        return out.map_batches(
+            lambda t: (t.append_column("predicted_reasoning",
+                                       t.column("reasoning"))
+                        .append_column("predicted_answer",
+                                       t.column("answer"))),
+            batch_format="pyarrow")
+
+    demos = bootstrap_demos(examples, run_pred, k=15,
+                            threshold=0.9).to_pandas()
+    assert demos["question"].tolist() == ["CHINA下有多少个customer？"]
+    assert demos["score_bp"].tolist() == [10000]
+
+
+def test_version_store(tmp_path):
+    from datacapsule_ray.state.interactions import VersionStore
+
+    vs = VersionStore(str(tmp_path / "v"))
+    vs.register("1.0.0", "/models/a.json", "base")
+    vs.register("1.1.0", "/models/b.json", "optimized")
+    vs.register("1.0.0", "/models/a2.json", "re-registered")
+    assert vs.get("1.0.0")["file_path"] == "/models/a2.json"
+    assert vs.get("nope") is None
+    assert [v["version"] for v in vs.list_versions()] == ["1.0.0", "1.1.0"]
+
+
 def test_saved_data_store_roundtrip(tmp_path):
     store = SavedDataStore(str(tmp_path / "sd"))
     store.save({"question": "q1", "answer": "a1", "score": 1})
