@@ -103,6 +103,79 @@ class AgentTools:
         return len(nodes) if nodes else 0
 
 
+class DistributedAgentTools(AgentTools):
+    """The same six-tool contract over a graph too large for one node:
+    traversal runs dataset-resident (traverse.find_nodes_by_type_
+    distributed — broadcast-frontier semi-joins, result never on the
+    driver), and tool observations carry the exact COUNT plus a capped,
+    deterministic sample of node ids (trajectories must stay bounded;
+    the full result set remains available as a Dataset via
+    ``last_result``)."""
+
+    def __init__(self, typed_adj, nodes, *, hierarchy=None, leaf_level=7,
+                 vector_search=None, nl_query=None,
+                 sample_cap: int = 100) -> None:
+        super().__init__(index=None, vector_search=vector_search,
+                         nl_query=nl_query)
+        self.typed_adj = typed_adj
+        self.nodes = nodes
+        self.hierarchy = hierarchy
+        self.leaf_level = leaf_level
+        self.sample_cap = sample_cap
+        self.last_result = None
+
+    def find_nodes_by_node_type(self, start_node: str,
+                                target_node_type: str) -> tuple[int, list[str]]:
+        from .traverse import find_nodes_by_type_distributed
+
+        ds = find_nodes_by_type_distributed(
+            self.typed_adj, self.nodes, [start_node], target_node_type,
+            hierarchy=self.hierarchy, leaf_level=self.leaf_level).materialize()
+        self.last_result = ds
+        n = ds.count()
+        if n == 0:
+            return 0, []
+        # deterministic bounded sample: distributed sort + limit — the
+        # driver sees at most sample_cap rows, never the result set
+        df = ds.sort("node_id").limit(self.sample_cap).to_pandas()
+        return n, list(df["node_id"]) if len(df) else []
+
+    def get_node_attribute(self, node_id: str) -> dict:
+        hit = self.nodes.filter(
+            expr=f"node_id == '{node_id}'").take(1)
+        if not hit:
+            raise KeyError(node_id)
+        return hit[0]
+
+    def get_adjacent_node_descriptions(self, nodenames: list[str]) -> list[str]:
+        import pyarrow.compute as pc
+
+        names = pa.array(sorted(set(nodenames)), pa.string())
+
+        def pick(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "node" not in t.column_names:
+                return pa.table({"other": pa.array([], pa.string())})
+            return pa.table({"other": t.filter(
+                pc.is_in(t.column("node"), value_set=names)).column("other")})
+
+        neigh = self.typed_adj.map_batches(pick, batch_format="pyarrow")
+        ndf = neigh.to_pandas()
+        if not len(ndf):
+            return []
+        nb = pa.array(sorted(set(ndf["other"])), pa.string())
+
+        def descs(t: pa.Table) -> pa.Table:
+            if ("description" not in t.column_names
+                    or "node_id" not in t.column_names):
+                return pa.table({"description": pa.array([], pa.string())})
+            m = t.filter(pc.is_in(t.column("node_id"), value_set=nb))
+            d = m.column("description")
+            return pa.table({"description": d.filter(pc.is_valid(d))})
+
+        ddf = self.nodes.map_batches(descs, batch_format="pyarrow").to_pandas()
+        return sorted(set(ddf["description"])) if len(ddf) else []
+
+
 class ReActAgent:
     """thought→action→observation loop with a step budget."""
 
@@ -181,8 +254,10 @@ class RulesPlanner:
             if isinstance(obs, tuple):
                 count, nodes = obs
                 if want_count:
-                    return {"thought": f"统计节点数量：{count}",
-                            "tool": "nodes_count", "args": {"nodes": nodes}}
+                    # answer from the tool's exact count, NOT
+                    # len(nodes): distributed tools cap the node sample
+                    # while count stays exact
+                    return {"thought": f"共 {count} 个", "answer": str(count)}
                 return {"thought": "整合节点列表作为答案",
                         "answer": "、".join(nodes)}
             return {"thought": f"检索失败（{obs}），返回空答案", "answer": ""}

@@ -141,6 +141,169 @@ class GraphIndex:
         return list(result)
 
 
+_INF_LEVEL = 1 << 30  # stand-in for float('inf') in int64 level columns
+
+
+def build_typed_adjacency(nodes: Dataset, edges: Dataset, *,
+                          hierarchy: dict[str, int] | None = None,
+                          num_partitions: int = 8) -> Dataset:
+    """Both-direction adjacency rows annotated with node types/levels:
+    columns (node, node_lvl, other, other_type, other_lvl). Built ONCE
+    with two distributed hash joins (edges ⋈ nodes on each endpoint) and
+    reused across every traversal — the planet-scale substrate for
+    ``find_nodes_by_type_distributed`` (nothing ever lands on the
+    driver; type lookup is part of the join, not a broadcast dict)."""
+    hier = NODE_HIERARCHY if hierarchy is None else hierarchy
+
+    def typed(t: pa.Table) -> pa.Table:
+        lv = [hier.get(x, _INF_LEVEL)
+              for x in t.column("node_type").to_pylist()]
+        return pa.table({"nid": t.column("node_id").cast(pa.string()),
+                         "ntype": t.column("node_type").cast(pa.string()),
+                         "nlvl": pa.array(lv, pa.int64())})
+
+    nt = nodes.map_batches(typed, batch_format="pyarrow")
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        src = t.column("src").cast(pa.string())
+        dst = t.column("dst").cast(pa.string())
+        return pa.concat_tables([pa.table({"node": src, "other": dst}),
+                                 pa.table({"node": dst, "other": src})])
+
+    adj = edges.map_batches(both_dirs, batch_format="pyarrow")
+    j1 = adj.join(nt, join_type="inner", num_partitions=num_partitions,
+                  on=("node",), right_on=("nid",))
+    j1 = j1.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "node_lvl": t.column("nlvl"),
+                            "other": t.column("other")}),
+        batch_format="pyarrow")
+    j2 = j1.join(nt, join_type="inner", num_partitions=num_partitions,
+                 on=("other",), right_on=("nid",))
+    return j2.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "node_lvl": t.column("node_lvl"),
+                            "other": t.column("other"),
+                            "other_type": t.column("ntype"),
+                            "other_lvl": t.column("nlvl")}),
+        batch_format="pyarrow")
+
+
+def find_nodes_by_type_distributed(typed_adj: Dataset, nodes: Dataset,
+                                   start_nodes: list[str], target_type: str,
+                                   *, hierarchy: dict[str, int] | None = None,
+                                   leaf_level: int = 7,
+                                   num_partitions: int = 8) -> Dataset:
+    """J3 at planet scale: the hierarchy-monotonic traversal with the
+    RESULT set fully dataset-resident. Each round broadcasts the
+    frontier (one ``is_in`` semi-join over the typed adjacency — no
+    shuffle) and classifies matched neighbors vectorized; target-typed
+    hits accumulate as a Dataset union and are distinct-reduced ONCE at
+    the end, so the potentially huge last-hop fan-out (every species
+    under a kingdom, every customer under a nation) never lands on the
+    driver. Driver residency is the frontier only — the *interior*
+    hierarchy nodes (levels strictly between source and target), which
+    the hierarchy shape keeps small; level monotonicity bounds rounds
+    by the level-set depth and removes the need for a visited set.
+
+    (A join-per-round frontier was tried and rejected: Ray 2.49's hash
+    join materializes received-nothing partitions as schema-less empty
+    tables — ArrowBlockBuilder().build() at join.py:105-111 — which
+    poisons chained joins over sparse frontiers with "No match for key
+    field" errors. The broadcast semi-join is also strictly cheaper at
+    any frontier size that fits the object store.)
+
+    Set-semantics parity with ``GraphIndex.find_nodes_by_node_type`` on
+    tree-shaped hierarchies (the corpus contract; pinned by
+    tests/test_traverse.py::test_distributed_find_matches_index). On a
+    multi-parent DAG the in-memory DFS's early-return can drop
+    alternate ancestors; this returns the complete set (superset,
+    documented divergence)."""
+    import pyarrow.compute as pc
+
+    hier = NODE_HIERARCHY if hierarchy is None else hierarchy
+    target_lvl = hier.get(target_type, _INF_LEVEL)
+
+    # source nodes at the target's level match themselves (the DFS's
+    # source_level == target_level early case)
+    sset = pa.array(sorted(set(start_nodes)), pa.string())
+    self_hits = nodes.map_batches(
+        lambda t: (lambda m: pa.table(
+            {"node_id": t.column("node_id").cast(pa.string()).filter(m)}))(
+            pc.and_(pc.is_in(t.column("node_id").cast(pa.string()),
+                             value_set=sset),
+                    pc.equal(pa.array(
+                        [hier.get(x, _INF_LEVEL)
+                         for x in t.column("node_type").to_pylist()],
+                        pa.int64()), target_lvl))),
+        batch_format="pyarrow")
+
+    frontier = sset
+    hits: list[Dataset] = [self_hits]
+    # ≤ hierarchy depth + 1 rounds: every hop strictly moves the level
+    # toward the target, so the deepest chain is bounded by the level set
+    max_rounds = len(set(hier.values())) + 1
+    for _ in range(max_rounds):
+        if len(frontier) == 0:
+            break
+        fr = frontier
+
+        def classify(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "other" not in t.column_names:
+                return pa.table({"other": pa.array([], pa.string()),
+                                 "is_hit": pa.array([], pa.bool_())})
+            t = t.filter(pc.is_in(t.column("node"), value_set=fr))
+            cur = t.column("node_lvl")
+            nlvl = t.column("other_lvl")
+            ntype = t.column("other_type")
+            is_hit = pc.or_(
+                pc.equal(ntype, target_type),
+                pc.and_(pc.equal(nlvl, leaf_level),
+                        pc.equal(pa.scalar(target_lvl, pa.int64()),
+                                 leaf_level)))
+            desc = pc.and_(pc.greater(pa.scalar(target_lvl, pa.int64()), cur),
+                           pc.greater(nlvl, cur))
+            asc = pc.and_(pc.less(pa.scalar(target_lvl, pa.int64()), cur),
+                          pc.less(nlvl, cur))
+            mono = pc.and_(pc.or_(desc, asc),
+                           pc.less_equal(nlvl, leaf_level))
+            t = t.filter(pc.or_(is_hit.combine_chunks()
+                                if isinstance(is_hit, pa.ChunkedArray)
+                                else is_hit, mono))
+            hit2 = pc.or_(
+                pc.equal(t.column("other_type"), target_type),
+                pc.and_(pc.equal(t.column("other_lvl"), leaf_level),
+                        pc.equal(pa.scalar(target_lvl, pa.int64()),
+                                 leaf_level)))
+            return pa.table({"other": t.column("other"), "is_hit": hit2})
+
+        classified = typed_adj.map_batches(
+            classify, batch_format="pyarrow").materialize()
+        hits.append(classified.filter(expr="is_hit == True").map_batches(
+            lambda t: (pa.table({"node_id": t.column("other")})
+                       if "other" in t.column_names
+                       else pa.table({"node_id": pa.array([], pa.string())})),
+            batch_format="pyarrow"))
+        # interior nodes to the driver — O(levels-between) cardinality
+        fdf = (classified.filter(expr="is_hit == False")
+               .map_batches(
+                   lambda t: (pa.table({"fid": pc.unique(t.column("other"))})
+                              if "other" in t.column_names
+                              else pa.table({"fid": pa.array([],
+                                                            pa.string())})),
+                   batch_format="pyarrow").to_pandas())
+        frontier = pa.array(sorted(set(fdf["fid"])) if len(fdf) else [],
+                            pa.string())
+
+    out = hits[0]
+    for h in hits[1:]:
+        out = out.union(h)
+    return out.groupby("node_id").count().map_batches(
+        lambda t: (t.select(["node_id"]) if "node_id" in t.column_names
+                   else pa.table({"node_id": pa.array([], pa.string())})),
+        batch_format="pyarrow")
+
+
 def expand_frontier(edges: Dataset, frontier: set[str], *, rounds: int = 1,
                     direction: str = "both") -> set[str]:
     """Distributed neighbor expansion: k rounds of broadcast semi-join of

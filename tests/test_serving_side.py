@@ -255,6 +255,30 @@ def test_answer_questions_distributed():
     assert got["JAPAN下有多少个customer？"] == "1"
 
 
+def test_distributed_agent_tools():
+    """The agent over a dataset-resident graph: exact counts with a
+    capped node sample, same planner, no GraphIndex broadcast."""
+    from datacapsule_ray.agent import DistributedAgentTools
+    from datacapsule_ray.traverse import build_typed_adjacency
+
+    nodes_t, edges_t = _rel_graph()
+    nodes_ds = rd.from_arrow(nodes_t)
+    adj = build_typed_adjacency(nodes_ds, rd.from_arrow(edges_t),
+                                hierarchy=REL_HIER).materialize()
+    tools = DistributedAgentTools(adj, nodes_ds, hierarchy=REL_HIER,
+                                  leaf_level=3, sample_cap=1)
+    n, sample = tools.find_nodes_by_node_type("CHINA", "customer")
+    assert n == 2 and sample == ["c1"]  # exact count, capped sample
+
+    agent = ReActAgent(tools, RulesPlanner())
+    out = agent("CHINA下有多少个customer？")
+    assert out["ok"] and out["answer"] == "2"
+    out = agent("ASIA下有多少个customer？")
+    assert out["ok"] and out["answer"] == "3"
+
+    assert tools.get_node_attribute("c1")["node_type"] == "customer"
+
+
 # --- S6/S7 stores ------------------------------------------------------------
 
 def _rec(i, version="v1", model="m1", ts="2024-01-01T00:00:00"):

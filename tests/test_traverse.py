@@ -70,6 +70,45 @@ def test_batch_find(graph):
     assert found == {recs[0]["属"], recs[1]["属"]}
 
 
+def test_distributed_find_matches_index(graph):
+    """The dataset-resident traversal (join-per-round BFS) must agree
+    with GraphIndex's DFS on the tree-shaped corpus graph — descent,
+    ascent, attribute targets, and the kingdom→species full fan-out."""
+    import ray.data as rd
+
+    from datacapsule_ray.traverse import (build_typed_adjacency,
+                                          find_nodes_by_type_distributed)
+
+    gi, g, recs = graph
+    nodes_ds = rd.from_arrow(pa.table({
+        "node_id": list(g.nodes),
+        "node_type": [v[0] for v in g.nodes.values()],
+    }))
+    edges_ds = rd.from_arrow(pa.table({
+        "src": [e[0] for e in g.edges],
+        "rel": [e[1] for e in g.edges],
+        "dst": [e[2] for e in g.edges],
+    }))
+    adj = build_typed_adjacency(nodes_ds, edges_ds).materialize()
+
+    cases = [
+        ([recs[3]["中文学名"]], "科"),          # ascent
+        ([recs[0]["科"]], "种"),               # descent to leaf level
+        ([recs[1]["中文学名"]], "自然分布地"),   # attribute target
+        (["动物界"], "种"),                     # full fan-out
+        ([recs[0]["中文学名"]], "中文学名"),     # same-level self hit
+        (["不存在的节点"], "种"),               # missing start → empty
+    ]
+    for starts, target in cases:
+        want = set()
+        for s in starts:
+            want |= gi.find_nodes_by_node_type(s, target)
+        df = find_nodes_by_type_distributed(
+            adj, nodes_ds, starts, target).to_pandas()
+        got = set(df["node_id"]) if len(df) else set()
+        assert got == want, (starts, target, got ^ want)
+
+
 def test_expand_frontier_matches_index(graph):
     import ray.data as rd
 
