@@ -125,6 +125,15 @@ def run_bench() -> dict:
     timed("events_value_quantiles", r.events_value_quantiles)
     timed("sim_topk_embeddings", docops.sim_topk_embeddings)
 
+    # serving-side data operators (round 2): judge stage over doc
+    # pairs, agent batch inference over the relational KG, and the full
+    # interaction-store lifecycle (ingest + tombstones + upsert + page)
+    from datacapsule_ray.pipelines import serving
+
+    timed("judge_scores", serving.judge_scores)
+    timed("agent_nation_customers", serving.agent_nation_customers)
+    timed("interactions_page", serving.interactions_page)
+
     ray.shutdown()
     return {
         "metric": "kg_construction_e2e",
