@@ -109,6 +109,59 @@ def test_distributed_find_matches_index(graph):
         assert got == want, (starts, target, got ^ want)
 
 
+def test_distributed_find_random_trees():
+    """Randomized parity sweep: on seeded random typed trees (4
+    hierarchy levels + attribute leaves), the dataset-resident
+    traversal must equal the in-memory DFS for every (start, target)
+    combination — ascent, descent, and attribute targets across
+    arbitrary shapes, not just the corpus fixture."""
+    import numpy as np
+    import ray.data as rd
+
+    from datacapsule_ray.traverse import (build_typed_adjacency,
+                                          find_nodes_by_type_distributed)
+
+    HIER = {"L1": 1, "L2": 2, "L3": 3, "L4": 4, "attr": 8}
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        names = {1: ["r0"]}
+        for lvl, n in ((2, 3), (3, 6), (4, 12)):
+            names[lvl] = [f"n{lvl}_{i}" for i in range(n)]
+        nodes, types, edges = [], [], []
+        for lvl in (1, 2, 3, 4):
+            for nm in names[lvl]:
+                nodes.append(nm)
+                types.append(f"L{lvl}")
+                if lvl > 1:
+                    parent = names[lvl - 1][rng.integers(len(names[lvl - 1]))]
+                    edges.append((parent, nm))
+        for i in range(10):
+            host = names[4][rng.integers(len(names[4]))]
+            nodes.append(f"a{i}")
+            types.append("attr")
+            edges.append((host, f"a{i}"))
+
+        nodes_t = pa.table({"node_id": nodes, "node_type": types})
+        edges_t = pa.table({"src": [e[0] for e in edges],
+                            "rel": ["contains"] * len(edges),
+                            "dst": [e[1] for e in edges]})
+        gi = GraphIndex(nodes_t, edges_t, hierarchy=HIER, leaf_level=4)
+        adj = build_typed_adjacency(
+            rd.from_arrow(nodes_t), rd.from_arrow(edges_t),
+            hierarchy=HIER).materialize()
+        nodes_ds = rd.from_arrow(nodes_t)
+
+        starts = ["r0", names[2][0], names[3][-1], names[4][0]]
+        for start in starts:
+            for target in ("L1", "L2", "L3", "L4", "attr"):
+                want = gi.find_nodes_by_node_type(start, target)
+                df = find_nodes_by_type_distributed(
+                    adj, nodes_ds, [start], target, hierarchy=HIER,
+                    leaf_level=4).to_pandas()
+                got = set(df["node_id"]) if len(df) else set()
+                assert got == want, (seed, start, target, got ^ want)
+
+
 def test_expand_frontier_matches_index(graph):
     import ray.data as rd
 
