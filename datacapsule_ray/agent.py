@@ -141,8 +141,16 @@ class DistributedAgentTools(AgentTools):
         return n, list(df["node_id"]) if len(df) else []
 
     def get_node_attribute(self, node_id: str) -> dict:
-        hit = self.nodes.filter(
-            expr=f"node_id == '{node_id}'").take(1)
+        import pyarrow.compute as pc
+
+        # vectorized equality, NOT string-interpolated filter exprs —
+        # extracted entity names may contain quotes/metacharacters
+        want = pa.scalar(node_id, pa.string())
+        hit = self.nodes.map_batches(
+            lambda t: (t.filter(pc.equal(
+                t.column("node_id").cast(pa.string()), want))
+                if "node_id" in t.column_names else t.slice(0, 0)),
+            batch_format="pyarrow").take(1)
         if not hit:
             raise KeyError(node_id)
         return hit[0]
@@ -158,8 +166,17 @@ class DistributedAgentTools(AgentTools):
             return pa.table({"other": t.filter(
                 pc.is_in(t.column("node"), value_set=names)).column("other")})
 
-        neigh = self.typed_adj.map_batches(pick, batch_format="pyarrow")
-        ndf = neigh.to_pandas()
+        # bounded driver residency: per-batch unique, then a
+        # distributed sort + limit — the observation is capped like the
+        # node samples (the reference returns everything; a planet-scale
+        # hub would otherwise land its whole neighborhood on the driver)
+        neigh = self.typed_adj.map_batches(
+            pick, batch_format="pyarrow").map_batches(
+            lambda t: (pa.table({"other": pc.unique(t.column("other"))})
+                       if "other" in t.column_names
+                       else pa.table({"other": pa.array([], pa.string())})),
+            batch_format="pyarrow")
+        ndf = neigh.sort("other").limit(self.sample_cap * 10).to_pandas()
         if not len(ndf):
             return []
         nb = pa.array(sorted(set(ndf["other"])), pa.string())
@@ -270,8 +287,6 @@ class RulesPlanner:
                     "tool": "find_nodes_by_node_type",
                     "args": {"start_node": str(hits[0]),
                              "target_node_type": target}}
-        if last["tool"] == "nodes_count":
-            return {"thought": f"共 {obs} 个", "answer": str(obs)}
         raise ValueError(f"unexpected trajectory state: {last['tool']}")
 
 

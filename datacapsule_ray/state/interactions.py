@@ -125,6 +125,13 @@ class InteractionStore:
             if not row["id"]:
                 row["id"] = str(uuid.uuid4())
             rows.append(row)
+        # duplicate ids within ONE call: the later record wins,
+        # deterministically (mirrors applying the upserts in sequence).
+        # append_dataset makes no such promise — rows of one generation
+        # share a _seq, so in-generation duplicates resolve arbitrarily
+        # and distributed ingest callers must dedupe per generation.
+        last = {r["id"]: r for r in rows}
+        rows = [r for r in rows if last[r["id"]] is r]
         table = pa.Table.from_pylist(rows, schema=INTERACTION_FIELDS)
         return self._commit_segment(
             "upsert", lambda d: pq.write_table(table, f"{d}/part-0.parquet"))
@@ -218,7 +225,11 @@ class InteractionStore:
         def pick(t: pa.Table) -> pa.Table:
             t = t.filter(pc.is_in(t.column("id"), value_set=wanted))
             for col in ("question", "reasoning", "modelResponse"):
-                t = t.filter(pc.is_valid(t.column(col)))
+                # truthiness like the reference: null AND empty-string
+                # fields disqualify (an errored agent episode logs
+                # modelResponse='' — it must not become a demo)
+                c = t.column(col)
+                t = t.filter(pc.and_(pc.is_valid(c), pc.not_equal(c, "")))
             return pa.table({
                 "id": t.column("id"),
                 "question": t.column("question"),
@@ -348,9 +359,14 @@ class SavedDataStore:
         os.makedirs(root, exist_ok=True)
 
     def save(self, data: dict) -> str:
+        # part name = counter + random suffix: two concurrent writers
+        # that observe the same count produce DISTINCT files instead of
+        # the second rename silently clobbering the first; load order
+        # stays name-sorted (counter first), ties ordered by suffix
         n = len([f for f in os.listdir(self.root) if f.endswith(".json")])
-        final = os.path.join(self.root, f"part-{n:06d}.json")
-        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        final = os.path.join(self.root,
+                             f"part-{n:06d}-{uuid.uuid4().hex[:8]}.json")
+        tmp = f"{final}.tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(data, f, ensure_ascii=False, indent=2)
         os.rename(tmp, final)

@@ -144,6 +144,30 @@ class GraphIndex:
 _INF_LEVEL = 1 << 30  # stand-in for float('inf') in int64 level columns
 
 
+def _drop_empty_blocks(ds: Dataset, empty_schema: pa.Schema) -> Dataset:
+    """Launder a join output for use as a further join input: Ray
+    2.49's hash join materializes received-nothing partitions as
+    SCHEMA-LESS empty tables (ArrowBlockBuilder().build() with zero
+    shards, join.py:105-111), empty blocks bypass map_batches, and a
+    schema-less block poisons the partitioner of the next join with
+    "No match for key field" errors. Rebuilding the dataset from only
+    its non-empty block refs removes them — block refs and metadata
+    only; no table ever lands on the driver."""
+    import ray.data as rd
+
+    mat = ds.materialize()
+    try:
+        refs = [block_ref
+                for bundle in mat.iter_internal_ref_bundles()
+                for block_ref, meta in zip(bundle.block_refs, bundle.metadata)
+                if (meta.num_rows or 0) > 0]
+    except Exception:  # pragma: no cover - internal API moved; degrade
+        return mat
+    if not refs:
+        return rd.from_arrow(empty_schema.empty_table())
+    return rd.from_arrow_refs(refs)
+
+
 def build_typed_adjacency(nodes: Dataset, edges: Dataset, *,
                           hierarchy: dict[str, int] | None = None,
                           num_partitions: int = 8) -> Dataset:
@@ -178,22 +202,32 @@ def build_typed_adjacency(nodes: Dataset, edges: Dataset, *,
                             "node_lvl": t.column("nlvl"),
                             "other": t.column("other")}),
         batch_format="pyarrow")
+    # launder between the chained joins — see _drop_empty_blocks
+    j1 = _drop_empty_blocks(j1, pa.schema([("node", pa.string()),
+                                           ("node_lvl", pa.int64()),
+                                           ("other", pa.string())]))
     j2 = j1.join(nt, join_type="inner", num_partitions=num_partitions,
                  on=("other",), right_on=("nid",))
-    return j2.map_batches(
-        lambda t: pa.table({"node": t.column("node"),
-                            "node_lvl": t.column("node_lvl"),
-                            "other": t.column("other"),
-                            "other_type": t.column("ntype"),
-                            "other_lvl": t.column("nlvl")}),
+    out_schema = pa.schema([("node", pa.string()), ("node_lvl", pa.int64()),
+                            ("other", pa.string()),
+                            ("other_type", pa.string()),
+                            ("other_lvl", pa.int64())])
+    out = j2.map_batches(
+        lambda t: (pa.table({"node": t.column("node"),
+                             "node_lvl": t.column("node_lvl"),
+                             "other": t.column("other"),
+                             "other_type": t.column("ntype"),
+                             "other_lvl": t.column("nlvl")})
+                   if "node" in t.column_names
+                   else out_schema.empty_table()),
         batch_format="pyarrow")
+    return _drop_empty_blocks(out, out_schema)
 
 
 def find_nodes_by_type_distributed(typed_adj: Dataset, nodes: Dataset,
                                    start_nodes: list[str], target_type: str,
                                    *, hierarchy: dict[str, int] | None = None,
-                                   leaf_level: int = 7,
-                                   num_partitions: int = 8) -> Dataset:
+                                   leaf_level: int = 7) -> Dataset:
     """J3 at planet scale: the hierarchy-monotonic traversal with the
     RESULT set fully dataset-resident. Each round broadcasts the
     frontier (one ``is_in`` semi-join over the typed adjacency — no
@@ -267,15 +301,18 @@ def find_nodes_by_type_distributed(typed_adj: Dataset, nodes: Dataset,
                           pc.less(nlvl, cur))
             mono = pc.and_(pc.or_(desc, asc),
                            pc.less_equal(nlvl, leaf_level))
-            t = t.filter(pc.or_(is_hit.combine_chunks()
-                                if isinstance(is_hit, pa.ChunkedArray)
-                                else is_hit, mono))
-            hit2 = pc.or_(
-                pc.equal(t.column("other_type"), target_type),
-                pc.and_(pc.equal(t.column("other_lvl"), leaf_level),
-                        pc.equal(pa.scalar(target_lvl, pa.int64()),
-                                 leaf_level)))
-            return pa.table({"other": t.column("other"), "is_hit": hit2})
+            # a recursed-into node AT the target level is itself a hit
+            # (the DFS's source_level == target_level early case fires
+            # on entry) — without this, a second type sharing the
+            # target's level would be silently dropped
+            lvl_hit = pc.and_(mono, pc.equal(nlvl,
+                                             pa.scalar(target_lvl,
+                                                       pa.int64())))
+            full_hit = pc.or_(is_hit, lvl_hit)
+            t = (t.append_column("__hit", full_hit)
+                  .filter(pc.or_(full_hit, mono)))
+            return pa.table({"other": t.column("other"),
+                             "is_hit": t.column("__hit")})
 
         classified = typed_adj.map_batches(
             classify, batch_format="pyarrow").materialize()

@@ -378,12 +378,33 @@ def test_training_set_export(tmp_path):
         r["reasoning"] = f"think-{r['id']}"
         r["modelResponse"] = f"ans-{r['id']}"
     recs[4]["reasoning"] = None  # incomplete → skipped (app.py:703-713)
+    recs[1]["modelResponse"] = ""  # empty string is falsy too → skipped
     store.append(recs)
     ts = store.training_set(["1", "3", "4", "999"]).to_pandas()
-    assert sorted(ts["id"]) == ["1", "3"]
+    assert sorted(ts["id"]) == ["3"]
     row = ts.set_index("id").loc["3"]
     assert row["standard_reasoning"] == "think-3"
     assert row["standard_answer"] == "ans-3"
+
+
+def test_saved_data_same_counter_does_not_clobber(tmp_path):
+    """Two writers that observed the same part count must both survive
+    (unique suffix; the reference's single rewritten JSON array cannot
+    make this guarantee)."""
+    from datacapsule_ray.state.interactions import SavedDataStore
+
+    import json as _json
+    import os
+
+    store = SavedDataStore(str(tmp_path / "sd"))
+    p1 = store.save({"w": "a"})
+    # emulate the racing writer: same counter prefix, different suffix
+    # (exactly what a stale-count save produces post-fix)
+    racer = os.path.join(os.path.dirname(p1), "part-000000-ffffffff.json")
+    with open(racer, "w", encoding="utf-8") as f:
+        _json.dump({"w": "b"}, f)
+    got = sorted(r["w"] for r in store.load())
+    assert got == ["a", "b"]  # both counter-0 parts coexist
 
 
 def test_bootstrap_demos_selects_correct_examples():

@@ -109,6 +109,34 @@ def test_distributed_find_matches_index(graph):
         assert got == want, (starts, target, got ^ want)
 
 
+def test_distributed_find_tiny_graph_and_shared_target_level():
+    """Two regressions: (1) tiny/hash-unlucky graphs crashed the
+    chained typing joins on Ray's schema-less empty partitions;
+    (2) a second type sharing the target's LEVEL must be collected
+    (the DFS source_level == target_level entry case)."""
+    import ray.data as rd
+
+    from datacapsule_ray.traverse import (build_typed_adjacency,
+                                          find_nodes_by_type_distributed)
+
+    HIER = {"A": 1, "B": 2, "C": 2, "D": 3}
+    nodes_t = pa.table({"node_id": ["a", "c", "d"],
+                        "node_type": ["A", "C", "D"]})
+    edges_t = pa.table({"src": ["a", "c"], "rel": ["r", "r"],
+                        "dst": ["c", "d"]})
+    nodes_ds = rd.from_arrow(nodes_t)
+    adj = build_typed_adjacency(nodes_ds, rd.from_arrow(edges_t),
+                                hierarchy=HIER).materialize()  # (1): no crash
+    gi = GraphIndex(nodes_t, edges_t, hierarchy=HIER, leaf_level=7)
+
+    for start, target in [("d", "B"), ("a", "D"), ("d", "A"), ("c", "C")]:
+        want = gi.find_nodes_by_node_type(start, target)
+        df = find_nodes_by_type_distributed(
+            adj, nodes_ds, [start], target, hierarchy=HIER).to_pandas()
+        got = set(df["node_id"]) if len(df) else set()
+        assert got == want, (start, target, got, want)
+
+
 def test_distributed_find_random_trees():
     """Randomized parity sweep: on seeded random typed trees (4
     hierarchy levels + attribute leaves), the dataset-resident
