@@ -100,10 +100,19 @@ class HTTPJudge:
 
     def score_batch(self, questions: list, standards: list, predictions: list,
                     std_answers: list, pred_answers: list) -> list[float]:
+        import json
+
+        # answers ride in the prompt JSON-encoded (null ≠ the string
+        # "None") — without them the LLM could never judge the 30-point
+        # result component and two rows with identical reasoning but
+        # opposite answer correctness would score the same
         prompts = [
             f"{TASK_JUDGE}\nquestion: {q}\nstandard_reasoning: {s}\n"
-            f"predicted_reasoning: {p}"
-            for q, s, p in zip(questions, standards, predictions)]
+            f"predicted_reasoning: {p}\n"
+            f"standard_answer: {json.dumps(sa, ensure_ascii=False)}\n"
+            f"predicted_answer: {json.dumps(pa_, ensure_ascii=False)}"
+            for q, s, p, sa, pa_ in zip(questions, standards, predictions,
+                                        std_answers, pred_answers)]
         try:
             texts = self.client.complete_batch(prompts)
         except Exception:  # noqa: BLE001 — transport error → default score
@@ -120,8 +129,10 @@ class HTTPJudge:
 class JudgeStage:
     """map_batches actor: judge state once per actor, one scored batch
     per call. Input columns: question, standard_reasoning,
-    predicted_reasoning, standard_answer, predicted_answer (answers
-    optional — pass None columns for reasoning-only scoring)."""
+    predicted_reasoning, standard_answer, predicted_answer. Answer
+    columns may be omitted, but then the answer component scores 0 and
+    the rubric CAPS at 0.7·jaccard — size any downstream threshold
+    (e.g. bootstrap_demos) accordingly."""
 
     def __init__(self, judge_factory=RubricJudge, **judge_kwargs) -> None:
         self.judge = judge_factory(**judge_kwargs)
@@ -153,9 +164,11 @@ def evaluate(ds: Dataset, judge_factory=RubricJudge, *, concurrency=(1, 4),
 
 def mean_score(scored: Dataset) -> float:
     """Dataset-level metric (the reference's Evaluate aggregate): mean
-    score in [0, 1] — a streaming aggregate, no materialization."""
+    score in [0, 1] — a streaming aggregate, no materialization. An
+    empty dataset (everything filtered upstream) yields NaN, not a
+    TypeError (Dataset.mean returns None on zero rows)."""
     agg = scored.mean("score_bp")
-    return float(agg) / 10000.0
+    return float("nan") if agg is None else float(agg) / 10000.0
 
 
 def bootstrap_demos(examples: Dataset, run_predictions, *,

@@ -72,20 +72,18 @@ def agent_nation_customers(sf_dir: str) -> pd.DataFrame:
     actor pool over the region→nation→customer graph (broadcast once via
     ray.put, the A4 tier; the planet-scale path is expand_frontier).
     Output (n_name, n_customers) equals the SQL LEFT JOIN count."""
-    import ray
-
     from ..agent import answer_questions
+    from ..traverse import gather_table as gather
 
     region = _t(sf_dir, "region", ["r_regionkey", "r_name"])
-    nation = _t(sf_dir, "nation", ["n_regionkey", "n_name"])
+    # ONE nation scan carrying key, region FK and name together — a
+    # second scan zipped by implicit row order would silently miswire
+    # every customer edge if the two reads ever split differently
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_regionkey", "n_name"])
     cust = _t(sf_dir, "customer", ["c_nationkey", "c_name"])
 
     # node/edge tables built distributed, gathered only for the
     # broadcast (the graph IS the small side here)
-    def gather(ds: Dataset) -> pa.Table:
-        return pa.concat_tables(ray.get(ds.to_arrow_refs()),
-                                promote_options="default")
-
     nation_t = gather(nation)
     region_t = gather(region)
     rmap = dict(zip(region_t.column("r_regionkey").to_pylist(),
@@ -104,9 +102,8 @@ def agent_nation_customers(sf_dir: str) -> pd.DataFrame:
         cust_nodes,
     ])
 
-    nation_by_key = dict(zip(
-        gather(_t(sf_dir, "nation", ["n_nationkey"])).column("n_nationkey").to_pylist(),
-        nation_names))
+    nation_by_key = dict(zip(nation_t.column("n_nationkey").to_pylist(),
+                             nation_names))
     cust_edges = gather(cust.map_batches(
         lambda t: pa.table({
             "src": pa.array([nation_by_key[int(k)] for k in

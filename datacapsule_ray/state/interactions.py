@@ -66,7 +66,11 @@ INTERACTION_FIELDS = pa.schema([
     ("tokens", pa.string()),
 ])
 
-_SEG_PAT = re.compile(r"^seg-(\d{6})-(upsert|delete)$")
+# 6+ digits: the writer's f'{seq:06d}' widens past 999,999 instead of
+# truncating — an exactly-6 anchor would make segment 1,000,000
+# invisible (silent data loss) and wedge the next commit on a rename
+# collision
+_SEG_PAT = re.compile(r"^seg-(\d{6,})-(upsert|delete)$")
 
 
 class InteractionStore:
@@ -203,9 +207,18 @@ class InteractionStore:
         """Version-filtered page, timestamp DESC with id tiebreak
         (app.py:443-498's offset/limit contract). Distributed sort +
         limit — driver residency is one page + offset."""
+        import pyarrow.compute as pc
+
         from ..pipelines.relational import paginate
 
-        live = self.scan().filter(expr=f"version == '{version}'")
+        # vectorized equality, NOT a string-interpolated filter expr:
+        # version mirrors an HTTP query param (app.py:443), so a quote
+        # in it would crash the expression parser — or worse, select
+        # the wrong rows
+        want = pa.scalar(version, pa.string())
+        live = self.scan().map_batches(
+            lambda t: t.filter(pc.equal(t.column("version"), want)),
+            batch_format="pyarrow")
         return paginate(live, sort_key="timestamp", descending=True,
                         offset=offset, limit=limit, tiebreak="id")
 

@@ -59,16 +59,7 @@ class GraphIndex:
     @classmethod
     def from_datasets(cls, nodes: Dataset, edges: Dataset,
                       **kwargs) -> "GraphIndex":
-        # straight Arrow materialization — the pandas round trip copied
-        # every string into object dtype (≈3x peak memory) only to
-        # convert back
-        import ray
-
-        def gather(ds: Dataset) -> pa.Table:
-            return pa.concat_tables(ray.get(ds.to_arrow_refs()),
-                                    promote_options="default")
-
-        return cls(gather(nodes), gather(edges), **kwargs)
+        return cls(gather_table(nodes), gather_table(edges), **kwargs)
 
     # --- J2 ---
     def get_node_attribute(self, node_id: str) -> dict:
@@ -87,13 +78,17 @@ class GraphIndex:
 
     # --- J3 ---
     def find_nodes_by_node_type(self, start_node: str, attr_name: str) -> set[str]:
-        checked: list[str] = []
+        # visited is a SET: the reference appends to a list and does O(n)
+        # membership scans (react_tools.py:99), which is quadratic on the
+        # kingdom→species fan-out; order is never read, so set semantics
+        # are identical
+        checked: set[str] = set()
         nodes: set[str] = set()
         self._find_recursive(start_node, attr_name, nodes, checked)
         return nodes
 
-    def _find_recursive(self, node: str, target: str, nodes: set, checked: list) -> None:
-        checked.append(node)
+    def _find_recursive(self, node: str, target: str, nodes: set, checked: set) -> None:
+        checked.add(node)
         if node not in self.attrs:
             return
         source_type = self.attrs[node].get("node_type")
@@ -139,6 +134,17 @@ class GraphIndex:
                 if desc:
                     result.add(desc)
         return list(result)
+
+
+def gather_table(ds: Dataset) -> pa.Table:
+    """Materialize a SMALL Dataset as one Arrow table — straight block
+    fetch, no pandas round trip (which copies every string into object
+    dtype, ≈3x peak memory, only to convert back). Broadcast-side use
+    only: the caller asserts the dataset fits one node."""
+    import ray
+
+    return pa.concat_tables(ray.get(ds.to_arrow_refs()),
+                            promote_options="default")
 
 
 _INF_LEVEL = 1 << 30  # stand-in for float('inf') in int64 level columns
@@ -235,10 +241,12 @@ def find_nodes_by_type_distributed(typed_adj: Dataset, nodes: Dataset,
     hits accumulate as a Dataset union and are distinct-reduced ONCE at
     the end, so the potentially huge last-hop fan-out (every species
     under a kingdom, every customer under a nation) never lands on the
-    driver. Driver residency is the frontier only — the *interior*
-    hierarchy nodes (levels strictly between source and target), which
-    the hierarchy shape keeps small; level monotonicity bounds rounds
-    by the level-set depth and removes the need for a visited set.
+    driver. Driver residency is the frontier + visited set only — the
+    *interior* hierarchy nodes (levels strictly between source and
+    target), which the hierarchy shape keeps small; the visited set
+    (the DFS's `checked`) guarantees termination on any graph shape,
+    including level-skipping edges a rounds-by-level-count cap would
+    silently truncate.
 
     (A join-per-round frontier was tried and rejected: Ray 2.49's hash
     join materializes received-nothing partitions as schema-less empty
@@ -258,8 +266,12 @@ def find_nodes_by_type_distributed(typed_adj: Dataset, nodes: Dataset,
     hier = NODE_HIERARCHY if hierarchy is None else hierarchy
     target_lvl = hier.get(target_type, _INF_LEVEL)
 
-    # source nodes at the target's level match themselves (the DFS's
-    # source_level == target_level early case)
+    # source nodes at the target's level match themselves AND STOP (the
+    # DFS's source_level == target_level early case returns before
+    # expanding, react_tools.py / GraphIndex._find_recursive:104-106 —
+    # seeding them into the frontier would wrongly collect their
+    # target-level neighbors too). A falsy node_type maps to a level no
+    # target can equal (the DFS's `if not source_type: return`).
     sset = pa.array(sorted(set(start_nodes)), pa.string())
     self_hits = nodes.map_batches(
         lambda t: (lambda m: pa.table(
@@ -267,19 +279,22 @@ def find_nodes_by_type_distributed(typed_adj: Dataset, nodes: Dataset,
             pc.and_(pc.is_in(t.column("node_id").cast(pa.string()),
                              value_set=sset),
                     pc.equal(pa.array(
-                        [hier.get(x, _INF_LEVEL)
+                        [hier.get(x, _INF_LEVEL) if x else _INF_LEVEL + 1
                          for x in t.column("node_type").to_pylist()],
                         pa.int64()), target_lvl))),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
+    self_ids = set(self_hits.to_pandas()["node_id"]) \
+        if self_hits.count() else set()
 
-    frontier = sset
+    frontier = pa.array(sorted(set(start_nodes) - self_ids), pa.string())
     hits: list[Dataset] = [self_hits]
-    # ≤ hierarchy depth + 1 rounds: every hop strictly moves the level
-    # toward the target, so the deepest chain is bounded by the level set
-    max_rounds = len(set(hier.values())) + 1
-    for _ in range(max_rounds):
-        if len(frontier) == 0:
-            break
+    # a driver-side visited set (the DFS's `checked`) both guarantees
+    # termination on any graph — including level-skipping / cyclic edges,
+    # where a fixed rounds-by-level-count cap silently truncated — and
+    # keeps each interior node expanded exactly once. Its size is the
+    # interior-node count, which the hierarchy shape keeps small.
+    visited = set(start_nodes)
+    while len(frontier):
         fr = frontier
 
         def classify(t: pa.Table) -> pa.Table:
@@ -329,8 +344,9 @@ def find_nodes_by_type_distributed(typed_adj: Dataset, nodes: Dataset,
                               else pa.table({"fid": pa.array([],
                                                             pa.string())})),
                    batch_format="pyarrow").to_pandas())
-        frontier = pa.array(sorted(set(fdf["fid"])) if len(fdf) else [],
-                            pa.string())
+        nxt = (set(fdf["fid"]) if len(fdf) else set()) - visited
+        visited |= nxt
+        frontier = pa.array(sorted(nxt), pa.string())
 
     out = hits[0]
     for h in hits[1:]:

@@ -55,9 +55,11 @@ class _Handler(BaseHTTPRequestHandler):
                 else:
                     fields = dict(line.split(": ", 1)
                                   for line in rest.splitlines())
+                    # answers are JSON-encoded in the prompt (null ≠ "None")
                     s = rubric_score(fields["standard_reasoning"],
                                      fields["predicted_reasoning"],
-                                     None, None)
+                                     json.loads(fields["standard_answer"]),
+                                     json.loads(fields["predicted_answer"]))
                     out = f"{s * 100:.6f}"
             elif task == "REACT_STEP":
                 lines = dict(line.split(": ", 1)
@@ -141,6 +143,12 @@ def test_http_judge_matches_rubric_and_degrades(mock_server):
     got = judge.score_batch(qs, std, pred, [None] * 3, [None] * 3)
     want = RubricJudge().score_batch(qs, std, pred, [None] * 3, [None] * 3)
     assert [score_to_bp(g) for g in got] == [score_to_bp(w) for w in want]
+
+    # the 30-point answer component must reach the judge: identical
+    # reasoning, one right and one wrong answer → 10000 vs 7000 bp
+    got = judge.score_batch(["q", "q"], ["abc", "abc"], ["abc", "abc"],
+                            ["x", "x"], ["x", "y"])
+    assert [score_to_bp(g) for g in got] == [10000, 7000]
 
     # non-numeric completion → 0.5 (dspy_evaluation.py:107-110 parity)
     got = judge.score_batch(["q"], [JUDGE_POISON], ["x"], [None], [None])
@@ -461,3 +469,39 @@ def test_saved_data_store_roundtrip(tmp_path):
     assert [g["question"] for g in got] == ["q1", "q2"]
     ds = store.load_dataset().to_pandas().sort_values("score")
     assert ds["answer"].tolist() == ["a1", "a2"]
+
+
+def test_mean_score_empty_dataset_is_nan():
+    import math
+
+    scored = rd.from_arrow(pa.table({"score_bp": pa.array([], pa.int64())}))
+    assert math.isnan(mean_score(scored))
+
+
+def test_by_version_with_quote_is_safe(tmp_path):
+    """version mirrors an HTTP query param — a quote must neither crash
+    an expression parser nor change which rows are selected."""
+    store = InteractionStore(str(tmp_path / "s"))
+    store.append([_rec(1, version="o'clock"), _rec(2, version="v1")])
+    page = store.by_version("o'clock", offset=0, limit=10)
+    assert page["id"].tolist() == ["1"]
+    assert store.by_version("x' OR version != '", limit=10).empty
+
+
+def test_segment_seq_past_six_digits(tmp_path):
+    """f'{seq:06d}' widens past 999,999 — segments with 7+ digits must
+    stay visible (no silent data loss) and later commits must not
+    collide with them."""
+    import os
+
+    root = str(tmp_path / "s")
+    store = InteractionStore(root)
+    store.append([_rec(1)])
+    os.rename(os.path.join(root, "seg-000000-upsert"),
+              os.path.join(root, "seg-1000000-upsert"))
+    assert store.get("1") is not None              # still visible
+    assert store._next_seq() == 1000001            # no rename collision
+    store.append([_rec(1, model="m9"), _rec(2)])   # lands after it
+    live = store.scan().to_pandas().sort_values("id")
+    assert live["id"].tolist() == ["1", "2"]
+    assert store.get("1")["model"] == "m9"         # later generation wins

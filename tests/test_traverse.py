@@ -209,3 +209,61 @@ def test_expand_frontier_matches_index(graph):
         want2 |= set(gi._neighbors(n))
     want2 -= {sp}
     assert got2 == want2
+
+
+def test_distributed_find_same_level_start_does_not_expand():
+    """A start node AT the target level is a self-hit that must NOT
+    expand (the DFS returns before recursing): with two adjacent
+    same-level leaves, find(a, 种) is {a}, never {a, b}."""
+    import ray.data as rd
+
+    from datacapsule_ray.traverse import (build_typed_adjacency,
+                                          find_nodes_by_type_distributed)
+
+    HIER = {"属": 6, "种": 7}
+    nodes_t = pa.table({"node_id": ["g", "a", "b"],
+                        "node_type": ["属", "种", "种"]})
+    edges_t = pa.table({"src": ["g", "a"], "rel": ["r", "near"],
+                        "dst": ["a", "b"]})
+    nodes_ds = rd.from_arrow(nodes_t)
+    adj = build_typed_adjacency(nodes_ds, rd.from_arrow(edges_t),
+                                hierarchy=HIER).materialize()
+    gi = GraphIndex(nodes_t, edges_t, hierarchy=HIER)
+
+    want = gi.find_nodes_by_node_type("a", "种")
+    assert want == {"a"}
+    df = find_nodes_by_type_distributed(
+        adj, nodes_ds, ["a"], "种", hierarchy=HIER).to_pandas()
+    got = set(df["node_id"]) if len(df) else set()
+    assert got == want
+
+
+def test_distributed_find_level_skipping_chain_completes():
+    """Level-oscillating chains are longer than the distinct-level
+    count: each hop is monotone toward the target FROM THE CURRENT
+    node, so a 1,7,2,6,2,6,...,4 path is valid for the DFS. The
+    visited-set loop must follow it to the end — a rounds-by-level-
+    count cap silently truncated it."""
+    import ray.data as rd
+
+    from datacapsule_ray.traverse import (build_typed_adjacency,
+                                          find_nodes_by_type_distributed)
+
+    HIER = {"T1": 1, "T2": 2, "T4": 4, "T6": 6, "T7": 7}
+    lvls = ["T1", "T7", "T2", "T6", "T2", "T6", "T2", "T6", "T2", "T6", "T4"]
+    names = [f"n{i}" for i in range(len(lvls))]
+    nodes_t = pa.table({"node_id": names, "node_type": lvls})
+    edges_t = pa.table({"src": names[:-1],
+                        "rel": ["r"] * (len(names) - 1),
+                        "dst": names[1:]})
+    nodes_ds = rd.from_arrow(nodes_t)
+    adj = build_typed_adjacency(nodes_ds, rd.from_arrow(edges_t),
+                                hierarchy=HIER).materialize()
+    gi = GraphIndex(nodes_t, edges_t, hierarchy=HIER)
+
+    want = gi.find_nodes_by_node_type("n0", "T4")
+    assert want == {names[-1]}, "DFS itself must reach the chain end"
+    df = find_nodes_by_type_distributed(
+        adj, nodes_ds, ["n0"], "T4", hierarchy=HIER).to_pandas()
+    got = set(df["node_id"]) if len(df) else set()
+    assert got == want
