@@ -43,8 +43,19 @@ def write_graphml(nodes: Dataset | pa.Table, edges: Dataset | pa.Table,
         from xml.sax.saxutils import escape, quoteattr
 
         # minimal writer emitting the same key/data layout networkx
-        # does, so read_graphml round-trips attributes either way
+        # does, so read_graphml round-trips attributes either way.
+        # Edge endpoints missing from the nodes table are emitted as
+        # attribute-less nodes — exactly what nx.add_edge auto-adds —
+        # so the artifact and the return count match the nx path.
         attr_cols = [c for c in nt.columns if c != "node_id"]
+        known = {str(n) for n in nt["node_id"]}
+        extra: list[str] = []
+        seen_extra: set[str] = set()
+        for row in et.to_dict("records"):
+            for nid in (str(row["src"]), str(row["dst"])):
+                if nid not in known and nid not in seen_extra:
+                    seen_extra.add(nid)
+                    extra.append(nid)
         with open(path, "w", encoding="utf-8") as f:
             f.write("<?xml version='1.0' encoding='utf-8'?>\n"
                     '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">\n')
@@ -60,12 +71,14 @@ def write_graphml(nodes: Dataset | pa.Table, edges: Dataset | pa.Table,
                     if v is not None and v == v:
                         f.write(f'<data key="n{i}">{escape(str(v))}</data>')
                 f.write("</node>\n")
+            for nid in extra:
+                f.write(f"<node id={quoteattr(nid)}></node>\n")
             for row in et.to_dict("records"):
                 f.write(f'<edge source={quoteattr(str(row["src"]))} '
                         f'target={quoteattr(str(row["dst"]))}>'
                         f'<data key="e0">{escape(str(row["rel"]))}</data></edge>\n')
             f.write("</graph></graphml>\n")
-        return len(nt)
+        return len(nt) + len(extra)
 
 
 def read_graphml(path: str) -> tuple[pa.Table, pa.Table]:

@@ -141,7 +141,12 @@ def asof_join(left: Dataset, right: Dataset, *, key: str, ts_col: str,
         if df.empty:
             return pd.DataFrame({c: pd.Series(dtype="object")
                                  for c in out_cols})
-        carry = ray.get(carries_ref).get(
+        # cached per-worker deserialize: a bare ray.get inside the task
+        # would re-deserialize the O(#blocks) carries dict on EVERY
+        # batch (the problem _cached_get exists for, ssjoin.py:75-80)
+        from .ssjoin import _cached_get
+
+        carry = _cached_get(carries_ref).get(
             (df[key].iloc[0], df[ts_col].iloc[0],
              int(df["src"].iloc[0]), int(df[tiebreak_col].iloc[0])))
         n = len(df)

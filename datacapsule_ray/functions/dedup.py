@@ -133,9 +133,24 @@ def keep_best_dedup(ds: Dataset, *, group_col: str = "fingerprint",
         rd.from_arrow(pa.Table.from_pandas(fixed, preserve_index=False)))
 
 
+def _col_type(ds: Dataset, col: str) -> pa.DataType:
+    """Arrow type of one column. ray.data's Schema wrapper has
+    names/types but no .field accessor, and for PANDAS-block datasets
+    the types are numpy/python (object dtype = strings here — the only
+    non-numeric id shape the pipelines carry)."""
+    sch = ds.schema()
+    t = dict(zip(sch.names, sch.types))[col]
+    if isinstance(t, pa.DataType):
+        return t
+    if t is object or str(t) == "object":
+        return pa.string()
+    return pa.from_numpy_dtype(np.dtype(t))
+
+
 def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
                    pair_value_col: str, stats: dict | None = None,
-                   presorted: bool = False) -> Dataset:
+                   presorted: bool = False,
+                   id_type: pa.DataType | None = None) -> Dataset:
     """Run a pairwise verification kernel per bucket WITHOUT
     groupby().map_groups (which builds one pandas frame per group —
     measured dominant for 10^4-10^5 tiny LSH buckets).
@@ -149,8 +164,21 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
     n_dropped)`` where ``n_dropped`` counts rows the kernel truncated
     from a pathological hot bucket. The total dropped-row count is
     LOGGED (warning) and written into ``stats['dropped_rows']`` when a
-    dict is passed — hot-bucket truncation is never silent."""
+    dict is passed — hot-bucket truncation is never silent.
+
+    ``id_type`` is the Arrow type of the ids the kernel emits (defaults
+    to int64). Pass ``pa.string()`` for string doc ids — the int-only
+    Int64 channel would otherwise raise on the first string id."""
     import ray.data as rd
+
+    id_type = id_type or pa.int64()
+    str_ids = pa.types.is_string(id_type)
+
+    def _id_series(vals) -> pd.Series:
+        # nullable Int64 (not plain int64) for the int path — see the
+        # mixed-channel comment below; object for string ids (strings
+        # coexist with the raw channel's NaNs without promotion)
+        return pd.Series(vals, dtype="object" if str_ids else "Int64")
 
     # ``presorted``: the caller guarantees rows with equal keys are
     # contiguous within every block and a key spanning blocks appears
@@ -197,25 +225,26 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
                 parts_b.append(np.asarray(b))
                 parts_v.append(np.asarray(v, dtype=np.float64))
                 dropped += d
-        out_a = (np.concatenate(parts_a) if parts_a
-                 else np.zeros(0, dtype=np.int64))
-        out_b = (np.concatenate(parts_b) if parts_b
-                 else np.zeros(0, dtype=np.int64))
+        empty_ids = np.array([], dtype=object if str_ids else np.int64)
+        out_a = np.concatenate(parts_a) if parts_a else empty_ids
+        out_b = np.concatenate(parts_b) if parts_b else empty_ids
         out_v = (np.concatenate(parts_v) if parts_v
                  else np.zeros(0, dtype=np.float64))
         # nullable Int64 everywhere an integer column meets the mixed
         # pair/raw channel: plain int64 + NaN fill would promote to
         # float64 and CORRUPT ids above 2^53 (real for hashed ids)
         pairs = pd.DataFrame({
-            "id_a": pd.Series(out_a, dtype="Int64"),
-            "id_b": pd.Series(out_b, dtype="Int64"),
+            "id_a": _id_series(out_a),
+            "id_b": _id_series(out_b),
             pair_value_col: pd.Series(out_v, dtype="float64"),
         })
         pairs["kind"] = "pair"
         if dropped:
-            drow = pd.DataFrame({"id_a": pd.Series([dropped], dtype="Int64"),
-                                 "id_b": pd.Series([0], dtype="Int64"),
-                                 pair_value_col: pd.Series([0.0]),
+            # the drop count rides the VALUE column (ids stay typed —
+            # a count stuffed into a string id column would not survive)
+            drow = pd.DataFrame({"id_a": _id_series([None]),
+                                 "id_b": _id_series([None]),
+                                 pair_value_col: pd.Series([float(dropped)]),
                                  "kind": ["drop"]})
             pairs = pd.concat([pairs, drow], ignore_index=True)
         if raw_idx:
@@ -238,8 +267,8 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
         import pyarrow.compute as pc
 
         return pa.table({
-            "id_a": pc.cast(t.column("id_a"), pa.int64()),
-            "id_b": pc.cast(t.column("id_b"), pa.int64()),
+            "id_a": pc.cast(t.column("id_a"), id_type),
+            "id_b": pc.cast(t.column("id_b"), id_type),
             pair_value_col: pc.cast(t.column(pair_value_col), pa.float64()),
         })
 
@@ -247,7 +276,7 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
         ["id_a", "id_b", pair_value_col]).map_batches(
         cast_pairs, batch_format="pyarrow")
     drop_df = mixed.filter(expr="kind == 'drop'").to_pandas()
-    total_dropped = int(drop_df["id_a"].sum()) if len(drop_df) else 0
+    total_dropped = int(drop_df[pair_value_col].sum()) if len(drop_df) else 0
     raw_df = mixed.filter(expr="kind == 'raw'").to_pandas()
     if len(raw_df):
         out_a, out_b, out_v = [], [], []
@@ -256,9 +285,12 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
                 a, b, v, d = verify_pdf(sub[data_cols])
                 out_a.extend(a); out_b.extend(b); out_v.extend(v)
                 total_dropped += d
-        fixed = pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
-                              "id_b": pd.Series(out_b, dtype="int64"),
-                              pair_value_col: pd.Series(out_v, dtype="float64")})
+        fixed = pd.DataFrame({
+            "id_a": pd.Series(out_a,
+                              dtype="object" if str_ids else "int64"),
+            "id_b": pd.Series(out_b,
+                              dtype="object" if str_ids else "int64"),
+            pair_value_col: pd.Series(out_v, dtype="float64")})
         if len(fixed):
             pairs = pairs.union(
                 rd.from_arrow(pa.Table.from_pandas(fixed, preserve_index=False)))
@@ -520,7 +552,8 @@ def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 64, bands: int = 16,
                 max(0, len(group) - max_bucket))
 
     pairs = _bucket_verify(banded, ["band", "bucket"], verify, "est_jaccard",
-                           stats=stats)
+                           stats=stats,
+                           id_type=_col_type(ds, id_col))
     return _dedup_pairs(pairs, "est_jaccard")
 
 
@@ -753,7 +786,8 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
                 max(0, len(group) - max_bucket))
 
     pairs = _bucket_verify(banded, ["band", "bucket"], verify, "hamming",
-                           stats=stats)
+                           stats=stats,
+                           id_type=_col_type(ds, id_col))
     return _dedup_pairs(pairs, "hamming")
 
 
@@ -810,5 +844,6 @@ def embedding_neardup_pairs(ds: Dataset, *, dim: int, threshold: float = 0.95,
         return (ids[iu[0][keep]], ids[iu[1][keep]], sims[iu][keep],
                 max(0, len(group) - max_bucket))
 
-    pairs = _bucket_verify(bucketed, ["bucket"], verify, "cosine", stats=stats)
+    pairs = _bucket_verify(bucketed, ["bucket"], verify, "cosine", stats=stats,
+                           id_type=_col_type(ds, id_col))
     return _dedup_pairs(pairs, "cosine")

@@ -59,6 +59,13 @@ def grouped_exact_quantiles(ds: Dataset, key_col: str, value_col: str,
     ``[(1, 2, "median"), (9, 10, "p90")]``. Returns one row per key with
     the named quantile columns."""
 
+    for num, den, name in qs:
+        if not (0 < num <= den):
+            # num > den would make (cum >= rank) all-False and argmax
+            # silently report the MINIMUM as the quantile
+            raise ValueError(
+                f"quantile {name!r} must satisfy 0 < num/den <= 1, "
+                f"got {num}/{den}")
     hist = _value_histogram(ds, key_col, value_col)
     rows = []
     for key, sub in hist.groupby(key_col, sort=True):

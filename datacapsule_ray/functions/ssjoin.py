@@ -64,7 +64,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count
 
-from .dedup import _bucket_verify, _dedup_pairs, _stable_u64
+from .dedup import _bucket_verify, _col_type, _dedup_pairs, _stable_u64
 
 logger = logging.getLogger(__name__)
 
@@ -168,6 +168,9 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
     docsets = _doc_token_sets(
         ds.select_columns([id_col, text_col]), text_col, id_col
     ).filter(expr="size > 0").sort("set_hash").materialize()
+    # doc ids may be strings (the corpus fixtures' 'doc-00000000' shape)
+    # or ints — the verify channel and the pair schema follow this type
+    id_type = _col_type(docsets, id_col)
 
     # ---- identical-set groups: reps + direct J=1 pair enumeration ----
     members = docsets.select_columns(["set_hash", id_col])
@@ -185,7 +188,7 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
     ident_pairs = _bucket_verify(
         docsets.select_columns(["set_hash", id_col, "size"]),
         ["set_hash"], ident_verify, "iu_code", stats=ident_stats,
-        presorted=True)
+        presorted=True, id_type=id_type)
 
     # one representative per distinct set: per-block first occurrence
     # over the sorted blocks. A set straddling a block boundary yields
@@ -292,10 +295,15 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
     # self-pairs, then dedup at SET granularity before the (possibly
     # large) member expansion. ``_dedup_pairs`` is the sorted-scan
     # combine (one range exchange, no aggregate-shuffle fixed cost).
-    # Materialized once: the empty-schema check below counts it, and the
-    # final plan reuses the same blocks instead of re-running the dedup.
-    set_pairs = _dedup_pairs(
-        set_pairs.filter(expr="id_a != id_b"), "iu_code").materialize()
+    # Materialized once (inside drop_empty_blocks): the empty-schema
+    # check below counts it, and the final plan reuses the same blocks.
+    # Laundering matters here: the dedup's filter/union plan leaves
+    # SCHEMA-LESS empty blocks on sparse inputs, which poison the
+    # membership join's partitioner ("No match for key field id_a").
+    from ..traverse import drop_empty_blocks
+
+    set_pairs = drop_empty_blocks(_dedup_pairs(
+        set_pairs.filter(expr="id_a != id_b"), "iu_code"))
 
     # ---- expand set pairs to doc pairs via membership joins ----------
     def decode(t: pa.Table) -> pa.Table:
@@ -404,11 +412,16 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
             lambda t: pa.table({"id_b": t.column("set_hash"),
                                 "doc_b": t.column(id_col)}),
             batch_format="pyarrow")
-        expanded = (set_pairs
-                    .join(mem_a, join_type="inner",
-                          num_partitions=num_partitions, on=("id_a",))
-                    .join(mem_b, join_type="inner",
-                          num_partitions=num_partitions, on=("id_b",)))
+        j1 = set_pairs.join(mem_a, join_type="inner",
+                            num_partitions=num_partitions, on=("id_a",))
+        # launder between the chained joins: with few set pairs and
+        # huge memberships (the exact regime this path serves), most
+        # partitions of j1 receive nothing and Ray 2.49 materializes
+        # them schema-less, poisoning the second join's partitioner
+        # ("No match for key field") — see traverse.drop_empty_blocks
+        j1 = drop_empty_blocks(j1)
+        expanded = j1.join(mem_b, join_type="inner",
+                           num_partitions=num_partitions, on=("id_b",))
 
         def orient(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc

@@ -41,6 +41,10 @@ def doc_lang_marker_counts(sf_dir: str) -> Dataset:
         texts = batch.column("text")
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
+        # null text counts as empty (like text.token_stats_batch) —
+        # a null list would make list_value_length float64/NaN and
+        # crash the np.repeat parent-index build
+        texts = pc.fill_null(texts, "")
         toks = pc.utf8_split_whitespace(
             pc.utf8_lower(pc.utf8_trim_whitespace(texts)))
         lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
@@ -172,6 +176,12 @@ def dedup_minhash_components(sf_dir: str) -> pd.DataFrame:
     mapping = mapped.select_columns(["doc_idx", "doc_id"])
     a = dups.join(mapping, join_type="inner", num_partitions=2,
                   on=("id",), right_on=("doc_idx",))
+    # launder between the chained joins: a sparse dup set can leave a
+    # received-nothing partition in `a`, which Ray 2.49 materializes
+    # schema-less and which poisons the second join's partitioner
+    from ..traverse import drop_empty_blocks
+
+    a = drop_empty_blocks(a)
     b = a.join(mapping, join_type="inner", num_partitions=2,
                on=("comp",), right_on=("doc_idx",),
                left_suffix="", right_suffix="_keep")

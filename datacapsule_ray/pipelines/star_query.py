@@ -92,10 +92,10 @@ def introspect_schema(con: duckdb.DuckDBPyConnection) -> str:
 
 
 def clean_sql(sql: str) -> str:
-    """Strip markdown code-block fences (dspy_query_db.py:119-121)."""
-    sql = re.sub(r"```sql\s*", "", sql)
-    sql = re.sub(r"```\s*", "", sql)
-    return sql.strip()
+    """Strip markdown code-block fences (dspy_query_db.py:119-121).
+    Any language tag is removed (```sql, ```json — the natural fence
+    for the generator's JSON envelope — and bare ```)."""
+    return re.sub(r"```[0-9A-Za-z_]*\s*", "", sql).strip()
 
 
 def _q(literal: str) -> str:
@@ -112,6 +112,12 @@ class RuleSQLGenerator:
     stand-in for the LLM generator; same (sql, explanation) contract."""
 
     def generate(self, query: str, db_schema: str) -> tuple[str, str]:
+        # strip interrogative prefixes BEFORE entity capture: the lazy
+        # '(.+?)的分布' match starts at position 0, so '请问带鱼的分布'
+        # would otherwise bind species = '请问带鱼' and silently return
+        # zero rows inside a success envelope
+        query = re.sub(r"^\s*(请问|请告诉我|我想知道|查询一下|查一下|请查询)",
+                       "", query)
         m = re.search(r"分布在(.+?)的物种", query)
         if m:
             loc = _q(m.group(1))

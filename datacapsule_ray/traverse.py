@@ -150,7 +150,8 @@ def gather_table(ds: Dataset) -> pa.Table:
 _INF_LEVEL = 1 << 30  # stand-in for float('inf') in int64 level columns
 
 
-def _drop_empty_blocks(ds: Dataset, empty_schema: pa.Schema) -> Dataset:
+def drop_empty_blocks(ds: Dataset, empty_schema: pa.Schema | None = None
+                      ) -> Dataset:
     """Launder a join output for use as a further join input: Ray
     2.49's hash join materializes received-nothing partitions as
     SCHEMA-LESS empty tables (ArrowBlockBuilder().build() with zero
@@ -158,7 +159,11 @@ def _drop_empty_blocks(ds: Dataset, empty_schema: pa.Schema) -> Dataset:
     schema-less block poisons the partitioner of the next join with
     "No match for key field" errors. Rebuilding the dataset from only
     its non-empty block refs removes them — block refs and metadata
-    only; no table ever lands on the driver."""
+    only; no table ever lands on the driver.
+
+    ``empty_schema`` is returned when EVERY block is empty; callers
+    that guarantee at least one surviving row may omit it (the
+    materialized dataset passes through unchanged in that case)."""
     import ray.data as rd
 
     mat = ds.materialize()
@@ -170,8 +175,13 @@ def _drop_empty_blocks(ds: Dataset, empty_schema: pa.Schema) -> Dataset:
     except Exception:  # pragma: no cover - internal API moved; degrade
         return mat
     if not refs:
+        if empty_schema is None:
+            return mat
         return rd.from_arrow(empty_schema.empty_table())
     return rd.from_arrow_refs(refs)
+
+
+_drop_empty_blocks = drop_empty_blocks  # internal alias (pre-rename callers)
 
 
 def build_typed_adjacency(nodes: Dataset, edges: Dataset, *,
