@@ -76,6 +76,9 @@ class FrameSampler:
     def __init__(self, every_ms: int = 1000, decoder: str = "fake") -> None:
         if decoder == "real":  # pragma: no cover
             raise NotImplementedError("no video codec in this environment")
+        if decoder != "fake":
+            # fail fast on typos, like the sibling actors
+            raise ValueError(decoder)
         self.every_ms = every_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:

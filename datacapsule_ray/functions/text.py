@@ -37,13 +37,15 @@ def token_stats_batch(batch: pa.Table, text_col: str = "text",
     texts = pc.fill_null(texts, "")
     trimmed = pc.utf8_trim_whitespace(texts)
     toks = pc.utf8_split_whitespace(trimmed)
-    n_tokens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    # ONE list_value_length call: raw lengths drive the flat parent
+    # index; the n_tokens copy is normalized for the empty-string case
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    n_tokens = lengths.astype(np.int64).copy()
     # empty string splits to [''] in SQL but [] here; normalize: 0 tokens
     empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
     n_tokens[empty] = 0
     n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
 
-    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
     flat = toks.flatten()
     is_stop = pc.is_in(flat, value_set=pa.array(sorted(LANG_PROFILES["en"])))
     parent = np.repeat(np.arange(len(texts)), lengths)
@@ -66,15 +68,32 @@ def token_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
 
 def quality_score_batch(batch: pa.Table, text_col: str = "text",
                         id_col: str = "doc_id") -> pa.Table:
-    """Heuristic quality features: mean token length, stopword ratio,
-    alpha ratio — the usual pre-training quality filters."""
+    """Heuristic quality features: mean token length, stopword ratio —
+    the usual pre-training quality filters.
+
+    mean_token_len is EXACT (sum of per-token utf8 lengths / tokens):
+    the previous chars-minus-separators formula assumed exactly one
+    separator between tokens, inflating the mean for whitespace-padded
+    or double-spaced documents."""
     stats = token_stats_batch(batch, text_col, id_col)
     n_tokens = stats.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
-    n_chars = stats.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
     n_stop = stats.column("n_stop_en").to_numpy(zero_copy_only=False).astype(np.float64)
+
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    tok_chars = pc.utf8_length(toks.flatten()).to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    parent = np.repeat(np.arange(len(texts)), lengths)
+    total_tok_chars = np.zeros(len(texts), dtype=np.float64)
+    np.add.at(total_tok_chars, parent, tok_chars)
+
     denom = np.maximum(n_tokens, 1.0)
     return stats.append_column(
-        "mean_token_len", pa.array((n_chars - np.maximum(n_tokens - 1, 0)) / denom)
+        "mean_token_len", pa.array(total_tok_chars / denom)
     ).append_column(
         "stop_ratio", pa.array(n_stop / denom)
     )
@@ -96,6 +115,9 @@ class LangIdActor:
         texts = batch.column("text")
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
+        # null text counts as empty — a null list would make
+        # list_value_length float64/NaN and crash the np.repeat below
+        texts = pc.fill_null(texts, "")
         toks = pc.utf8_split_whitespace(
             pc.utf8_lower(pc.utf8_trim_whitespace(texts)))
         lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
@@ -225,7 +247,8 @@ def bigram_counts(ds: Dataset, *, top_n: int = 20, text_col: str = "text",
 
 
 def top_distinctive_terms(ds: Dataset, *, text_col: str = "text",
-                          id_col: str = "doc_id") -> Dataset:
+                          id_col: str = "doc_id",
+                          num_partitions: int = 4) -> Dataset:
     """Per-doc most distinctive term under a pure-integer TF-IDF rank:
     highest term frequency, then LOWEST document frequency, then the
     lexicographically first token (float-free, so a SQL oracle matches
@@ -250,14 +273,18 @@ def top_distinctive_terms(ds: Dataset, *, text_col: str = "text",
             out_id.extend([i] * len(uniq))
             out_tok.extend(uniq.tolist())
             out_tf.extend(cnt.tolist())
-        return pa.table({id_col: pa.array(out_id, type=pa.int64()),
+        # id rows follow the INPUT id type (string doc ids are the
+        # corpus-native shape; hard-coded int64 crashed on them)
+        return pa.table({id_col: pa.array(out_id,
+                                          type=batch.column(id_col).type),
                          "token": pa.array(out_tok, type=pa.string()),
                          "tf": pa.array(out_tf, type=pa.int64())})
 
     tf = ds.select_columns([id_col, text_col]).map_batches(
         tf_rows, batch_format="pyarrow").materialize()
     df = tf.groupby("token").aggregate(Count(alias_name="df"))
-    joined = tf.join(df, join_type="inner", num_partitions=4, on=("token",))
+    joined = tf.join(df, join_type="inner", num_partitions=num_partitions,
+                     on=("token",))
 
     def neg(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -268,14 +295,13 @@ def top_distinctive_terms(ds: Dataset, *, text_col: str = "text",
         [id_col, "tf_neg", "df", "token"]).materialize()
 
     def first_per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = {id_col: pd.Series(dtype="int64"),
-                "token": pd.Series(dtype="object"),
-                "tf": pd.Series(dtype="int64"),
-                "df": pd.Series(dtype="int64"),
-                "edge": pd.Series(dtype=bool)}
         n = len(pdf)
         if n == 0:
-            return pd.DataFrame(cols)
+            # derive empty-frame dtypes from the INPUT block so every
+            # block emits one schema whatever the id type is
+            empty = pdf[[id_col, "token", "tf", "df"]].copy()
+            empty["edge"] = pd.Series(dtype=bool)
+            return empty
         ids = pdf[id_col].to_numpy()
         new = np.ones(n, dtype=bool)
         new[1:] = ids[1:] != ids[:-1]

@@ -78,15 +78,13 @@ def ingest_reference_json(json_path: str, out_dir: str,
     files = []
     for k in range(0, len(doc_ids), docs_per_file):
         shard = table.slice(k, docs_per_file)
-        ext = "lance" if _HAVE_LANCE else "parquet"
-        fp = os.path.join(out_dir, f"part-{k // docs_per_file:05d}.{ext}")
-        if _HAVE_LANCE:
-            import lance as _lance
+        # ALWAYS parquet: the return contract is fixtures.write_corpus's
+        # (shard paths the partition runner reads with rd.read_parquet),
+        # so a lance-formatted shard here would be unreadable downstream.
+        # The format-switching pair is read_table/write_table above.
+        fp = os.path.join(out_dir, f"part-{k // docs_per_file:05d}.parquet")
+        import pyarrow.parquet as pq
 
-            _lance.write_dataset(shard, fp)
-        else:
-            import pyarrow.parquet as pq
-
-            pq.write_table(shard, fp)
+        pq.write_table(shard, fp)
         files.append(fp)
     return files

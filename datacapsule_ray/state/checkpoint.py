@@ -69,6 +69,10 @@ class CheckpointStore:
             shutil.rmtree(tmp)
         t0 = time.monotonic()
         ds.write_parquet(tmp)
+        # a 0-row dataset writes no files AND no directory (Ray 2.49);
+        # an empty partition is still a valid commit (sparse hash range,
+        # all-failed docs) — materialize the dir so the rename lands
+        os.makedirs(tmp, exist_ok=True)
         rows_out, content_hash = _dir_stats(tmp)
         row = LineageRow(
             stage=stage,
@@ -111,10 +115,19 @@ class CheckpointStore:
 
     def read_stage(self, stage: str, columns: list[str] | None = None) -> Dataset:
         paths = self.stage_files(stage)
+        if not paths:
+            # rd.read_parquet([]) fails with an unrelated error; name
+            # the actual problem (stage never ran, or committed empty)
+            raise FileNotFoundError(
+                f"stage {stage!r} has no committed parquet output under "
+                f"{os.path.join(self.root, stage)!r} — run the pipeline "
+                "stage first (or it produced only empty partitions)")
         return rd.read_parquet(paths, columns=columns)
 
     def stage_files(self, stage: str) -> list[str]:
         stage_dir = os.path.join(self.root, stage)
+        if not os.path.isdir(stage_dir):  # stage never ran
+            return []
         out = []
         for part in sorted(os.listdir(stage_dir)):
             pdir = os.path.join(stage_dir, part)

@@ -142,10 +142,14 @@ class InteractionStore:
 
     def append_dataset(self, ds: Dataset) -> str:
         """Distributed ingest: the Dataset's blocks stream straight into
-        the segment's part files — no driver materialization."""
+        the segment's part files — no driver materialization.
+        min_rows_per_file coalesces tiny upstream blocks so a segment
+        is a handful of real files, not one sliver per block (every
+        later scan/get opens each file)."""
         return self._commit_segment(
             "upsert", lambda d: ds.map_batches(
-                _conform_batch, batch_format="pyarrow").write_parquet(d))
+                _conform_batch, batch_format="pyarrow").write_parquet(
+                d, min_rows_per_file=64_000))
 
     def delete(self, ids: list[str]) -> str:
         """Tombstone segment (app.py:329-351's delete endpoint)."""
@@ -158,9 +162,21 @@ class InteractionStore:
         return self._commit_segment(
             "delete", lambda d: ids.map_batches(
                 lambda t: pa.table({"id": t.column("id").cast(pa.string())}),
-                batch_format="pyarrow").write_parquet(d))
+                batch_format="pyarrow").write_parquet(
+                d, min_rows_per_file=64_000))
 
     # --- reads ---------------------------------------------------------------
+    def _read_segment(self, path: str) -> Dataset:
+        """Segment read with byte-sized blocks: Ray's default parallelism
+        heuristic splits EVERY read into ~2×CPU blocks regardless of
+        size, so a store of K segments yields K×64 tiny blocks and the
+        resolve sort + page sort drown in per-block overhead (measured
+        3× the whole query's useful work at bench scale)."""
+        size = sum(os.path.getsize(os.path.join(path, f))
+                   for f in os.listdir(path) if f.endswith(".parquet"))
+        blocks = max(1, size // (32 << 20))
+        return rd.read_parquet(path, override_num_blocks=int(blocks))
+
     def scan(self) -> Dataset:
         """Live rows after last-write-wins resolution (distributed)."""
         segs = self._segments()
@@ -168,7 +184,7 @@ class InteractionStore:
             return rd.from_arrow(INTERACTION_FIELDS.empty_table())
         parts = []
         for seq, op, path in segs:
-            ds = rd.read_parquet(path)
+            ds = self._read_segment(path)
             parts.append(ds.map_batches(
                 _stamp(seq, op), batch_format="pyarrow"))
         log = parts[0]
@@ -259,7 +275,8 @@ class InteractionStore:
         old = self._segments()
         resolved = self.scan()
         new = self._commit_segment(
-            "upsert", lambda d: resolved.write_parquet(d))
+            "upsert", lambda d: resolved.write_parquet(
+                d, min_rows_per_file=64_000))
         for _, _, path in old:
             shutil.rmtree(path, ignore_errors=True)
         for name in os.listdir(self.root):

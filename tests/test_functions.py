@@ -154,8 +154,14 @@ def test_quality_score():
     assert out.column("stop_ratio").to_pylist()[0] == pytest.approx(3 / 6)
     assert out.column("stop_ratio").to_pylist()[1] == 0.0
     mtl = out.column("mean_token_len").to_pylist()
-    assert mtl[0] == pytest.approx((21 - 5) / 6)  # chars minus separators / tokens
+    assert mtl[0] == pytest.approx(16 / 6)  # sum of token lengths / tokens
     assert mtl[1] == pytest.approx(3.0)
+
+    # padded/double-spaced text must not inflate the mean (the old
+    # chars-minus-separators formula gave 3.5 here)
+    padded = text.quality_score_batch(
+        pa.table({"doc_id": [1], "text": ["  a  b  "]}))
+    assert padded.column("mean_token_len").to_pylist() == [1.0]
 
 
 def test_sources_io_roundtrip(tmp_path):

@@ -139,3 +139,58 @@ def test_graphml_fallback_matches_nx_on_edge_only_nodes(tmp_path, monkeypatch):
         nt, et = read_graphml(path)
         assert set(nt.column("node_id").to_pylist()) == {"A", "B", "X"}
         assert et.num_rows == 2
+
+
+def test_checkpoint_empty_partition_commits(tmp_path):
+    """A 0-row partition (sparse hash range, all-failed docs) must
+    commit cleanly — Ray's write_parquet creates no directory for it,
+    which used to crash the lineage stamp with FileNotFoundError."""
+    from datacapsule_ray.state.checkpoint import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path))
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    row = store.write_partition("stg", 0, empty, ["frag-0"])
+    assert row.rows_out == 0
+    assert store.partition_done("stg", 0)
+    # a stage with SOME data still reads (empty parts contribute nothing)
+    store.write_partition("stg", 1, rd.from_arrow(
+        pa.table({"x": pa.array([7], pa.int64())})), ["frag-1"])
+    assert store.read_stage("stg").to_pandas()["x"].tolist() == [7]
+
+
+def test_checkpoint_read_before_run_is_clear_error(tmp_path):
+    from datacapsule_ray.state.checkpoint import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path))
+    assert store.stage_files("never_ran") == []
+    with pytest.raises(FileNotFoundError, match="never_ran"):
+        store.read_stage("never_ran")
+
+
+def test_lang_id_null_text():
+    """NULL text must classify as 'und', not crash the parent-index
+    build (the docops counter had the same bug)."""
+    from datacapsule_ray.functions.text import LangIdActor
+
+    out = LangIdActor()(pa.table({
+        "doc_id": [1, 2],
+        "text": pa.array(["the quick fox and the dog", None], pa.string())}))
+    assert out.column("lang_guess").to_pylist() == ["en", "und"]
+
+
+def test_top_distinctive_terms_string_ids():
+    from datacapsule_ray.functions.text import top_distinctive_terms
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": ["doc-a", "doc-b"],
+        "text": ["apple apple banana", "banana cherry cherry"]}))
+    out = top_distinctive_terms(ds).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == ["doc-a", "doc-b"]
+    assert out["token"].tolist() == ["apple", "cherry"]
+
+
+def test_frame_sampler_rejects_unknown_decoder():
+    from datacapsule_ray.functions.multimodal import FrameSampler
+
+    with pytest.raises(ValueError, match="reall"):
+        FrameSampler(decoder="reall")
