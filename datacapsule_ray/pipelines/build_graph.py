@@ -119,6 +119,17 @@ class KGPipeline:
         pending = [pid for pid in range(len(parts))
                    if frags["records"].get(pid) != parts[pid]
                    or frags["emissions"].get(pid) != parts[pid]]
+        # input-set SHRINK: committed partitions beyond the new map
+        # (fewer files, or a larger files_per_partition) are orphans —
+        # commit_stage would re-manifest them and read_stage would serve
+        # their rows alongside the regrouped layout, duplicating those
+        # documents. A pure tail-shrink leaves `pending` empty, so
+        # orphans must trigger the derived-stage invalidation on their
+        # own.
+        orphans = sorted({r["partition_id"]
+                          for st in ("records", "emissions")
+                          for r in self.store.lineage(st)
+                          if r["partition_id"] >= len(parts)})
 
         def run_one(pid: int) -> None:
             import shutil
@@ -150,23 +161,27 @@ class KGPipeline:
                 "records", pid, rec_tmp, files,
                 wall_ms=int((_time.monotonic() - t0) * 1000))
 
-        if pending:
-            # APPEND support, BEFORE any processing (crash-safe order —
-            # worst case after a mid-sequence crash is an unnecessary
-            # rebuild, never a stale result): pending work against
-            # already-committed extraction stages means the input set
-            # grew after a finished build, so every derived stage was
-            # built over the OLD emissions and must rebuild. Invalidate
-            # derived stages first, then reopen the extraction stages;
-            # the durable pending predicate (fragment mismatch persists
-            # until the partition is rewritten, which only happens
-            # below) re-fires this block on any crash-resume in between.
+        if pending or orphans:
+            # APPEND/SHRINK support, BEFORE any processing (crash-safe
+            # order — worst case after a mid-sequence crash is an
+            # unnecessary rebuild, never a stale result): pending work or
+            # orphan partitions against already-committed extraction
+            # stages mean the input set changed after a finished build,
+            # so every derived stage was built over the OLD emissions and
+            # must rebuild. Invalidate derived stages first, then reopen
+            # the extraction stages; the durable predicates (fragment
+            # mismatch / orphan lineage persist until the partitions are
+            # rewritten/dropped, which only happens below) re-fire this
+            # block on any crash-resume in between.
             if self.store.stage_done("emissions") or self.store.stage_done("records"):
                 for st in DERIVED_STAGES:
                     if self.store.stage_done(st):
                         self.store.invalidate_stage(st)
                 self.store.uncommit_stage("records")
                 self.store.uncommit_stage("emissions")
+            for pid in orphans:
+                self.store.drop_partition("records", pid)
+                self.store.drop_partition("emissions", pid)
             # each concurrent execution needs headroom (read+map+write tasks
             # plus an actor); on small sessions fall back to sequential or
             # the pipelines starve each other
@@ -184,8 +199,21 @@ class KGPipeline:
             self.store.commit_stage("emissions")
 
     # ---- shuffle stages ----------------------------------------------------
+    def _ensure_scheme(self, name: str, scheme: str) -> None:
+        """Partition ids are only comparable WITHIN one partitioning
+        scheme. Resuming an uncommitted stage under a different scheme
+        (hash-range slice of another n, or the single-part layout) must
+        not keep the old parts: pending_partitions would treat slice
+        i/n_old as slice i/n_new (missing keys), and read_stage would
+        serve stale extra parts alongside the new layout (duplicate
+        rows). Wipe the stage and restamp the scheme."""
+        if self.store.stage_scheme(name) != scheme:
+            self.store.invalidate_stage(name)
+            self.store.set_stage_scheme(name, scheme)
+
     def _stage(self, name: str, build) -> Dataset:
         if not self.store.stage_done(name):
+            self._ensure_scheme(name, "single")
             ds = build()
             self.store.write_partition(name, 0, ds, [name + ":emissions"])
             self.store.commit_stage(name)
@@ -205,12 +233,61 @@ class KGPipeline:
         per-range combine bounds memory at scale. ``build_range(i, n)``
         builds the Dataset for slice i of n."""
         if not self.store.stage_done(name):
+            self._ensure_scheme(name, f"range:{n_ranges}")
             for i in self.store.pending_partitions(name, list(range(n_ranges))):
                 self.store.write_partition(
                     name, i, build_range(i, n_ranges),
                     [f"{name}:emissions:range={i}/{n_ranges}"])
             self.store.commit_stage(name)
         return self.store.read_stage(name)
+
+    # ---- stage builders (single source of truth: run_graph/run_star/
+    # run_vectors and run_all's dependency levels share these, so the
+    # sequential and leveled code paths cannot drift) -------------------------
+    def _records(self, cols: list[str]) -> Dataset:
+        return self.store.read_stage("records", columns=cols)
+
+    def _graph_builders(self) -> dict:
+        return {
+            "edges": lambda: g.dedup_edges(g.split_emissions(self.emissions())[0]),
+            "nodes": lambda: g.merge_nodes(g.split_emissions(self.emissions())[1]),
+        }
+
+    def _star_builders(self, alias_ref, pool: int) -> dict:
+        return {
+            "species": lambda: self._records(star.SPECIES_INPUT_COLS).map_batches(
+                star.species_batch, batch_format="pyarrow"),
+            "distributions": lambda: self._records(
+                ["doc_id", "自然分布地"]).map_batches(
+                star.DistributionsEmitter,
+                fn_constructor_kwargs={"alias_ref": alias_ref},
+                batch_format="pyarrow", concurrency=(1, pool)),
+            "numerical_traits": lambda: self._records(
+                ["doc_id", "生活习性", "生物特征"]).map_batches(
+                star.traits_batch, batch_format="pyarrow"),
+            "descriptions": lambda: self._records(
+                ["doc_id", "生活习性", "生物特征"]).map_batches(
+                star.descriptions_batch, batch_format="pyarrow"),
+        }
+
+    def _adjacency_builder(self):
+        return lambda: g.build_adjacency(
+            self.store.read_stage("edges", columns=["src", "rel", "dst"]))
+
+    def _vector_builders(self, pool: int) -> dict:
+        return {
+            "entity_vectors": lambda: vectors.build_entity_vectors(
+                self.store.read_stage("nodes",
+                                      columns=["node_id", "node_type", "name"]),
+                dim=self.embed_dim, concurrency=(1, pool),
+                embedder_cls=self.embedder_cls,
+                embedder_kwargs=self.embedder_kwargs),
+            "relation_vectors": lambda: vectors.build_relation_vectors(
+                self.store.read_stage("edges", columns=["src", "rel", "dst"]),
+                dim=self.embed_dim, concurrency=(1, pool),
+                embedder_cls=self.embedder_cls,
+                embedder_kwargs=self.embedder_kwargs),
+        }
 
     def run_graph(self, shuffle_partitions: int = 1) -> dict[str, Dataset]:
         if shuffle_partitions > 1:
@@ -223,47 +300,21 @@ class KGPipeline:
                 lambda i, n: g.merge_nodes(
                     g.split_emissions(self.emissions())[1], key_filter=(i, n)))
         else:
-            edges = self._stage("edges", lambda: g.dedup_edges(
-                g.split_emissions(self.emissions())[0]))
-            nodes = self._stage("nodes", lambda: g.merge_nodes(
-                g.split_emissions(self.emissions())[1]))
-        adjacency = self._stage("adjacency", lambda: g.build_adjacency(
-            self.store.read_stage("edges", columns=["src", "rel", "dst"])))
+            builders = self._graph_builders()
+            edges = self._stage("edges", builders["edges"])
+            nodes = self._stage("nodes", builders["nodes"])
+        adjacency = self._stage("adjacency", self._adjacency_builder())
         return {"edges": edges, "nodes": nodes, "adjacency": adjacency}
 
     def run_star(self) -> dict[str, Dataset]:
-        alias_ref = ray.put(self.alias)
-
-        def records(cols):
-            return self.store.read_stage("records", columns=cols)
-
-        species = self._stage("species", lambda: records(
-            star.SPECIES_INPUT_COLS).map_batches(
-                star.species_batch, batch_format="pyarrow"))
-        distributions = self._stage("distributions", lambda: records(
-            ["doc_id", "自然分布地"]).map_batches(
-                star.DistributionsEmitter,
-                fn_constructor_kwargs={"alias_ref": alias_ref},
-                batch_format="pyarrow", concurrency=(1, _pool_cap())))
-        traits = self._stage("numerical_traits", lambda: records(
-            ["doc_id", "生活习性", "生物特征"]).map_batches(
-                star.traits_batch, batch_format="pyarrow"))
-        descriptions = self._stage("descriptions", lambda: records(
-            ["doc_id", "生活习性", "生物特征"]).map_batches(
-                star.descriptions_batch, batch_format="pyarrow"))
-        return {"species": species, "distributions": distributions,
-                "numerical_traits": traits, "descriptions": descriptions}
+        builders = self._star_builders(ray.put(self.alias), _pool_cap())
+        return {name: self._stage(name, build)
+                for name, build in builders.items()}
 
     def run_vectors(self) -> dict[str, Dataset]:
-        entity_vectors = self._stage("entity_vectors", lambda: vectors.build_entity_vectors(
-            self.store.read_stage("nodes", columns=["node_id", "node_type", "name"]),
-            dim=self.embed_dim, concurrency=(1, _pool_cap()),
-            embedder_cls=self.embedder_cls, embedder_kwargs=self.embedder_kwargs))
-        relation_vectors = self._stage("relation_vectors", lambda: vectors.build_relation_vectors(
-            self.store.read_stage("edges", columns=["src", "rel", "dst"]),
-            dim=self.embed_dim, concurrency=(1, _pool_cap()),
-            embedder_cls=self.embedder_cls, embedder_kwargs=self.embedder_kwargs))
-        return {"entity_vectors": entity_vectors, "relation_vectors": relation_vectors}
+        builders = self._vector_builders(_pool_cap())
+        return {name: self._stage(name, build)
+                for name, build in builders.items()}
 
     def run_all(self, input_files: list[str], files_per_partition: int = 1,
                 with_vectors: bool = True,
@@ -281,29 +332,10 @@ class KGPipeline:
         self.run_extraction(input_files, files_per_partition,
                             partition_parallelism)
         out: dict[str, Dataset] = {}
-        alias_ref = ray.put(self.alias)
-
-        def records(cols):
-            return self.store.read_stage("records", columns=cols)
-
-        level_a = {
-            "edges": lambda: g.dedup_edges(g.split_emissions(self.emissions())[0]),
-            "nodes": lambda: g.merge_nodes(g.split_emissions(self.emissions())[1]),
-            "species": lambda: records(star.SPECIES_INPUT_COLS).map_batches(
-                star.species_batch, batch_format="pyarrow"),
-            "distributions": lambda: records(["doc_id", "自然分布地"]).map_batches(
-                star.DistributionsEmitter,
-                fn_constructor_kwargs={"alias_ref": alias_ref},
-                # (1, 4): six level-A stages share the CPU pool — a wider
-                # actor pool here starves the siblings (A/B measured +3s)
-                batch_format="pyarrow", concurrency=(1, 4)),
-            "numerical_traits": lambda: records(
-                ["doc_id", "生活习性", "生物特征"]).map_batches(
-                star.traits_batch, batch_format="pyarrow"),
-            "descriptions": lambda: records(
-                ["doc_id", "生活习性", "生物特征"]).map_batches(
-                star.descriptions_batch, batch_format="pyarrow"),
-        }
+        # pool=4: six level-A stages share the CPU pool — a wider actor
+        # pool here starves the siblings (A/B measured +3s)
+        level_a = {**self._graph_builders(),
+                   **self._star_builders(ray.put(self.alias), pool=4)}
         cpus = int(ray.cluster_resources().get("CPU", 4))
 
         def run_level(level: dict) -> None:
@@ -320,19 +352,9 @@ class KGPipeline:
 
         run_level(level_a)
 
-        level_b = {
-            "adjacency": lambda: g.build_adjacency(
-                self.store.read_stage("edges", columns=["src", "rel", "dst"])),
-        }
+        level_b = {"adjacency": self._adjacency_builder()}
         if with_vectors:
-            level_b["entity_vectors"] = lambda: vectors.build_entity_vectors(
-                self.store.read_stage("nodes", columns=["node_id", "node_type", "name"]),
-                dim=self.embed_dim, concurrency=(1, 4),
-                embedder_cls=self.embedder_cls, embedder_kwargs=self.embedder_kwargs)
-            level_b["relation_vectors"] = lambda: vectors.build_relation_vectors(
-                self.store.read_stage("edges", columns=["src", "rel", "dst"]),
-                dim=self.embed_dim, concurrency=(1, 4),
-                embedder_cls=self.embedder_cls, embedder_kwargs=self.embedder_kwargs)
+            level_b.update(self._vector_builders(pool=4))
         run_level(level_b)
 
         out["triples"] = self.triples()

@@ -727,6 +727,25 @@ def approx_value_quantiles(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _parquet_column_bounds(path: str, col: str):
+    """(min, max) of a flat column from parquet row-group statistics —
+    reads metadata pages only, never column data. Returns None when any
+    row group lacks min/max stats (caller falls back to a distributed
+    aggregate)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    idx = pf.schema_arrow.get_field_index(col)
+    lo = hi = None
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)
+
+
 def events_in_windows(sf_dir: str) -> Dataset:
     """Broadcast RANGE JOIN: events matched into a small interval table
     (here: the nightly 02:00-02:59 maintenance window per day, derived
@@ -737,13 +756,16 @@ def events_in_windows(sf_dir: str) -> Dataset:
     import ray
 
     ev = _t(sf_dir, "events", ["event_id", "ts", "event_type"])
-    # windows: [day 02:00, day 03:00) for every day present — derived
-    # from the table's min/max, so the query is self-contained
-    import pyarrow.parquet as pq
-
-    tsc = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"]).column("ts")
-    lo = pd.Timestamp(pc.min(tsc).as_py()).normalize()
-    hi = pd.Timestamp(pc.max(tsc).as_py()).normalize()
+    # windows: [day 02:00, day 03:00) for every day present — bounds
+    # come from parquet row-group STATISTICS (metadata pages only; a
+    # read_table here would pull the whole fact-table ts column onto
+    # the driver), with a distributed min/max aggregate as the
+    # fallback for stats-less files
+    bounds = _parquet_column_bounds(f"{sf_dir}/events.parquet", "ts")
+    if bounds is None:
+        bounds = (ev.min("ts"), ev.max("ts"))
+    lo = pd.Timestamp(bounds[0]).normalize()
+    hi = pd.Timestamp(bounds[1]).normalize()
     days = pd.date_range(lo, hi, freq="D")
     starts = (days + pd.Timedelta(hours=2)).to_numpy()
     ends = (days + pd.Timedelta(hours=3)).to_numpy()

@@ -47,9 +47,3 @@ class LinkerActor:
             cols["node_id"] = self._map_col(batch.column("node_id"), loc_node)
             cols["name"] = self._map_col(batch.column("name"), loc_node)
         return pa.table(cols)
-
-
-def make_linker(alias: dict[str, str]):
-    """Broadcast the alias dict and return (cls, ctor_kwargs) for map_batches."""
-    ref = ray.put(alias)
-    return LinkerActor, {"alias_ref": ref}

@@ -101,6 +101,9 @@ class CheckpointStore:
         """Commit a partition whose files were side-written by tasks
         (e.g. the fused parse stage): stamp lineage, atomic rename."""
         final = self.partition_dir(stage, partition_id)
+        # a partition whose tasks produced zero rows side-writes nothing,
+        # not even the dir — an empty partition is still a valid commit
+        os.makedirs(tmp_dir, exist_ok=True)
         rows_out, content_hash = _dir_stats(tmp_dir)
         row = LineageRow(stage=stage, partition_id=partition_id,
                          input_fragments=input_fragments, rows_in=-1,
@@ -143,6 +146,35 @@ class CheckpointStore:
                     if f.endswith(".parquet")
                 )
         return out
+
+    def drop_partition(self, stage: str, partition_id: int) -> None:
+        """Remove one committed partition (output + lineage). Used to
+        prune orphans when the partition map shrinks — a stale part-k
+        would otherwise be re-manifested and served alongside the new
+        layout, duplicating its rows."""
+        shutil.rmtree(self.partition_dir(stage, partition_id),
+                      ignore_errors=True)
+
+    # --- partitioning-scheme marker -------------------------------------------
+    # Partition ids are only comparable WITHIN one partitioning scheme
+    # (hash-range slice i of n, or the single-part layout). Resuming an
+    # uncommitted stage under a different scheme must not treat the old
+    # parts as done — the caller records the scheme before writing and
+    # wipes the stage when it changes.
+    def stage_scheme(self, stage: str) -> str | None:
+        p = os.path.join(self.root, stage, "_scheme.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)["scheme"]
+
+    def set_stage_scheme(self, stage: str, scheme: str) -> None:
+        d = os.path.join(self.root, stage)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, "_scheme.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"scheme": scheme}, f)
+        os.rename(tmp, os.path.join(d, "_scheme.json"))
 
     # --- stage-level API -----------------------------------------------------
     def _stage_manifest(self, stage: str) -> str:

@@ -55,9 +55,11 @@ def test_partitioned_shuffle_resume(tmp_path):
 
     part = KGPipeline(str(tmp_path / "ck_part"))
     part.run_extraction(files, 1)
-    # simulate a crash: only range 0 of 4 completes
+    # simulate a crash: only range 0 of 4 completes (a real run stamps
+    # the partitioning scheme before writing any range)
     from datacapsule_ray.stages import graph as g
 
+    part.store.set_stage_scheme("edges", "range:4")
     part.store.write_partition(
         "edges", 0,
         g.dedup_edges(g.split_emissions(part.emissions())[0], key_filter=(0, 4)),
@@ -157,6 +159,91 @@ def test_append_grows_last_partition(tmp_path):
     assert h_after[0] == h_before[0]          # untouched
     assert h_after[1] != h_before[1]          # grew → re-extracted
     assert out["species"].count() == 120      # nothing silently dropped
+
+
+def test_scheme_change_wipes_stale_partitions(tmp_path):
+    """Resuming an UNCOMMITTED shuffle stage under a different
+    partitioning scheme must rebuild from scratch: a part written as
+    hash-range slice 0/4 is neither slice 0/2 nor the single-part
+    layout — keeping it would duplicate its keys (read_stage serves it
+    alongside the new parts) or drop the rest of its range."""
+    files = write_corpus(str(tmp_path / "c"), 60, seed=3, docs_per_file=15)
+    from datacapsule_ray.stages import graph as g
+
+    expected = KGPipeline(str(tmp_path / "ck_ref"))
+    expected.run_extraction(files, 1)
+    e_edges = expected.run_graph()["edges"].to_pandas()
+
+    def crashed_pipe(name: str, scheme: str, key_filter):
+        p = KGPipeline(str(tmp_path / name))
+        p.run_extraction(files, 1)
+        p.store.set_stage_scheme("edges", scheme)
+        p.store.write_partition(
+            "edges", 0,
+            g.dedup_edges(g.split_emissions(p.emissions())[0],
+                          key_filter=key_filter),
+            [f"edges:emissions:{scheme}:0"])
+        return p
+
+    # crashed range:4 run resumed as single-part
+    a = crashed_pipe("ck_a", "range:4", (0, 4))
+    a_edges = a.run_graph(shuffle_partitions=1)["edges"].to_pandas()
+    assert len(a_edges) == len(e_edges)
+    assert a.store.stage_scheme("edges") == "single"
+
+    # crashed single run resumed as range:2 — part 0 held the FULL key
+    # set; without the wipe it would be kept as "slice 0/2" and every
+    # key in slice 1/2 would be served twice
+    b = crashed_pipe("ck_b", "single", None)
+    b_edges = b.run_graph(shuffle_partitions=2)["edges"].to_pandas()
+    assert len(b_edges) == len(e_edges)
+
+    # crashed range:4 resumed as range:2 — slice 0/4 is not slice 0/2;
+    # without the wipe half of slice 0/2's keys would be missing
+    c = crashed_pipe("ck_c", "range:4", (0, 4))
+    c_edges = c.run_graph(shuffle_partitions=2)["edges"].to_pandas()
+    assert len(c_edges) == len(e_edges)
+
+
+def test_shrink_inputs_drops_orphan_partitions(tmp_path):
+    """Re-running over FEWER input files: committed partitions beyond
+    the new map are orphans — without pruning, read_stage serves their
+    documents alongside the new layout (duplicates), and a pure
+    tail-shrink (pending empty) would leave derived stages stale."""
+    d = str(tmp_path / "corpus")
+    files_all = write_corpus(d, 120, seed=9, docs_per_file=40)  # 3 shards
+    ck = str(tmp_path / "ck")
+
+    pipe = KGPipeline(ck)
+    pipe.run_all(files_all, files_per_partition=1, with_vectors=False)
+
+    # tail-shrink: drop the last shard; partitions 0/1 fragments are
+    # unchanged, so `pending` is empty — only the orphan check fires
+    pipe2 = KGPipeline(ck)
+    out = pipe2.run_all(files_all[:2], files_per_partition=1,
+                        with_vectors=False)
+    assert out["species"].count() == 80          # no duplicate/stale docs
+    assert {r["partition_id"] for r in pipe2.store.lineage("records")} == {0, 1}
+
+    # result equals a from-scratch build over the shrunk input
+    fresh = KGPipeline(str(tmp_path / "ck_fresh")).run_all(
+        files_all[:2], files_per_partition=1, with_vectors=False)
+    for stage in ("edges", "nodes"):
+        assert out[stage].count() == fresh[stage].count()
+
+
+def test_empty_external_partition_commits(tmp_path):
+    """A fused-stage partition whose tasks produced zero rows side-writes
+    nothing — not even the tmp dir. Finalizing it must still commit an
+    empty partition (sparse input) instead of crashing."""
+    from datacapsule_ray.state.checkpoint import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path))
+    tmp = store.partition_dir("records", 0) + ".tmp"   # never created
+    row = store.finalize_external_partition("records", 0, tmp, ["f0"])
+    assert row.rows_out == 0
+    assert store.partition_done("records", 0)
+    assert store.pending_partitions("records", [0]) == []
 
 
 def test_crash_leftover_tmp_dirs_are_never_read(tmp_path):
