@@ -91,17 +91,21 @@ def asof_join(left: Dataset, right: Dataset, *, key: str, ts_col: str,
                    ).sort([key, ts_col, "src", tiebreak_col]).materialize()
 
     def summarize(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"f_key": pd.Series(dtype="int64"),
-                "f_ts": pd.Series(dtype="datetime64[us]"),
-                "f_src": pd.Series(dtype="int8"),
-                "f_uid": pd.Series(dtype="int64"),
-                "l_key": pd.Series(dtype="int64"),
-                "single": pd.Series(dtype=bool),
-                "has_r": pd.Series(dtype=bool),
-                "c_ts": pd.Series(dtype="datetime64[us]"),
-                **{f"c_{v}": pd.Series(dtype="object") for v in value_cols}}
         if df.empty:
-            return pd.DataFrame(cols)
+            # dtypes derived from the (schema-carrying) empty block —
+            # hardcoded int64/datetime here would concat mismatched
+            # dtypes into `summaries` for string keys / integer ts
+            return pd.DataFrame(
+                {"f_key": pd.Series(dtype=df[key].dtype),
+                 "f_ts": pd.Series(dtype=df[ts_col].dtype),
+                 "f_src": pd.Series(dtype="int8"),
+                 "f_uid": pd.Series(dtype=df[tiebreak_col].dtype),
+                 "l_key": pd.Series(dtype=df[key].dtype),
+                 "single": pd.Series(dtype=bool),
+                 "has_r": pd.Series(dtype=bool),
+                 "c_ts": pd.Series(dtype="object"),
+                 **{f"c_{v}": pd.Series(dtype="object")
+                    for v in value_cols}})
         first = df.iloc[0]
         lk = df[key].iloc[-1]
         sub = df[(df[key] == lk) & (df["src"] == 0)]
@@ -110,7 +114,9 @@ def asof_join(left: Dataset, right: Dataset, *, key: str, ts_col: str,
                "f_src": first["src"], "f_uid": first[tiebreak_col],
                "l_key": lk, "single": bool((df[key] == first[key]).all()),
                "has_r": has_r,
-               "c_ts": sub["r_ts"].iloc[-1] if has_r else pd.NaT}
+               # None (not NaT): c_ts is only read when has_r, and NaT
+               # would force non-datetime ts columns to object anyway
+               "c_ts": sub["r_ts"].iloc[-1] if has_r else None}
         for v in value_cols:
             row[f"c_{v}"] = sub[f"r_{v}"].iloc[-1] if has_r else None
         return pd.DataFrame([row])
@@ -119,28 +125,68 @@ def asof_join(left: Dataset, right: Dataset, *, key: str, ts_col: str,
                  .to_pandas()
                  .sort_values(["f_key", "f_ts", "f_src", "f_uid"],
                               kind="stable").reset_index(drop=True))
+    # single forward pass, O(#blocks): `prev_carry` is the latest right
+    # row of the key run ending at the previous block's tail (None when
+    # that run has produced no right row yet, or the run began mid-block
+    # — a multi-key block without a right row in its last run). The
+    # backward-scan formulation of the same recurrence is O(#blocks^2)
+    # when one hot key spans many right-less blocks.
     carries: dict = {}
+    prev_lkey = None
+    prev_carry: dict | None = None
+    have_prev = False
     for i in range(len(summaries)):
         s = summaries.iloc[i]
         fk = s["f_key"]
-        for j in range(i - 1, -1, -1):
-            p = summaries.iloc[j]
-            if p["l_key"] != fk:
-                break
-            if p["has_r"]:
-                carries[(fk, s["f_ts"], int(s["f_src"]), int(s["f_uid"]))] = {
-                    "ts": p["c_ts"],
-                    **{v: p[f"c_{v}"] for v in value_cols}}
-                break
-            if not p["single"]:
-                break
+        if have_prev and prev_lkey == fk and prev_carry is not None:
+            carries[(fk, s["f_ts"], int(s["f_src"]), int(s["f_uid"]))] = \
+                prev_carry
+        if s["has_r"]:
+            cur = {"ts": s["c_ts"],
+                   **{v: s[f"c_{v}"] for v in value_cols}}
+        elif s["single"] and have_prev and prev_lkey == fk:
+            cur = prev_carry          # run continues, no new right rows
+        else:
+            cur = None                # new run (or run began mid-block)
+        prev_lkey, prev_carry, have_prev = s["l_key"], cur, True
     carries_ref = ray.put(carries)
+
+    def _out_dtype(dt):
+        """The ONE dtype a matched column keeps across ALL batches:
+        native datetime (NaT is representable), else the pandas
+        nullable extension dtype (plain NaT/NaN assignment would flip
+        int ts columns to object or float64 only in batches that HAVE
+        unmatched rows, producing inconsistent block schemas)."""
+        if pd.api.types.is_datetime64_any_dtype(dt):
+            return dt
+        if pd.api.types.is_unsigned_integer_dtype(dt):
+            return "UInt64"
+        if pd.api.types.is_integer_dtype(dt):
+            return "Int64"
+        if pd.api.types.is_float_dtype(dt):
+            return "Float64"
+        return "object"
+
+    def _null_out(s: pd.Series, mask: np.ndarray, carry_mask: np.ndarray,
+                  carry_val) -> pd.Series:
+        s = s.astype(_out_dtype(s.dtype))
+        s[mask] = pd.NaT if pd.api.types.is_datetime64_any_dtype(s) else pd.NA
+        if carry_val is not None:
+            s[carry_mask] = carry_val
+        return s
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
         out_cols = l_cols + ["ts_asof"] + [f"{v}_asof" for v in value_cols]
         if df.empty:
-            return pd.DataFrame({c: pd.Series(dtype="object")
-                                 for c in out_cols})
+            empty = {c: pd.Series(dtype=df[c].dtype) if c in df.columns
+                     else pd.Series(dtype="object") for c in l_cols}
+            empty["ts_asof"] = pd.Series(dtype=_out_dtype(
+                df["r_ts"].dtype if "r_ts" in df.columns else "object"))
+            for v in value_cols:
+                rc = f"r_{v}"
+                empty[f"{v}_asof"] = pd.Series(dtype=_out_dtype(
+                    df[rc].dtype if rc in df.columns else "object"))
+            return pd.DataFrame(empty)[out_cols]
         # cached per-worker deserialize: a bare ray.get inside the task
         # would re-deserialize the O(#blocks) carries dict on EVERY
         # batch (the problem _cached_get exists for, ssjoin.py:75-80)
@@ -168,17 +214,15 @@ def asof_join(left: Dataset, right: Dataset, *, key: str, ts_col: str,
         lcarry = use_carry[lmask]
         ts_out = pd.Series(df["r_ts"].to_numpy()[take][lmask],
                            index=res.index)
-        ts_out[~lvalid] = pd.NaT
-        if carry is not None:
-            ts_out[lcarry] = carry["ts"]
-        res["ts_asof"] = ts_out
+        res["ts_asof"] = _null_out(
+            ts_out, ~lvalid, lcarry,
+            carry["ts"] if carry is not None else None)
         for v in value_cols:
             v_out = pd.Series(df[f"r_{v}"].to_numpy()[take][lmask],
                               index=res.index)
-            v_out[~lvalid] = None
-            if carry is not None:
-                v_out[lcarry] = carry[v]
-            res[f"{v}_asof"] = v_out
+            res[f"{v}_asof"] = _null_out(
+                v_out, ~lvalid, lcarry,
+                carry[v] if carry is not None else None)
         if join_type == "inner":
             res = res[lvalid | lcarry]
         return res.reset_index(drop=True)

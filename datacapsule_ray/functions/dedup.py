@@ -43,7 +43,13 @@ def _stable_u64(texts: list[str]) -> np.ndarray:
 def _run_change_mask(*keys: np.ndarray) -> np.ndarray:
     """True where a sorted block starts a new key run (row 0 always
     True): the shared kernel of every sorted-scan combine in this
-    module (pair dedup, keep-best, ssjoin's rep scan)."""
+    module (pair dedup, keep-best, bucket verify, ssjoin's rep scan).
+
+    Keys are compared per COLUMN on purpose: stacking them into one
+    matrix (``df[key_cols].to_numpy()``) would promote mixed
+    int32/uint64 columns to float64, where distinct 64-bit hashes
+    within one ulp (~2^11 near 2^63) compare equal and MERGE adjacent
+    runs."""
     n = len(keys[0])
     change = np.zeros(n, dtype=bool)
     if n:
@@ -173,12 +179,18 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
 
     id_type = id_type or pa.int64()
     str_ids = pa.types.is_string(id_type)
+    uns_ids = pa.types.is_unsigned_integer(id_type)
 
     def _id_series(vals) -> pd.Series:
-        # nullable Int64 (not plain int64) for the int path — see the
-        # mixed-channel comment below; object for string ids (strings
-        # coexist with the raw channel's NaNs without promotion)
-        return pd.Series(vals, dtype="object" if str_ids else "Int64")
+        # nullable Int64/UInt64 (not plain int64) for the int paths —
+        # see the mixed-channel comment below; UInt64 when the declared
+        # id type is unsigned (Int64 would raise on hashed ids >= 2^63,
+        # exactly the ids the raw channel's UInt64 branch supports);
+        # object for string ids (strings coexist with the raw channel's
+        # NaNs without promotion)
+        if str_ids:
+            return pd.Series(vals, dtype="object")
+        return pd.Series(vals, dtype="UInt64" if uns_ids else "Int64")
 
     # ``presorted``: the caller guarantees rows with equal keys are
     # contiguous within every block and a key spanning blocks appears
@@ -200,15 +212,8 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
         dropped = 0
         raw_idx: list[np.ndarray] = []
         if n:
-            # per-column comparison: df[key_cols].to_numpy() would
-            # promote mixed int32/uint64 key columns to float64, where
-            # distinct 64-bit bucket hashes within one ulp (~2^11 near
-            # 2^63) compare equal and MERGE adjacent buckets
-            change = np.ones(n, dtype=bool)
-            change[1:] = False
-            for kc in key_cols:
-                col = df[kc].to_numpy()
-                change[1:] |= col[1:] != col[:-1]
+            change = _run_change_mask(
+                *(df[kc].to_numpy() for kc in key_cols))
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], n)
             for i, (s, e) in enumerate(zip(starts, ends)):
@@ -225,7 +230,8 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
                 parts_b.append(np.asarray(b))
                 parts_v.append(np.asarray(v, dtype=np.float64))
                 dropped += d
-        empty_ids = np.array([], dtype=object if str_ids else np.int64)
+        empty_ids = np.array([], dtype=object if str_ids
+                             else (np.uint64 if uns_ids else np.int64))
         out_a = np.concatenate(parts_a) if parts_a else empty_ids
         out_b = np.concatenate(parts_b) if parts_b else empty_ids
         out_v = (np.concatenate(parts_v) if parts_v
@@ -285,11 +291,11 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
                 a, b, v, d = verify_pdf(sub[data_cols])
                 out_a.extend(a); out_b.extend(b); out_v.extend(v)
                 total_dropped += d
+        id_dtype = ("object" if str_ids
+                    else ("uint64" if uns_ids else "int64"))
         fixed = pd.DataFrame({
-            "id_a": pd.Series(out_a,
-                              dtype="object" if str_ids else "int64"),
-            "id_b": pd.Series(out_b,
-                              dtype="object" if str_ids else "int64"),
+            "id_a": pd.Series(out_a, dtype=id_dtype),
+            "id_b": pd.Series(out_b, dtype=id_dtype),
             pair_value_col: pd.Series(out_v, dtype="float64")})
         if len(fixed):
             pairs = pairs.union(
@@ -333,8 +339,7 @@ def _dedup_pairs(pairs: Dataset, value_col: str) -> Dataset:
         b = df["id_b"].to_numpy()
         vals = df[value_col].to_numpy()
         v = vals.astype(np.float64)  # exact for hamming/iu_code < 2^52
-        change = np.ones(n, dtype=bool)
-        change[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        change = _run_change_mask(a, b)
         gid = np.cumsum(change) - 1
         ngroups = int(gid[-1]) + 1
         mins = np.full(ngroups, np.inf)

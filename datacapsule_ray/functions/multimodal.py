@@ -87,8 +87,12 @@ class FrameSampler:
         payloads = batch.column("payload").to_pylist()
         out_ref, out_idx, out_ts, out_fp = [], [], [], []
         for ref, meta, payload in zip(refs, metas, payloads):
+            # zero/null duration (metadata-extraction failure) → zero
+            # frames: fabricating a frame_idx=0 row here would inflate
+            # frame counts and pollute frame-dedup joins with a
+            # fingerprint that corresponds to no actual frame
             dur = (meta or {}).get("duration_ms") or 0
-            for i, ts in enumerate(range(0, max(dur, 1), self.every_ms)):
+            for i, ts in enumerate(range(0, dur, self.every_ms)):
                 out_ref.append(ref)
                 out_idx.append(i)
                 out_ts.append(ts)

@@ -34,15 +34,22 @@ def _value_histogram(ds: Dataset, key_col: str,
     per-row Python and was measured ~10x slower here). The driver merge
     sees at most (#final-batches x keys x values) rows — domain-sized."""
 
+    # SQL GROUP BY parity: a NULL key is a real group (dropna=False —
+    # pandas' default silently discards those rows), while NULL values
+    # are ignored like any SQL aggregate ignores them. One divergence
+    # remains by construction: a key whose values are ALL null gets no
+    # histogram rows and so no output row, where SQL would emit the key
+    # with a NULL aggregate.
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby([key_col, value_col], sort=False)
+        df = df[df[value_col].notna()]
+        out = (df.groupby([key_col, value_col], sort=False, dropna=False)
                .size().reset_index(name="cnt"))
         out["cnt"] = out["cnt"].astype("int64")
         return out
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby([key_col, value_col], sort=False)["cnt"]
-                .sum().reset_index())
+        return (df.groupby([key_col, value_col], sort=False,
+                           dropna=False)["cnt"].sum().reset_index())
 
     return combine(
         ds.select_columns([key_col, value_col])
@@ -68,7 +75,7 @@ def grouped_exact_quantiles(ds: Dataset, key_col: str, value_col: str,
                 f"got {num}/{den}")
     hist = _value_histogram(ds, key_col, value_col)
     rows = []
-    for key, sub in hist.groupby(key_col, sort=True):
+    for key, sub in hist.groupby(key_col, sort=True, dropna=False):
         sub = sub.sort_values(value_col, kind="stable")
         cum = sub["cnt"].cumsum().to_numpy()
         n = int(cum[-1])

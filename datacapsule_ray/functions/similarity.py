@@ -62,6 +62,20 @@ def _topk_table(sims: np.ndarray, ids: np.ndarray, k: int, id_col: str,
     })
 
 
+def _finish_topk(df: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
+    """Driver-side finish over blocks x k partial rows; empty input
+    (empty table, or every row filtered out) returns an empty frame
+    with the contract columns instead of a sort KeyError."""
+    if df.empty:
+        return pd.DataFrame({"query_id": pd.Series(dtype="int32"),
+                             id_col: pd.Series(dtype="object"),
+                             "sim": pd.Series(dtype="float64")})
+    df = df.sort_values(["query_id", "sim", id_col],
+                        ascending=[True, False, True], kind="stable")
+    return (df.groupby("query_id", group_keys=False).head(k)
+            .reset_index(drop=True))
+
+
 def _block_topk(batch: pa.Table, qmat: np.ndarray, k: int,
                 id_col: str, emb_col: str) -> pa.Table:
     sims = _cosine_sims(batch, qmat, emb_col)
@@ -82,10 +96,7 @@ def topk_cosine(ds: Dataset, queries: np.ndarray, k: int = 10, *,
     partials = ds.map_batches(
         lambda t: _block_topk(t, qmat, k, id_col, emb_col),
         batch_format="pyarrow")
-    df = partials.to_pandas()
-    df = df.sort_values(["query_id", "sim", id_col],
-                        ascending=[True, False, True], kind="stable")
-    return df.groupby("query_id", group_keys=False).head(k).reset_index(drop=True)
+    return _finish_topk(partials.to_pandas(), k, id_col)
 
 
 class _IVFAssign:
@@ -118,8 +129,16 @@ def train_centroids(ds: Dataset, n_cells: int, dim: int, *, seed: int = 31,
     """Coarse quantizer: k-means on a driver-side sample (n_cells ≤ a few
     thousand — the centroid table stays broadcast-small)."""
     n = ds.count()
-    frac = min(1.0, sample / max(n, 1))
+    if n == 0:
+        # empty (or fully filtered-upstream) table: no cells to train —
+        # callers get an empty quantizer and ivf_topk_cosine returns an
+        # empty frame, matching topk_cosine's empty-input contract
+        return np.zeros((0, dim), dtype=np.float32)
+    frac = min(1.0, sample / n)
     smp = ds.random_sample(frac, seed=seed).to_pandas()
+    if not len(smp):
+        # random_sample can land on zero rows for tiny inputs
+        smp = ds.limit(min(n, sample)).to_pandas()
     mat = np.stack(smp[emb_col].to_numpy()).astype(np.float32)
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
@@ -187,7 +206,4 @@ def ivf_topk_cosine(ds: Dataset, queries: np.ndarray, k: int = 10, *,
     partials = sub.map_batches(
         lambda t: _block_topk_masked(t, qmat64, k, id_col, emb_col, allowed),
         batch_format="pyarrow")
-    df = partials.to_pandas()
-    df = df.sort_values(["query_id", "sim", id_col],
-                        ascending=[True, False, True], kind="stable")
-    return df.groupby("query_id", group_keys=False).head(k).reset_index(drop=True)
+    return _finish_topk(partials.to_pandas(), k, id_col)

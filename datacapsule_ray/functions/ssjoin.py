@@ -198,13 +198,13 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
     # its tokens are off by one, which only perturbs the PRUNING order,
     # never exactness (any consistent total order is exact).
     def rep_scan(t: pa.Table) -> pa.Table:
+        from .dedup import _run_change_mask
+
         hs = t.column("set_hash").to_numpy(zero_copy_only=False)
         sub = t.select(["set_hash", "toks", "size"])
         if len(hs) == 0:
             return sub
-        keep = np.ones(len(hs), dtype=bool)
-        keep[1:] = hs[1:] != hs[:-1]
-        return sub.take(pa.array(np.flatnonzero(keep)))
+        return sub.take(pa.array(np.flatnonzero(_run_change_mask(hs))))
 
     reps = docsets.map_batches(
         rep_scan, batch_format="pyarrow").materialize()

@@ -167,8 +167,10 @@ def dedup_minhash_components(sf_dir: str) -> pd.DataFrame:
     pairs = dedup.minhash_lsh_pairs(mapped, threshold=0.7, id_col="doc_idx")
     labels = dedup.connected_components(
         pairs, mapped.select_columns(["doc_idx"]), id_col="doc_idx")
+    import pyarrow.compute as _pc
+
     dups = labels.map_batches(
-        lambda t: t.filter(pc_ne(t.column("comp"), t.column("id"))),
+        lambda t: t.filter(_pc.not_equal(t.column("comp"), t.column("id"))),
         batch_format="pyarrow").materialize()
     if dups.count() == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="object"),
@@ -188,12 +190,6 @@ def dedup_minhash_components(sf_dir: str) -> pd.DataFrame:
     out = b.to_pandas()
     out = out.rename(columns={"doc_id_keep": "keep_id"})
     return out[["doc_id", "keep_id"]].sort_values("doc_id").reset_index(drop=True)
-
-
-def pc_ne(a, b):
-    import pyarrow.compute as pc
-
-    return pc.invert(pc.equal(a, b))
 
 
 def dedup_simhash_docs(sf_dir: str) -> pd.DataFrame:

@@ -53,6 +53,23 @@ def test_minhash_lsh_finds_planted_neardups(dup_docs):
     assert not unrelated, unrelated
 
 
+def test_minhash_lsh_uint64_ids(dup_docs):
+    """Hashed uint64 doc ids >= 2^63 (the case dedup.py's raw channel
+    explicitly supports) must flow through the pair channel too — the
+    nullable-Int64 construction would raise TypeError on them."""
+    docs = dup_docs.copy()
+    docs["doc_id"] = (docs["doc_id"].to_numpy().astype(np.uint64)
+                      + np.uint64(2**63))
+    pairs = dedup.minhash_lsh_pairs(
+        rd.from_pandas(docs), threshold=0.5).to_pandas()
+    got = {tuple(sorted((int(a), int(b))))
+           for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    base = 2**63
+    want_exact = {(base + j, base + 50 + j) for j in range(4)}
+    assert want_exact <= got
+    assert all(x >= base for p in got for x in p)   # no wrap to negative
+
+
 def test_minhash_estimates_jaccard(dup_docs):
     pairs = dedup.minhash_lsh_pairs(
         rd.from_pandas(dup_docs), threshold=0.5).to_pandas()
@@ -342,6 +359,42 @@ def test_asof_join_matches_merge_asof_across_blocks():
                        ref["value"].astype(float))
 
 
+def test_asof_join_left_integer_ts_stable_dtype():
+    """asof_join with INTEGER (epoch-ms) timestamps and join_type='left':
+    unmatched left rows must not flip ts_asof/value_asof to object dtype
+    in some batches only (NaT assigned into a non-datetime column) — the
+    output dtype is ONE pandas nullable dtype across all blocks. Also
+    exercises the O(#blocks) forward carry on a hot key whose single
+    right row precedes a long run of right-less blocks."""
+    from datacapsule_ray.functions.asof import asof_join
+
+    n = 3000
+    # hot key 0: one right row at ts=0, thousands of left rows after it;
+    # key 1: left rows BEFORE its right row (unmatched → nulls)
+    left = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": np.where(np.arange(n) % 10 == 0, 1, 0),
+        "ts": np.arange(n, dtype=np.int64) * 1000 + 10,
+    })
+    right = pd.DataFrame({
+        "event_id": np.arange(n, n + 2),
+        "user_id": [0, 1],
+        "ts": np.array([0, n * 1000 + 10**6], dtype=np.int64),
+        "value": [1.5, 2.5],
+    })
+    out = asof_join(
+        rd.from_pandas(left).repartition(24),
+        rd.from_pandas(right),
+        key="user_id", ts_col="ts", tiebreak_col="event_id",
+        value_cols=["value"], join_type="left",
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert len(out) == n                      # left join keeps all rows
+    m0 = out["user_id"] == 0
+    assert out.loc[m0, "value_asof"].astype(float).eq(1.5).all()
+    assert out.loc[~m0, "value_asof"].isna().all()   # ts precedes right
+    assert out["ts_asof"].dtype != object            # no object fallback
+
+
 def test_grouped_exact_quantiles_matches_numpy_rank():
     """Histogram quantile vs direct rank selection on skewed
     multi-batch data (many duplicate values, uneven key sizes)."""
@@ -363,6 +416,43 @@ def test_grouped_exact_quantiles_matches_numpy_rank():
                                    (1, 100, "p1")]:
             rank = -((-q_num * n) // q_den)
             assert out.loc[k, name] == x[rank - 1], (k, name)
+
+
+def test_grouped_quantiles_null_keys_and_values():
+    """SQL GROUP BY parity: a NULL key is a real group (pandas'
+    dropna=True default silently discarded its rows), while NULL
+    values are ignored like any SQL aggregate."""
+    from datacapsule_ray.functions.quantiles import (grouped_exact_quantiles,
+                                                     grouped_mode)
+
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + [None] * 4 + ["b"] * 2,
+        "v": [1, 2, 3, 4, 10, 20, 30, None, 5, None],
+    })
+    out = grouped_exact_quantiles(
+        rd.from_pandas(df).repartition(3), "k", "v", [(1, 2, "median")])
+    by_key = {("<null>" if pd.isna(k) else k): m
+              for k, m in zip(out["k"], out["median"])}
+    assert by_key == {"a": 2, "<null>": 20, "b": 5}
+    mode = grouped_mode(rd.from_pandas(df).repartition(3), "k", "v")
+    assert len(mode) == 3                       # null-key group present
+
+
+def test_frame_sampler_zero_duration_emits_no_frames():
+    """duration_ms of 0 or null (metadata-extraction failure) must not
+    fabricate a frame_idx=0 row with a fingerprint of no actual frame."""
+    from datacapsule_ray.functions.multimodal import sample_frames
+
+    t = pa.table({
+        "media_ref": pa.array(["m0", "m1", "m2"]),
+        "kind": pa.array(["video"] * 3),
+        "payload": pa.array([b"x", b"y", b"z"], type=pa.binary()),
+        "meta": pa.array([{"duration_ms": 0}, None,
+                          {"duration_ms": 2500}]),
+    })
+    out = sample_frames(rd.from_arrow(t), every_ms=1000).to_pandas()
+    assert set(out["media_ref"]) == {"m2"}      # m0/m1 contribute nothing
+    assert out["frame_idx"].tolist() == [0, 1, 2]
 
 
 def test_stage_kernels_tolerate_empty_and_masked_batches():
