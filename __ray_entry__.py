@@ -357,8 +357,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "user_sessions": """
             SELECT user_id, COUNT(*) AS n_events,
+                   -- exact elapsed microseconds, NOT date_diff('second')
+                   -- (which counts whole-second BOUNDARY crossings and
+                   -- diverges from true-elapsed-time sessionization for
+                   -- gaps within ~1s of the threshold)
                    CAST(1 + SUM(CASE WHEN pts IS NOT NULL
-                                      AND date_diff('second', pts, ts) > 1800
+                                      AND date_diff('microsecond', pts, ts)
+                                          > 1800 * 1000000
                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM (SELECT user_id, ts,
                          lag(ts) OVER (PARTITION BY user_id

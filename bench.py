@@ -114,7 +114,7 @@ def run_bench() -> dict:
     timed("top3_orders_per_customer", r.top3_orders_per_customer)
     timed("events_daily", r.events_daily)
     timed("user_sessions", r.user_sessions)
-    timed("kg_rel_triples", lambda s: r.kg_rel_degree(s))
+    timed("kg_rel_degree", lambda s: r.kg_rel_degree(s))
     timed("doc_token_stats", docops.doc_token_stats)
     timed("dedup_exact_docs", docops.dedup_exact_docs)
     timed("dedup_minhash_docs", docops.dedup_minhash_docs)

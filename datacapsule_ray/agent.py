@@ -153,7 +153,11 @@ class DistributedAgentTools(AgentTools):
             batch_format="pyarrow").take(1)
         if not hit:
             raise KeyError(node_id)
-        return hit[0]
+        # GraphIndex contract (traverse.py:50-52): node_id popped, None
+        # values dropped — the two tiers must produce identical
+        # observations for the same question
+        return {k: v for k, v in hit[0].items()
+                if k != "node_id" and v is not None}
 
     def get_adjacent_node_descriptions(self, nodenames: list[str]) -> list[str]:
         import pyarrow.compute as pc

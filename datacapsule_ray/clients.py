@@ -82,8 +82,19 @@ class OpenAICompatClient:
             chunk = prompts[s:s + self.max_batch]
             data = self._post("/v1/completions",
                               {"model": self.model, "prompt": chunk})
-            for ch in data["choices"]:
-                out[s + int(ch.get("index", 0))] = ch.get("text", "")
+            choices = data["choices"]
+            if len(choices) != len(chunk):
+                # a silently short (or long) response would leave
+                # prompts as "" and degrade whole docs to the raw-text
+                # fallback with no signal — fail loudly instead
+                raise ValueError(
+                    f"endpoint returned {len(choices)} choices for "
+                    f"{len(chunk)} prompts")
+            for pos, ch in enumerate(choices):
+                # several compat servers omit per-choice `index` and
+                # rely on positional order; defaulting every choice to
+                # index 0 would collapse the whole chunk onto one slot
+                out[s + int(ch.get("index", pos))] = ch.get("text", "")
         return out
 
     def embed(self, texts: list[str]) -> np.ndarray:
@@ -200,6 +211,10 @@ class RemoteEmbedder(HashEmbedder):
         self.client = OpenAICompatClient(**(client_config or {}))
 
     def _embed(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            # no HTTP call for an empty block; client.embed([]) returns
+            # shape (0,), not (0, dim), and would fail the check below
+            return np.zeros((0, self.dim), dtype=np.float32)
         mat = self.client.embed(texts)
         if mat.shape != (len(texts), self.dim):
             raise ValueError(

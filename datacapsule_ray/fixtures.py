@@ -208,15 +208,37 @@ def records(n_docs: int, seed: int = 42) -> list[dict[str, str]]:
 
 def write_corpus(path: str, n_docs: int, seed: int = 42, docs_per_file: int = 2000) -> list[str]:
     """Write the corpus as multiple parquet files (one per shard) so the
-    pipeline has real partitions for checkpoint/resume tests."""
+    pipeline has real partitions for checkpoint/resume tests.
+
+    Shards are reused only when a ``_corpus.json`` marker records the
+    same (seed, docs_per_file): a shard's CONTENT depends on both, but
+    its filename encodes neither, so a bare exists-check would silently
+    serve a stale corpus after a parameter change."""
+    import json
     import os
 
     os.makedirs(path, exist_ok=True)
+    marker = os.path.join(path, "_corpus.json")
+    params = {"seed": int(seed), "docs_per_file": int(docs_per_file)}
+    stale = True
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                stale = json.load(fh) != params
+        except (OSError, ValueError):
+            stale = True
+    if stale:
+        for old in os.listdir(path):
+            if old.startswith("part-") and old.endswith(".parquet"):
+                os.unlink(os.path.join(path, old))
+        with open(marker + ".tmp", "w") as fh:
+            json.dump(params, fh)
+        os.replace(marker + ".tmp", marker)
     files = []
     for k, start in enumerate(range(0, n_docs, docs_per_file)):
         end = min(start + docs_per_file, n_docs)
         f = os.path.join(path, f"part-{k:05d}.parquet")
-        if not os.path.exists(f):  # content-addressed by (seed, range): safe to reuse
+        if not os.path.exists(f):  # same (seed, docs_per_file, range) → same bytes
             pq.write_table(generate_documents_range(start, end, seed), f)
         files.append(f)
     return files

@@ -72,16 +72,31 @@ def hll_distinct_by_key(ds: Dataset, key: str, col: str, p: int = 10) -> pd.Data
         rows = []
         for k, sub in df.groupby(key, sort=False):
             rows.append({key: k, "regs": _hll_registers(sub[col], p).tobytes()})
+        if not rows:
+            # typed empty frame: pd.DataFrame([]) has ZERO columns and
+            # would emit a schema-mismatched block (and an all-empty
+            # dataset would KeyError in the driver groupby below)
+            return pd.DataFrame({key: df[key], "regs": pd.Series(dtype="object")})
         return pd.DataFrame(rows)
 
     partials = ds.select_columns([key, col]).map_batches(
         partial, batch_format="pandas", batch_size=65536).to_pandas()
+    if partials.empty or "regs" not in partials.columns:
+        # an ALL-empty dataset bypasses map_batches entirely and lands
+        # here with the raw (key, col) schema — or no columns at all
+        kcol = (partials[key] if key in partials.columns
+                else pd.Series(dtype="object"))
+        return pd.DataFrame({key: kcol,
+                             "approx_distinct": pd.Series(dtype="float64")})
     out = []
     for k, sub in partials.groupby(key, sort=False):
         merged = np.zeros(1 << p, dtype=np.uint8)
         for b in sub["regs"]:
             merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
         out.append({key: k, "approx_distinct": _hll_estimate(merged)})
+    if not out:
+        return pd.DataFrame({key: partials[key],
+                             "approx_distinct": pd.Series(dtype="float64")})
     return pd.DataFrame(out).sort_values(key).reset_index(drop=True)
 
 

@@ -99,12 +99,36 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text",
     )
 
 
+def lang_hit_counts(texts: pa.Array | pa.ChunkedArray,
+                    profiles: dict[str, pa.Array]) -> np.ndarray:
+    """(n_docs × n_profiles) stopword hit-count matrix — the shared
+    vectorized kernel of ``LangIdActor`` (argmax voting) and
+    ``docops.doc_lang_marker_counts`` (raw evidence columns): lower/
+    trim/split once, one ``pc.is_in`` per profile, per-doc sums via a
+    parent-index scatter-add."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    # null text counts as empty — a null list would make
+    # list_value_length float64/NaN and crash the np.repeat below
+    texts = pc.fill_null(texts, "")
+    toks = pc.utf8_split_whitespace(
+        pc.utf8_lower(pc.utf8_trim_whitespace(texts)))
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = toks.flatten()
+    parent = np.repeat(np.arange(len(texts)), lengths)
+    scores = np.zeros((len(texts), len(profiles)), dtype=np.int64)
+    for j, prof in enumerate(profiles.values()):
+        hit = pc.is_in(flat, value_set=prof)
+        np.add.at(scores[:, j], parent,
+                  hit.to_numpy(zero_copy_only=False).astype(np.int64))
+    return scores
+
+
 class LangIdActor:
     """Actor-pool language-ID stage: stopword-profile voting.
 
     Profiles live in actor state (loaded once per actor — the A1 shape);
-    scoring is vectorized: tokens matched against each profile with
-    ``pc.is_in`` and summed per document."""
+    scoring is vectorized (``lang_hit_counts``)."""
 
     def __init__(self) -> None:
         self.profiles = {
@@ -112,23 +136,8 @@ class LangIdActor:
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text")
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        # null text counts as empty — a null list would make
-        # list_value_length float64/NaN and crash the np.repeat below
-        texts = pc.fill_null(texts, "")
-        toks = pc.utf8_split_whitespace(
-            pc.utf8_lower(pc.utf8_trim_whitespace(texts)))
-        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        flat = toks.flatten()
-        parent = np.repeat(np.arange(len(texts)), lengths)
-        scores = np.zeros((len(texts), len(self.profiles)), dtype=np.int64)
+        scores = lang_hit_counts(batch.column("text"), self.profiles)
         langs = list(self.profiles)
-        for j, lang in enumerate(langs):
-            hit = pc.is_in(flat, value_set=self.profiles[lang])
-            np.add.at(scores[:, j], parent,
-                      hit.to_numpy(zero_copy_only=False).astype(np.int64))
         best = np.asarray(langs, dtype=object)[scores.argmax(axis=1)]
         best[scores.max(axis=1) == 0] = "und"
         return batch.append_column("lang_guess", pa.array(best, type=pa.string()))
@@ -181,7 +190,6 @@ def rolling_fingerprints_batch(batch: pa.Table, window: int = 16,
     lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
     tok_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
     n_grams = np.maximum(lens - 3, 0)  # docs with <4 tokens emit nothing
-    n_grams[lens < 4] = 0
     # rolling hash over the flat array; grams straddling a doc boundary
     # are filtered out below (uint64 wraparound matches the per-doc math)
     g_all = (hs[:-3] * pow(B, 3, M) + hs[1:-2] * pow(B, 2, M)

@@ -137,7 +137,7 @@ def build_oracle(records: list[dict[str, str]], doc_ids: list[str]) -> OracleGra
         body_length = num.extract_body_length_text(feat_text)  # no fail guard: plain regex
         year_int: int | None
         try:
-            year_int = int(naming_year) if rec.get("命名年份") is not None and "命名年份" in rec else None
+            year_int = int(naming_year) if rec.get("命名年份") is not None else None
         except (ValueError, TypeError):
             year_int = None
         g.species_rows.append({

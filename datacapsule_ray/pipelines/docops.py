@@ -34,28 +34,16 @@ def doc_fingerprint(sf_dir: str) -> Dataset:
 
 def doc_lang_marker_counts(sf_dir: str) -> Dataset:
     """Per-doc stopword-profile hit counts (the lang-ID evidence columns,
-    integer so the SQL oracle matches exactly)."""
-    import pyarrow.compute as pc
+    integer so the SQL oracle matches exactly). Counting kernel shared
+    with the lang-ID stage (``text.lang_hit_counts``)."""
 
     def counts(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text")
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        # null text counts as empty (like text.token_stats_batch) —
-        # a null list would make list_value_length float64/NaN and
-        # crash the np.repeat parent-index build
-        texts = pc.fill_null(texts, "")
-        toks = pc.utf8_split_whitespace(
-            pc.utf8_lower(pc.utf8_trim_whitespace(texts)))
-        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        flat = toks.flatten()
-        parent = np.repeat(np.arange(len(texts)), lengths)
+        profiles = {lang: pa.array(sorted(words))
+                    for lang, words in text.LANG_PROFILES.items()}
+        scores = text.lang_hit_counts(batch.column("text"), profiles)
         out = {"doc_id": batch.column("doc_id")}
-        for lang, words in text.LANG_PROFILES.items():
-            hit = pc.is_in(flat, value_set=pa.array(sorted(words)))
-            acc = np.zeros(len(texts), dtype=np.int64)
-            np.add.at(acc, parent, hit.to_numpy(zero_copy_only=False).astype(np.int64))
-            out[f"{lang}_hits"] = pa.array(acc)
+        for j, lang in enumerate(profiles):
+            out[f"{lang}_hits"] = pa.array(scores[:, j])
         return pa.table(out)
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(counts, batch_format="pyarrow")
@@ -89,15 +77,11 @@ def dedup_keep_best_docs(sf_dir: str) -> Dataset:
     The keep-POLICY half of the dedup family (pairs → components →
     which copy survives); integer score so the SQL oracle matches
     exactly."""
-    import hashlib
-
     def prep(batch: pa.Table) -> pa.Table:
         stats = text.token_stats_batch(batch)
-        texts = batch.column("text").to_pylist()
-        fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
-               for t in texts]
+        fp = text.fingerprint_batch(batch)  # ONE content-key definition
         return pa.table({
-            "fingerprint": pa.array(fps, type=pa.string()),
+            "fingerprint": fp.column("fingerprint"),
             "doc_id": batch.column("doc_id"),
             "n_tokens": stats.column("n_tokens"),
         })

@@ -264,8 +264,11 @@ def user_sessions(sf_dir: str, gap_s: int = 1800) -> Dataset:
             return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
                                  "n_events": pd.Series(dtype="int64"),
                                  "n_gaps": pd.Series(dtype="int64"),
-                                 "first_ts": pd.Series(dtype="datetime64[ns]"),
-                                 "last_ts": pd.Series(dtype="datetime64[ns]"),
+                                 # [us], matching the events table's
+                                 # timestamp[us] (a [ns] placeholder
+                                 # emits a mixed-unit block schema)
+                                 "first_ts": pd.Series(dtype="datetime64[us]"),
+                                 "last_ts": pd.Series(dtype="datetime64[us]"),
                                  "edge": pd.Series(dtype=bool)})
         uid = df["user_id"].to_numpy()
         ts = df["ts"].to_numpy()
@@ -416,7 +419,8 @@ def top3_orders_per_customer(sf_dir: str, k: int = 3) -> Dataset:
     return interior.union(rd.from_pandas(fixed.reset_index(drop=True)))
 
 
-def customers_without_orders(sf_dir: str, num_partitions: int = 4) -> Dataset:
+def customers_without_orders(sf_dir: str,
+                             num_partitions: int = 4) -> pd.DataFrame:
     """Distributed anti-join: customer LEFT ANTI orders on custkey — no
     driver-side key-set materialization (the orders custkey set is
     fact-sized at scale). Orders pre-dedup per batch so the shuffle ships

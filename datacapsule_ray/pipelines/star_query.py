@@ -31,11 +31,25 @@ STAR_TABLES = ("species", "distributions", "numerical_traits", "descriptions")
 
 def connect_star(ckpt_root: str) -> duckdb.DuckDBPyConnection:
     """DuckDB connection with the four star tables registered as views
-    over the pipeline's parquet checkpoint directories."""
+    over the pipeline's parquet checkpoint directories.
+
+    Views are built from the COMMITTED partition file list
+    (``CheckpointStore.stage_files``), not a ``part-*`` glob — the glob
+    would also match ``part-NNNNN.tmp`` crash leftovers, which every
+    checkpoint reader deliberately excludes (checkpoint.py:141), and
+    silently serve partial/duplicate rows after an interrupted rewrite."""
+    from ..state.checkpoint import CheckpointStore
+
+    store = CheckpointStore(ckpt_root)
     con = duckdb.connect()
     for t in STAR_TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{ckpt_root}/{t}/part-*/*.parquet')")
+        files = store.stage_files(t)
+        if not files:
+            raise FileNotFoundError(
+                f"star table {t!r} has no committed parquet output under "
+                f"{ckpt_root}/{t} — run the star stage first")
+        listing = ", ".join("'" + f.replace("'", "''") + "'" for f in files)
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet([{listing}])")
     return con
 
 

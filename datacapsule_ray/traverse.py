@@ -181,9 +181,6 @@ def drop_empty_blocks(ds: Dataset, empty_schema: pa.Schema | None = None
     return rd.from_arrow_refs(refs)
 
 
-_drop_empty_blocks = drop_empty_blocks  # internal alias (pre-rename callers)
-
-
 def build_typed_adjacency(nodes: Dataset, edges: Dataset, *,
                           hierarchy: dict[str, int] | None = None,
                           num_partitions: int = 8) -> Dataset:
@@ -196,13 +193,19 @@ def build_typed_adjacency(nodes: Dataset, edges: Dataset, *,
     hier = NODE_HIERARCHY if hierarchy is None else hierarchy
 
     def typed(t: pa.Table) -> pa.Table:
-        lv = [hier.get(x, _INF_LEVEL)
+        # falsy node_type → _INF_LEVEL + 1 (the DFS's `if not
+        # source_type: return` dead-end — _INF_LEVEL alone marks a
+        # TYPED node whose type is outside the hierarchy, which the
+        # DFS still expands)
+        lv = [hier.get(x, _INF_LEVEL) if x else _INF_LEVEL + 1
               for x in t.column("node_type").to_pylist()]
         return pa.table({"nid": t.column("node_id").cast(pa.string()),
                          "ntype": t.column("node_type").cast(pa.string()),
                          "nlvl": pa.array(lv, pa.int64())})
 
-    nt = nodes.map_batches(typed, batch_format="pyarrow")
+    # materialized: both endpoint joins consume nt, and a lazy nt would
+    # re-execute the full nodes scan + type map for the second join
+    nt = nodes.map_batches(typed, batch_format="pyarrow").materialize()
 
     def both_dirs(t: pa.Table) -> pa.Table:
         src = t.column("src").cast(pa.string())
@@ -218,8 +221,8 @@ def build_typed_adjacency(nodes: Dataset, edges: Dataset, *,
                             "node_lvl": t.column("nlvl"),
                             "other": t.column("other")}),
         batch_format="pyarrow")
-    # launder between the chained joins — see _drop_empty_blocks
-    j1 = _drop_empty_blocks(j1, pa.schema([("node", pa.string()),
+    # launder between the chained joins — see drop_empty_blocks
+    j1 = drop_empty_blocks(j1, pa.schema([("node", pa.string()),
                                            ("node_lvl", pa.int64()),
                                            ("other", pa.string())]))
     j2 = j1.join(nt, join_type="inner", num_partitions=num_partitions,
@@ -237,7 +240,7 @@ def build_typed_adjacency(nodes: Dataset, edges: Dataset, *,
                    if "node" in t.column_names
                    else out_schema.empty_table()),
         batch_format="pyarrow")
-    return _drop_empty_blocks(out, out_schema)
+    return drop_empty_blocks(out, out_schema)
 
 
 def find_nodes_by_type_distributed(typed_adj: Dataset, nodes: Dataset,
@@ -312,6 +315,11 @@ def find_nodes_by_type_distributed(typed_adj: Dataset, nodes: Dataset,
                 return pa.table({"other": pa.array([], pa.string()),
                                  "is_hit": pa.array([], pa.bool_())})
             t = t.filter(pc.is_in(t.column("node"), value_set=fr))
+            # untyped frontier nodes (node_lvl == _INF_LEVEL + 1, only
+            # reachable via start_nodes) are dead ends: the DFS's
+            # `if not source_type: return` neither hits nor expands them
+            t = t.filter(pc.less_equal(
+                t.column("node_lvl"), pa.scalar(_INF_LEVEL, pa.int64())))
             cur = t.column("node_lvl")
             nlvl = t.column("other_lvl")
             ntype = t.column("other_type")
@@ -399,7 +407,10 @@ def expand_frontier(edges: Dataset, frontier: set[str], *, rounds: int = 1,
             return pa.concat_tables(outs)
 
         hopped = edges.map_batches(hop, batch_format="pyarrow").to_pandas()
-        nxt = set(hopped["node"]) - visited
+        # an all-empty edges dataset never runs hop() (empty blocks
+        # bypass map_batches) and lands here with the raw edges schema
+        nxt = (set(hopped["node"]) if "node" in hopped.columns
+               else set()) - visited
         visited |= nxt
         cur = nxt
     return visited - set(frontier)

@@ -1,0 +1,241 @@
+"""Fifth review-pass regressions: committed-only star views, untyped
+start nodes in the distributed traversal, the distributed agent's
+attribute contract, corpus-shard parameter staleness, and the all-empty
+edges frontier guard."""
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+
+def test_connect_star_ignores_tmp_partition_dirs(tmp_path):
+    """A crash between parquet write and the atomic partition rename
+    leaves a part-NNNNN.tmp dir; the star SQL views must serve only
+    committed partitions (the old part-* glob matched the leftover and
+    silently duplicated rows)."""
+    from datacapsule_ray.pipelines.star_query import connect_star
+    from datacapsule_ray.state.checkpoint import CheckpointStore
+
+    root = str(tmp_path / "ck")
+    store = CheckpointStore(root)
+    t = pa.table({"species_id": [1, 2], "latin_name": ["a", "b"]})
+    for stage in ("species", "distributions", "numerical_traits",
+                  "descriptions"):
+        store.write_partition(stage, 0, rd.from_arrow(t), ["f0"])
+    # plant a crash leftover: a full copy of partition 0 still in .tmp
+    committed = os.path.join(root, "species", "part-00000")
+    leftover = committed + ".tmp"
+    shutil.copytree(committed, leftover)
+    con = connect_star(root)
+    n = con.sql("SELECT COUNT(*) AS n FROM species").df()["n"].iloc[0]
+    assert int(n) == 2  # not 4: the .tmp copy must be invisible
+
+
+def test_distributed_find_untyped_start_is_dead_end():
+    """GraphIndex's DFS returns {} for a start node whose node_type is
+    empty/null (`if not source_type: return`); the dataset-resident
+    traversal must not expand such a node's neighbors instead."""
+    from datacapsule_ray.traverse import (GraphIndex, build_typed_adjacency,
+                                          find_nodes_by_type_distributed)
+
+    nodes_t = pa.table({
+        "node_id": ["untyped", "k1", "s1", "s2"],
+        "node_type": ["", "科", "种", "种"],
+    })
+    edges_t = pa.table({
+        "src": ["untyped", "k1", "k1"],
+        "rel": ["r", "包含", "包含"],
+        "dst": ["k1", "s1", "s2"],
+    })
+    hier = {"科": 6, "种": 7}
+    gi = GraphIndex(nodes_t, edges_t, hierarchy=hier, leaf_level=7)
+    assert gi.find_nodes_by_node_type("untyped", "种") == set()
+
+    nodes_ds, edges_ds = rd.from_arrow(nodes_t), rd.from_arrow(edges_t)
+    adj = build_typed_adjacency(nodes_ds, edges_ds, hierarchy=hier,
+                                num_partitions=2).materialize()
+    df = find_nodes_by_type_distributed(
+        adj, nodes_ds, ["untyped"], "种", hierarchy=hier,
+        leaf_level=7).to_pandas()
+    got = set(df["node_id"]) if len(df) else set()
+    assert got == set()  # parity: dead end, not {s1, s2} via k1
+    # the typed start keeps working on the same adjacency
+    df2 = find_nodes_by_type_distributed(
+        adj, nodes_ds, ["k1"], "种", hierarchy=hier,
+        leaf_level=7).to_pandas()
+    assert set(df2["node_id"]) == {"s1", "s2"}
+
+
+def test_distributed_agent_node_attribute_contract():
+    """DistributedAgentTools.get_node_attribute must match GraphIndex's
+    shape exactly: node_id popped, None-valued columns dropped (the
+    observation text feeds planner prompts — the tiers may not differ)."""
+    from datacapsule_ray.agent import DistributedAgentTools
+    from datacapsule_ray.traverse import GraphIndex, build_typed_adjacency
+
+    nodes_t = pa.table({
+        "node_id": ["n1", "n2"],
+        "node_type": ["种", "科"],
+        "name": ["fish", None],
+        "description": [None, "a family"],
+    })
+    edges_t = pa.table({"src": ["n2"], "rel": ["包含"], "dst": ["n1"]})
+    hier = {"科": 6, "种": 7}
+    gi = GraphIndex(nodes_t, edges_t, hierarchy=hier, leaf_level=7)
+    nodes_ds, edges_ds = rd.from_arrow(nodes_t), rd.from_arrow(edges_t)
+    adj = build_typed_adjacency(nodes_ds, edges_ds, hierarchy=hier,
+                                num_partitions=2).materialize()
+    tools = DistributedAgentTools(adj, nodes_ds, hierarchy=hier,
+                                  leaf_level=7)
+    for nid in ("n1", "n2"):
+        assert tools.get_node_attribute(nid) == gi.get_node_attribute(nid)
+    with pytest.raises(KeyError):
+        tools.get_node_attribute("missing")
+
+
+def test_write_corpus_regenerates_on_param_change(tmp_path):
+    """Shard filenames encode neither seed nor docs_per_file; reuse must
+    key on both (the old exists-check served a stale corpus after a
+    parameter change)."""
+    from datacapsule_ray.fixtures import write_corpus
+
+    d = str(tmp_path / "corpus")
+    files1 = write_corpus(d, 8, seed=1, docs_per_file=4)
+    t1 = pq.read_table(files1[0])
+    # same params → shards reused byte-identically
+    write_corpus(d, 8, seed=1, docs_per_file=4)
+    assert pq.read_table(files1[0]).equals(t1)
+    # changed seed → shards regenerated with different content
+    files2 = write_corpus(d, 8, seed=2, docs_per_file=4)
+    assert files2 == files1
+    assert not pq.read_table(files2[0]).equals(t1)
+    # changed docs_per_file → repartitioned (different shard count)
+    files3 = write_corpus(d, 8, seed=2, docs_per_file=2)
+    assert len(files3) == 4
+
+
+def test_expand_frontier_all_empty_edges():
+    """An edges dataset whose blocks are all empty bypasses map_batches
+    and lands on the driver with the raw edges schema — the frontier
+    expansion must return no neighbors, not KeyError('node')."""
+    from datacapsule_ray.traverse import expand_frontier
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([], pa.string()),
+        "rel": pa.array([], pa.string()),
+        "dst": pa.array([], pa.string()),
+    }))
+    assert expand_frontier(edges, {"a"}, rounds=2) == set()
+
+
+# --- second review batch ----------------------------------------------------
+
+def test_complete_batch_positional_choices_and_short_response():
+    """Servers that omit per-choice `index` rely on positional order —
+    the client must not collapse the chunk onto slot 0; a short choices
+    list must raise instead of silently degrading prompts to ''."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from datacapsule_ray.clients import OpenAICompatClient
+
+    class H(BaseHTTPRequestHandler):
+        short = False
+
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            payload = json.loads(
+                self.rfile.read(int(self.headers["Content-Length"])))
+            prompts = payload["prompt"]
+            choices = [{"text": f"answer-{p}"} for p in prompts]  # no index
+            if H.short:
+                choices = choices[:-1]
+            body = json.dumps({"choices": choices}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        client = OpenAICompatClient(
+            base_url=f"http://127.0.0.1:{srv.server_address[1]}")
+        out = client.complete_batch(["a", "b", "c"])
+        assert out == ["answer-a", "answer-b", "answer-c"]
+        H.short = True
+        with pytest.raises(ValueError, match="2 choices for 3 prompts"):
+            client.complete_batch(["a", "b", "c"])
+    finally:
+        srv.shutdown()
+
+
+def test_remote_embedder_empty_batch_no_http():
+    """An empty block must produce a (0, dim) matrix without any HTTP
+    call (client.embed([]) returns shape (0,), failing the shape check)."""
+    from datacapsule_ray.clients import RemoteEmbedder
+
+    emb = RemoteEmbedder.__new__(RemoteEmbedder)  # skip client construction
+    emb.dim = 32
+    emb.client = None  # any attribute access would raise — proves no call
+    out = emb._embed([])
+    assert out.shape == (0, 32)
+
+
+def test_hll_by_key_empty_blocks():
+    """Empty blocks must emit typed empty partials (not zero-column
+    frames), and an all-empty dataset returns an empty typed result."""
+    from datacapsule_ray.functions.sketches import hll_distinct_by_key
+
+    empty = pd.DataFrame({"k": pd.Series(dtype="object"),
+                          "v": pd.Series(dtype="int64")})
+    some = pd.DataFrame({"k": ["a"] * 5, "v": [1, 2, 3, 2, 1]})
+    ds = rd.from_pandas([empty, some, empty])
+    out = hll_distinct_by_key(ds, "k", "v", p=10)
+    assert list(out["k"]) == ["a"]
+    assert abs(out["approx_distinct"].iloc[0] - 3) < 1
+    out2 = hll_distinct_by_key(rd.from_pandas(empty), "k", "v", p=10)
+    assert len(out2) == 0 and list(out2.columns) == ["k", "approx_distinct"]
+
+
+def test_user_sessions_oracle_parity_subsecond_boundary(tmp_path):
+    """A same-user gap of 1800.3s (within the ~1s band around the
+    threshold) must count as a session break in BOTH the engine and the
+    declared SQL oracle — date_diff('second') semantics disagreed here."""
+    import duckdb
+
+    import __ray_entry__ as em
+    from datacapsule_ray.pipelines import relational as r
+
+    ts0 = pd.Timestamp("2024-01-01 02:00:00.100")
+    events = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [7, 7, 8, 8],
+        "ts": [ts0, ts0 + pd.Timedelta(seconds=1800.3),       # break
+               ts0, ts0 + pd.Timedelta(seconds=1799.8)],      # same session
+        "event_type": ["click"] * 4,
+        "value": [1.0] * 4,
+    })
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    d = tmp_path / "sf"
+    d.mkdir()
+    events.to_parquet(d / "events.parquet", index=False)
+    got = (r.user_sessions(str(d)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = (con.sql(em.oracle_sql()["user_sessions"]).df()
+            .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["user_id", "n_events", "n_sessions"]].astype("int64"),
+        want.astype("int64"))
+    assert got["n_sessions"].tolist() == [2, 1]
