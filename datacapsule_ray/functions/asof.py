@@ -14,12 +14,19 @@ SAME materialized sorted blocks:
    the O(#blocks) summaries by first-row identity (sort guarantees
    disjoint, ordered ranges) and computes each block's CARRY — the
    latest right row for the key run that enters the block from previous
-   blocks — by scanning backward while the key matches. Driver state is
-   O(#blocks), never O(rows) or O(keys);
+   blocks — in one forward pass. Driver state is O(#blocks), never
+   O(rows) or O(keys);
 3. pass 2 re-maps the same blocks: a vectorized forward-fill
    (``np.maximum.accumulate`` over right-row indices, reset at key-run
    starts) resolves every left row in-block; rows of the block's first
    run with no in-block right row take the broadcast carry.
+
+Both passes stay in ARROW end-to-end: the aligned union necessarily has
+nulls (r_ts/r_value on left rows, left payload on right rows), and an
+arrow→pandas conversion would decay int64-with-nulls to float64 —
+silently corrupting nanosecond-epoch timestamps and hashed ids above
+2^53. Values cross the driver only as Arrow scalars / ``to_pylist``
+python ints, which are exact.
 
 Within-block work is all numpy; the only shuffle is the sort. Ties on
 (key, ts) between right rows resolve to the largest ``tiebreak`` value
@@ -29,8 +36,8 @@ Within-block work is all numpy; the only shuffle is the sort. Ties on
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -72,6 +79,12 @@ def _aligned(left: Dataset, right: Dataset, key: str, ts_col: str,
             .union(right.map_batches(tag_right, batch_format="pyarrow")))
 
 
+def _np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
 def asof_join(left: Dataset, right: Dataset, *, key: str, ts_col: str,
               tiebreak_col: str, value_cols: list[str],
               join_type: str = "inner") -> Dataset:
@@ -90,41 +103,49 @@ def asof_join(left: Dataset, right: Dataset, *, key: str, ts_col: str,
     srt = _aligned(left, right, key, ts_col, tiebreak_col, value_cols
                    ).sort([key, ts_col, "src", tiebreak_col]).materialize()
 
-    def summarize(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            # dtypes derived from the (schema-carrying) empty block —
-            # hardcoded int64/datetime here would concat mismatched
-            # dtypes into `summaries` for string keys / integer ts
-            return pd.DataFrame(
-                {"f_key": pd.Series(dtype=df[key].dtype),
-                 "f_ts": pd.Series(dtype=df[ts_col].dtype),
-                 "f_src": pd.Series(dtype="int8"),
-                 "f_uid": pd.Series(dtype=df[tiebreak_col].dtype),
-                 "l_key": pd.Series(dtype=df[key].dtype),
-                 "single": pd.Series(dtype=bool),
-                 "has_r": pd.Series(dtype=bool),
-                 "c_ts": pd.Series(dtype="object"),
-                 **{f"c_{v}": pd.Series(dtype="object")
-                    for v in value_cols}})
-        first = df.iloc[0]
-        lk = df[key].iloc[-1]
-        sub = df[(df[key] == lk) & (df["src"] == 0)]
-        has_r = len(sub) > 0
-        row = {"f_key": first[key], "f_ts": first[ts_col],
-               "f_src": first["src"], "f_uid": first[tiebreak_col],
-               "l_key": lk, "single": bool((df[key] == first[key]).all()),
-               "has_r": has_r,
-               # None (not NaT): c_ts is only read when has_r, and NaT
-               # would force non-datetime ts columns to object anyway
-               "c_ts": sub["r_ts"].iloc[-1] if has_r else None}
-        for v in value_cols:
-            row[f"c_{v}"] = sub[f"r_{v}"].iloc[-1] if has_r else None
-        return pd.DataFrame([row])
+    c_cols = ["c_ts"] + [f"c_{v}" for v in value_cols]
+    r_cols = ["r_ts"] + [f"r_{v}" for v in value_cols]
 
-    summaries = (srt.map_batches(summarize, batch_format="pandas")
-                 .to_pandas()
-                 .sort_values(["f_key", "f_ts", "f_src", "f_uid"],
-                              kind="stable").reset_index(drop=True))
+    def summarize(t: pa.Table) -> pa.Table:
+        sch = t.schema
+        out_schema = pa.schema(
+            [("f_key", sch.field(key).type), ("f_ts", sch.field(ts_col).type),
+             ("f_src", pa.int8()), ("f_uid", sch.field(tiebreak_col).type),
+             ("l_key", sch.field(key).type), ("single", pa.bool_()),
+             ("has_r", pa.bool_())]
+            + [(c, sch.field(r).type) for c, r in zip(c_cols, r_cols)])
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        keyv = _np(t.column(key))
+        src = _np(t.column("src"))
+        last_run = keyv == keyv[-1]
+        r_in_last = np.flatnonzero(last_run & (src == 0))
+        has_r = len(r_in_last) > 0
+        last_r = int(r_in_last[-1]) if has_r else 0
+        cols = {
+            "f_key": t.column(key).take(pa.array([0])),
+            "f_ts": t.column(ts_col).take(pa.array([0])),
+            "f_src": t.column("src").take(pa.array([0])).cast(pa.int8()),
+            "f_uid": t.column(tiebreak_col).take(pa.array([0])),
+            "l_key": t.column(key).take(pa.array([n - 1])),
+            "single": pa.array([bool((keyv == keyv[0]).all())]),
+            "has_r": pa.array([has_r]),
+        }
+        for c, r in zip(c_cols, r_cols):
+            cols[c] = (t.column(r).take(pa.array([last_r])) if has_r
+                       else pa.nulls(1, type=sch.field(r).type))
+        return pa.table(cols, schema=out_schema)
+
+    # O(#blocks) summaries gathered as ARROW (a pandas gather would
+    # decay nullable int c_* columns to float64), ordered by first-row
+    # identity — the sort guarantees disjoint, ordered block ranges
+    from ..traverse import gather_table
+
+    s_tbl = gather_table(srt.map_batches(summarize, batch_format="pyarrow"))
+    rows = sorted(s_tbl.to_pylist(),
+                  key=lambda r: (r["f_key"], r["f_ts"], r["f_src"],
+                                 r["f_uid"]))
     # single forward pass, O(#blocks): `prev_carry` is the latest right
     # row of the key run ending at the previous block's tail (None when
     # that run has produced no right row yet, or the run began mid-block
@@ -135,15 +156,13 @@ def asof_join(left: Dataset, right: Dataset, *, key: str, ts_col: str,
     prev_lkey = None
     prev_carry: dict | None = None
     have_prev = False
-    for i in range(len(summaries)):
-        s = summaries.iloc[i]
+    for s in rows:
         fk = s["f_key"]
         if have_prev and prev_lkey == fk and prev_carry is not None:
             carries[(fk, s["f_ts"], int(s["f_src"]), int(s["f_uid"]))] = \
                 prev_carry
         if s["has_r"]:
-            cur = {"ts": s["c_ts"],
-                   **{v: s[f"c_{v}"] for v in value_cols}}
+            cur = {c: s[c] for c in c_cols}
         elif s["single"] and have_prev and prev_lkey == fk:
             cur = prev_carry          # run continues, no new right rows
         else:
@@ -151,80 +170,59 @@ def asof_join(left: Dataset, right: Dataset, *, key: str, ts_col: str,
         prev_lkey, prev_carry, have_prev = s["l_key"], cur, True
     carries_ref = ray.put(carries)
 
-    def _out_dtype(dt):
-        """The ONE dtype a matched column keeps across ALL batches:
-        native datetime (NaT is representable), else the pandas
-        nullable extension dtype (plain NaT/NaN assignment would flip
-        int ts columns to object or float64 only in batches that HAVE
-        unmatched rows, producing inconsistent block schemas)."""
-        if pd.api.types.is_datetime64_any_dtype(dt):
-            return dt
-        if pd.api.types.is_unsigned_integer_dtype(dt):
-            return "UInt64"
-        if pd.api.types.is_integer_dtype(dt):
-            return "Int64"
-        if pd.api.types.is_float_dtype(dt):
-            return "Float64"
-        return "object"
+    out_names = l_cols + ["ts_asof"] + [f"{v}_asof" for v in value_cols]
 
-    def _null_out(s: pd.Series, mask: np.ndarray, carry_mask: np.ndarray,
-                  carry_val) -> pd.Series:
-        s = s.astype(_out_dtype(s.dtype))
-        s[mask] = pd.NaT if pd.api.types.is_datetime64_any_dtype(s) else pd.NA
-        if carry_val is not None:
-            s[carry_mask] = carry_val
-        return s
-
-    def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        out_cols = l_cols + ["ts_asof"] + [f"{v}_asof" for v in value_cols]
-        if df.empty:
-            empty = {c: pd.Series(dtype=df[c].dtype) if c in df.columns
-                     else pd.Series(dtype="object") for c in l_cols}
-            empty["ts_asof"] = pd.Series(dtype=_out_dtype(
-                df["r_ts"].dtype if "r_ts" in df.columns else "object"))
-            for v in value_cols:
-                rc = f"r_{v}"
-                empty[f"{v}_asof"] = pd.Series(dtype=_out_dtype(
-                    df[rc].dtype if rc in df.columns else "object"))
-            return pd.DataFrame(empty)[out_cols]
+    def resolve(t: pa.Table) -> pa.Table:
+        sch = t.schema
+        out_schema = pa.schema(
+            [(c, sch.field(c).type) for c in l_cols]
+            + [(o, sch.field(r).type)
+               for o, r in zip(out_names[len(l_cols):], r_cols)])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
         # cached per-worker deserialize: a bare ray.get inside the task
         # would re-deserialize the O(#blocks) carries dict on EVERY
         # batch (the problem _cached_get exists for, ssjoin.py:75-80)
         from .ssjoin import _cached_get
 
         carry = _cached_get(carries_ref).get(
-            (df[key].iloc[0], df[ts_col].iloc[0],
-             int(df["src"].iloc[0]), int(df[tiebreak_col].iloc[0])))
-        n = len(df)
-        keyv = df[key].to_numpy()
+            (t.column(key)[0].as_py(), t.column(ts_col)[0].as_py(),
+             int(t.column("src")[0].as_py()),
+             int(t.column(tiebreak_col)[0].as_py())))
+        n = t.num_rows
+        keyv = _np(t.column(key))
         newk = np.ones(n, dtype=bool)
         newk[1:] = keyv[1:] != keyv[:-1]
         run_start = np.maximum.accumulate(
             np.where(newk, np.arange(n), -1))
-        src = df["src"].to_numpy()
+        src = _np(t.column("src"))
         filled = np.maximum.accumulate(
             np.where(src == 0, np.arange(n), -1))
         valid = filled >= run_start
         in_first_run = run_start == 0
         use_carry = (~valid) & in_first_run & (carry is not None)
         lmask = src == 1
-        res = df.loc[lmask, l_cols].copy()
-        take = np.where(valid, filled, 0)
-        lvalid = valid[lmask]
-        lcarry = use_carry[lmask]
-        ts_out = pd.Series(df["r_ts"].to_numpy()[take][lmask],
-                           index=res.index)
-        res["ts_asof"] = _null_out(
-            ts_out, ~lvalid, lcarry,
-            carry["ts"] if carry is not None else None)
-        for v in value_cols:
-            v_out = pd.Series(df[f"r_{v}"].to_numpy()[take][lmask],
-                              index=res.index)
-            res[f"{v}_asof"] = _null_out(
-                v_out, ~lvalid, lcarry,
-                carry[v] if carry is not None else None)
+        left_idx = np.flatnonzero(lmask)
+        res = t.select(l_cols).take(pa.array(left_idx))
+        # matched right-row positions per left row (0 where unmatched —
+        # masked to null below, so the placeholder value is never read)
+        take_pos = np.where(valid, filled, 0)[left_idx]
+        lvalid = pa.array(valid[left_idx])
+        lcarry = pa.array(use_carry[left_idx])
+        for o, cc, r in zip(out_names[len(l_cols):], c_cols, r_cols):
+            typ = sch.field(r).type
+            vals = t.column(r).take(pa.array(take_pos))
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            out = pc.if_else(lvalid, vals, pa.scalar(None, type=typ))
+            if carry is not None:
+                out = pc.if_else(lcarry, pa.scalar(carry[cc], type=typ), out)
+            res = res.append_column(o, out)
         if join_type == "inner":
-            res = res[lvalid | lcarry]
-        return res.reset_index(drop=True)
+            res = res.filter(pc.or_(lvalid, lcarry))
+        return res
+        # NOTE: every column above stays in its ARROW type end-to-end —
+        # int64 epoch-ns timestamps and >2^53 hashed ids survive exactly
+        # (a pandas pass would round them through float64)
 
-    return srt.map_batches(resolve, batch_format="pandas")
+    return srt.map_batches(resolve, batch_format="pyarrow")

@@ -156,7 +156,9 @@ def _col_type(ds: Dataset, col: str) -> pa.DataType:
 def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
                    pair_value_col: str, stats: dict | None = None,
                    presorted: bool = False,
-                   id_type: pa.DataType | None = None) -> Dataset:
+                   id_type: pa.DataType | None = None,
+                   raw_cap: int | None = None,
+                   raw_cap_col: str | None = None) -> Dataset:
     """Run a pairwise verification kernel per bucket WITHOUT
     groupby().map_groups (which builds one pandas frame per group —
     measured dominant for 10^4-10^5 tiny LSH buckets).
@@ -174,7 +176,20 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
 
     ``id_type`` is the Arrow type of the ids the kernel emits (defaults
     to int64). Pass ``pa.string()`` for string doc ids — the int-only
-    Int64 channel would otherwise raise on the first string id."""
+    Int64 channel would otherwise raise on the first string id.
+
+    ``raw_cap``/``raw_cap_col``: worker-side cap on the boundary raw
+    channel. A hot bucket spanning block boundaries would otherwise
+    ship ALL its rows (signatures included) to the driver before the
+    kernel's own head(max_bucket) ever runs. Each boundary FRAGMENT
+    keeps only its ``raw_cap`` smallest rows by ``raw_cap_col`` — a
+    row among the bucket's global cap-smallest is also among its own
+    fragment's cap-smallest, so the driver merge still sees the exact
+    rows the kernel's sort+head would keep, and driver residency is
+    bounded by blocks × raw_cap instead of the hot-bucket size.
+    Per-fragment drop counts feed the same ``dropped_rows`` total, so
+    fragment-drops + kernel-drops == the uncapped count. Pass the SAME
+    column the kernel sorts by before its head()."""
     import ray.data as rd
 
     id_type = id_type or pa.int64()
@@ -218,7 +233,16 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
             ends = np.append(starts[1:], n)
             for i, (s, e) in enumerate(zip(starts, ends)):
                 if i == 0 or i == len(starts) - 1:
-                    raw_idx.append(np.arange(s, e))  # boundary bucket → fixup
+                    # boundary bucket → driver fixup; cap the fragment
+                    # worker-side (see docstring — exact under the
+                    # kernel's own sort(raw_cap_col) + head(raw_cap))
+                    if raw_cap is not None and e - s > raw_cap:
+                        vals = df[raw_cap_col].to_numpy()[s:e]
+                        keep = np.argsort(vals, kind="stable")[:raw_cap]
+                        raw_idx.append(s + np.sort(keep))
+                        dropped += (e - s) - raw_cap
+                    else:
+                        raw_idx.append(np.arange(s, e))
                     continue
                 if e - s < 2:
                     continue
@@ -558,7 +582,8 @@ def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 64, bands: int = 16,
 
     pairs = _bucket_verify(banded, ["band", "bucket"], verify, "est_jaccard",
                            stats=stats,
-                           id_type=_col_type(ds, id_col))
+                           id_type=_col_type(ds, id_col),
+                           raw_cap=max_bucket, raw_cap_col=id_col)
     return _dedup_pairs(pairs, "est_jaccard")
 
 
@@ -792,7 +817,8 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
 
     pairs = _bucket_verify(banded, ["band", "bucket"], verify, "hamming",
                            stats=stats,
-                           id_type=_col_type(ds, id_col))
+                           id_type=_col_type(ds, id_col),
+                           raw_cap=max_bucket, raw_cap_col=id_col)
     return _dedup_pairs(pairs, "hamming")
 
 
@@ -850,5 +876,6 @@ def embedding_neardup_pairs(ds: Dataset, *, dim: int, threshold: float = 0.95,
                 max(0, len(group) - max_bucket))
 
     pairs = _bucket_verify(bucketed, ["bucket"], verify, "cosine", stats=stats,
-                           id_type=_col_type(ds, id_col))
+                           id_type=_col_type(ds, id_col),
+                           raw_cap=max_bucket, raw_cap_col=id_col)
     return _dedup_pairs(pairs, "cosine")

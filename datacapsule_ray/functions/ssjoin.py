@@ -188,7 +188,8 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
     ident_pairs = _bucket_verify(
         docsets.select_columns(["set_hash", id_col, "size"]),
         ["set_hash"], ident_verify, "iu_code", stats=ident_stats,
-        presorted=True, id_type=id_type)
+        presorted=True, id_type=id_type,
+        raw_cap=max_bucket, raw_cap_col=id_col)
 
     # one representative per distinct set: per-block first occurrence
     # over the sorted blocks. A set straddling a block boundary yields
@@ -286,7 +287,8 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
 
     cross_stats: dict = {}
     set_pairs = _bucket_verify(banded, ["ptok"], cross_verify, "iu_code",
-                               stats=cross_stats)
+                               stats=cross_stats,
+                               raw_cap=max_bucket, raw_cap_col="set_hash")
     if stats is not None:
         stats["dropped_rows"] = (ident_stats.get("dropped_rows", 0)
                                  + cross_stats.get("dropped_rows", 0))

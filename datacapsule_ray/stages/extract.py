@@ -62,7 +62,13 @@ def parse_documents_batch(batch: pa.Table) -> pa.Table:
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
     n = len(batch)
-    lengths = spans.value_lengths().to_numpy(zero_copy_only=False)
+    # a NULL spans list (legal — the column is nullable) has length
+    # None → float64 NaN, which crashes np.repeat; treat as zero spans
+    # so the malformed doc degrades to all-None fields (errors become
+    # data, never task failures)
+    lengths = np.nan_to_num(
+        spans.value_lengths().to_numpy(zero_copy_only=False),
+        nan=0.0).astype(np.int64)
     parent = np.repeat(np.arange(n), lengths)
 
     flat = spans.flatten()  # struct array of all spans

@@ -95,21 +95,44 @@ class InteractionStore:
         segs = self._segments()
         return (segs[-1][0] + 1) if segs else 0
 
-    def _commit_segment(self, op: str, write_fn) -> str:
+    def _commit_segment(self, op: str, write_fn,
+                        empty_schema: pa.Schema | None = None) -> str:
         """Atomic segment commit: write into a tmp dir, rename in. The
         rename IS the commit — a crash mid-write leaves only .tmp junk
-        that is ignored by _segments and swept by compact()."""
-        seq = self._next_seq()
-        final = os.path.join(self.root, f"seg-{seq:06d}-{op}")
-        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        that is ignored by _segments and swept by compact().
+
+        Two hardenings for the log contract:
+        - a ZERO-ROW write (``write_parquet`` of an empty Dataset emits
+          no files at all) still commits a schema-carrying empty parquet
+          file — a file-less segment dir would poison every later
+          ``get``/``scan`` with an empty-schema filter error;
+        - the segment NUMBER is claimed by the rename itself: two
+          concurrent writers that computed the same seq collide on the
+          rename (the loser gets OSError — renaming onto a non-empty
+          dir fails), and the loser retries with a fresh seq instead of
+          discarding its fully-written data."""
+        tmp = os.path.join(self.root, f"seg.tmp-{uuid.uuid4().hex[:8]}")
         os.makedirs(tmp)
         try:
             write_fn(tmp)
-            os.rename(tmp, final)
+            if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
+                pq.write_table(
+                    (empty_schema or INTERACTION_FIELDS).empty_table(),
+                    os.path.join(tmp, "part-0.parquet"))
+            for _ in range(20):
+                seq = self._next_seq()
+                final = os.path.join(self.root, f"seg-{seq:06d}-{op}")
+                try:
+                    os.rename(tmp, final)
+                    return final
+                except OSError:
+                    continue  # another writer claimed seq — recompute
+            raise OSError(
+                f"could not claim a segment number after 20 attempts "
+                f"under {self.root!r}")
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
-        return final
 
     # --- writes --------------------------------------------------------------
     def append(self, records: list[dict]) -> str:
@@ -155,7 +178,8 @@ class InteractionStore:
         """Tombstone segment (app.py:329-351's delete endpoint)."""
         t = pa.table({"id": pa.array([str(i) for i in ids], type=pa.string())})
         return self._commit_segment(
-            "delete", lambda d: pq.write_table(t, f"{d}/part-0.parquet"))
+            "delete", lambda d: pq.write_table(t, f"{d}/part-0.parquet"),
+            empty_schema=t.schema)
 
     def delete_dataset(self, ids: Dataset) -> str:
         """Distributed tombstones from a Dataset with an ``id`` column."""
@@ -163,7 +187,8 @@ class InteractionStore:
             "delete", lambda d: ids.map_batches(
                 lambda t: pa.table({"id": t.column("id").cast(pa.string())}),
                 batch_format="pyarrow").write_parquet(
-                d, min_rows_per_file=64_000))
+                d, min_rows_per_file=64_000),
+            empty_schema=pa.schema([("id", pa.string())]))
 
     # --- reads ---------------------------------------------------------------
     def _read_segment(self, path: str) -> Dataset:
@@ -184,9 +209,13 @@ class InteractionStore:
             return rd.from_arrow(INTERACTION_FIELDS.empty_table())
         parts = []
         for seq, op, path in segs:
+            if not _has_parquet(path):
+                continue  # legacy file-less segment (pre-hardening)
             ds = self._read_segment(path)
             parts.append(ds.map_batches(
                 _stamp(seq, op), batch_format="pyarrow"))
+        if not parts:
+            return rd.from_arrow(INTERACTION_FIELDS.empty_table())
         log = parts[0]
         for p in parts[1:]:
             log = log.union(p)
@@ -205,6 +234,8 @@ class InteractionStore:
 
         frames = []
         for seq, op, path in self._segments():
+            if not _has_parquet(path):
+                continue  # legacy file-less segment (pre-hardening)
             t = pads.dataset(path, format="parquet").to_table(
                 filter=pc.field("id") == interaction_id)
             if t.num_rows:
@@ -284,6 +315,10 @@ class InteractionStore:
                 shutil.rmtree(os.path.join(self.root, name),
                               ignore_errors=True)
         return new
+
+
+def _has_parquet(path: str) -> bool:
+    return any(f.endswith(".parquet") for f in os.listdir(path))
 
 
 def _conform_batch(t: pa.Table) -> pa.Table:

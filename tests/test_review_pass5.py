@@ -6,6 +6,7 @@ edges frontier guard."""
 import os
 import shutil
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -239,3 +240,72 @@ def test_user_sessions_oracle_parity_subsecond_boundary(tmp_path):
         got[["user_id", "n_events", "n_sessions"]].astype("int64"),
         want.astype("int64"))
     assert got["n_sessions"].tolist() == [2, 1]
+
+
+def test_lsh_hot_bucket_boundary_cap_exact_and_accounted():
+    """A hot bucket spanning block boundaries must (a) yield exactly the
+    pairs of its max_bucket smallest ids — identical to the uncapped
+    driver merge + head() — and (b) report the full uncapped drop count,
+    while each boundary fragment ships at most max_bucket raw rows."""
+    import numpy as np
+
+    from datacapsule_ray.functions import dedup
+
+    n, cap = 60, 10
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "text": ["the same exact template text repeated many times"] * n,
+    })
+    stats = {}
+    pairs = dedup.minhash_lsh_pairs(
+        rd.from_pandas(docs).repartition(8), threshold=0.5,
+        max_bucket=cap, stats=stats).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    want = {(i, j) for i in range(cap) for j in range(i + 1, cap)}
+    assert got == want        # exactly the cap smallest ids' pairs
+    # identical docs share one bucket per band: 16 bands × (60 - 10)
+    assert stats["dropped_rows"] == 16 * (n - cap)
+
+
+def test_asof_join_ns_epoch_int64_exact():
+    """Nanosecond-epoch int64 timestamps (~1.7e18 > 2^53) and hashed
+    63-bit ids must survive the as-of join EXACTLY — the pandas-block
+    formulation rounded them through float64 (off by up to ~128 ns)."""
+    from datacapsule_ray.functions.asof import asof_join
+
+    base = 1_700_000_000_000_000_000              # ns epoch, > 2^53
+    big_id = (1 << 62) + 12345                     # hashed-id scale
+    left = pd.DataFrame({
+        "event_id": np.array([big_id + i for i in range(6)], dtype=np.int64),
+        "user_id": [1, 1, 1, 2, 2, 2],
+        "ts": np.array([base + 10, base + 20, base + 30,
+                        base + 10, base + 20, base + 30], dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "event_id": np.array([big_id + 100, big_id + 101], dtype=np.int64),
+        "user_id": [1, 2],
+        # +13 and +21: odd offsets float64 would round at this magnitude
+        "ts": np.array([base + 13, base + 21], dtype=np.int64),
+        "value": np.array([base + 7, base + 9], dtype=np.int64),
+    })
+    ds = asof_join(
+        rd.from_pandas(left).repartition(4), rd.from_pandas(right),
+        key="user_id", ts_col="ts", tiebreak_col="event_id",
+        value_cols=["value"], join_type="left")
+    # gather as ARROW — a to_pandas() here would itself decay the
+    # nullable int64 output to float64 and mask the regression
+    from datacapsule_ray.traverse import gather_table
+
+    rows = gather_table(ds).to_pylist()
+    assert len(rows) == 6
+    matched1 = {r["ts_asof"] for r in rows
+                if r["user_id"] == 1 and r["ts_asof"] is not None}
+    assert matched1 == {base + 13}
+    vals1 = {r["value_asof"] for r in rows
+             if r["user_id"] == 1 and r["value_asof"] is not None}
+    assert vals1 == {base + 7}
+    matched2 = {r["ts_asof"] for r in rows
+                if r["user_id"] == 2 and r["ts_asof"] is not None}
+    assert matched2 == {base + 21}
+    # left ids preserved bit-for-bit
+    assert {r["event_id"] for r in rows} == {big_id + i for i in range(6)}
