@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": r.customers_without_orders,
         "events_page2": r.events_page2,
         "events_asof_purchase": r.events_asof_purchase,
+        "events_asof_purchase_left": r.events_asof_purchase_left,
         "events_value_quantiles": r.events_value_quantiles,
         "events_mode_value": r.events_mode_value,
         "user_event_paths": r.user_event_paths,
@@ -147,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # non-SQL-expressible (LSH / IVF / multimodal / flagship KG):
         # rows-only driver check; semantics pinned by tests/
         "doc_rolling_fingerprints": docops.doc_rolling_fingerprints,
+        "doc_pack_plan": docops.doc_pack_plan,
         "dedup_minhash_docs": docops.dedup_minhash_docs,
         "dedup_minhash_components": docops.dedup_minhash_components,
         "dedup_simhash_docs": docops.dedup_simhash_docs,
@@ -297,6 +299,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, e.ts,
                    p.ts AS ts_asof, p.value AS value_asof
             FROM events e ASOF JOIN (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id AND e.ts >= p.ts
+            WHERE e.event_type = 'click'
+        """,
+        "events_asof_purchase_left": """
+            SELECT e.event_id, e.user_id, e.ts,
+                   p.ts AS ts_asof, p.value AS value_asof
+            FROM events e ASOF LEFT JOIN (
                 SELECT user_id, ts, value FROM events
                 WHERE event_type = 'purchase') p
               ON e.user_id = p.user_id AND e.ts >= p.ts

@@ -49,6 +49,18 @@ def doc_lang_marker_counts(sf_dir: str) -> Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(counts, batch_format="pyarrow")
 
 
+def doc_pack_plan(sf_dir: str, cap: int = 256) -> Dataset:
+    """Sequence-packing plan over the documents table: token counts →
+    per-partition greedy bins of <= cap tokens (functions/packing.py).
+    Rows-only driver check (packing is a sequential scan, not SQL);
+    exact per-partition semantics pinned by tests/test_functions.py."""
+    from ..functions.packing import pack_sequences
+
+    stats = text.token_stats(_docs(sf_dir, ["doc_id", "text"]))
+    return pack_sequences(stats, token_col="n_tokens", id_col="doc_id",
+                          cap=cap)
+
+
 def doc_quality_filter(sf_dir: str) -> Dataset:
     """Pre-training quality filter: keep docs with 50..200 tokens and a
     stopword share of at least 5% (integer arithmetic: 20*stop >= tokens,

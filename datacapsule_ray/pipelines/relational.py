@@ -638,6 +638,24 @@ def events_asof_purchase(sf_dir: str) -> Dataset:
                      join_type="inner")
 
 
+def events_asof_purchase_left(sf_dir: str) -> Dataset:
+    """LEFT variant of the as-of join (ASOF LEFT JOIN): clicks with no
+    prior purchase are KEPT with null ts_asof/value_asof — the other
+    half of the join contract, oracle-checked so the null-padding path
+    is driver-verified, not just unit-tested."""
+    from ..functions.asof import asof_join
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type",
+                               "value"])
+    left = (ev.filter(expr="event_type == 'click'")
+            .select_columns(["event_id", "user_id", "ts"]))
+    right = (ev.filter(expr="event_type == 'purchase'")
+             .select_columns(["event_id", "user_id", "ts", "value"]))
+    return asof_join(left, right, key="user_id", ts_col="ts",
+                     tiebreak_col="event_id", value_cols=["value"],
+                     join_type="left")
+
+
 def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-event-type median and p90 of value (in cents) via the
     distributed value-histogram aggregate (functions/quantiles.py) —

@@ -309,3 +309,44 @@ def test_asof_join_ns_epoch_int64_exact():
     assert matched2 == {base + 21}
     # left ids preserved bit-for-bit
     assert {r["event_id"] for r in rows} == {big_id + i for i in range(6)}
+
+
+def test_pack_sequences_matches_sequential_reference():
+    """Per-partition greedy packing must equal the sequential reference
+    exactly — including oversized docs (own bin) and zero-token docs."""
+    from datacapsule_ray.functions.packing import (pack_sequences,
+                                                   pack_sequences_ref)
+
+    rng = np.random.default_rng(11)
+    n = 500
+    toks = rng.integers(0, 400, size=n).astype(np.int64)
+    toks[50] = 5000            # oversized
+    toks[51] = 0               # zero-token
+    ids = [f"doc-{i:05d}" for i in range(n)]
+    df = pd.DataFrame({"doc_id": ids, "n_tokens": toks})
+    # ONE partition → global-sequential semantics apply exactly
+    got = (pack_sequences(rd.from_pandas(df), cap=1000).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = pd.DataFrame(pack_sequences_ref(ids, toks.tolist(), 1000)) \
+        .rename(columns={"id": "doc_id"}) \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "bin_id", "bin_tokens", "n_docs_in_bin",
+             "oversized"]], want, check_dtype=False)
+    # invariants: no non-oversized bin exceeds cap; bins are contiguous
+    per_bin = got.drop_duplicates("bin_id")
+    ok = per_bin[~per_bin["oversized"]]
+    assert (ok["bin_tokens"] <= 1000).all()
+
+    # two partitions pack independently (the documented contract)
+    df1, df2 = df.iloc[:250], df.iloc[250:]
+    got2 = (pack_sequences(rd.from_pandas([df1, df2]), cap=1000)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want2 = pd.DataFrame(
+        pack_sequences_ref(ids[:250], toks[:250].tolist(), 1000)
+        + pack_sequences_ref(ids[250:], toks[250:].tolist(), 1000)) \
+        .rename(columns={"id": "doc_id"}) \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got2[["doc_id", "bin_id", "bin_tokens", "n_docs_in_bin",
+              "oversized"]], want2, check_dtype=False)
