@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best_docs": docops.dedup_keep_best_docs,
         "ssjoin_jaccard_docs": docops.ssjoin_jaccard_docs,
         "doc_top_bigrams": docops.doc_top_bigrams,
+        "doc_top_tokens": docops.doc_top_tokens,
         "doc_top_terms": docops.doc_top_terms,
         "sample_docs_hash": docops.sample_docs_hash,
         "sample_docs_stratified": docops.sample_docs_stratified,
@@ -537,6 +538,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT bigram, COUNT(*) AS n FROM big
             GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+        """,
+        "doc_top_tokens": r"""
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(text, '\s+'),
+                    x -> x <> '')) AS token
+                FROM documents)
+            SELECT token, COUNT(*) AS count_lo, COUNT(*) AS count_hi,
+                   TRUE AS exact
+            FROM toks GROUP BY token
+            ORDER BY count_lo DESC, token LIMIT 20
         """,
         "doc_top_terms": r"""
             WITH toks AS (

@@ -238,7 +238,21 @@ def write_corpus(path: str, n_docs: int, seed: int = 42, docs_per_file: int = 20
     for k, start in enumerate(range(0, n_docs, docs_per_file)):
         end = min(start + docs_per_file, n_docs)
         f = os.path.join(path, f"part-{k:05d}.parquet")
-        if not os.path.exists(f):  # same (seed, docs_per_file, range) → same bytes
+        # reuse iff the shard exists AND covers exactly [start, end) —
+        # row count via metadata pages only. A short tail shard from a
+        # smaller previous n_docs (grow), or a full shard where the new
+        # tail is shorter (shrink), regenerates; everything else is
+        # byte-identical by construction (same seed, dpf, range).
+        if (not os.path.exists(f)
+                or pq.read_metadata(f).num_rows != end - start):
             pq.write_table(generate_documents_range(start, end, seed), f)
         files.append(f)
+    # a SHRUNK n_docs must not leave orphan higher-index shards: the
+    # returned list is correct either way, but a directory-level reader
+    # (glob / read_parquet on the dir) would silently see the old corpus
+    n_shards = len(files)
+    for name in os.listdir(path):
+        if (name.startswith("part-") and name.endswith(".parquet")
+                and int(name[5:10]) >= n_shards):
+            os.unlink(os.path.join(path, name))
     return files

@@ -143,9 +143,16 @@ def asof_join(left: Dataset, right: Dataset, *, key: str, ts_col: str,
     from ..traverse import gather_table
 
     s_tbl = gather_table(srt.map_batches(summarize, batch_format="pyarrow"))
+
+    def _null_last(v):
+        # Arrow's sort places nulls LAST; the driver ordering of block
+        # summaries must match, and a bare tuple compare would raise
+        # TypeError on None vs int/str/datetime
+        return (v is None, v)
+
     rows = sorted(s_tbl.to_pylist(),
-                  key=lambda r: (r["f_key"], r["f_ts"], r["f_src"],
-                                 r["f_uid"]))
+                  key=lambda r: tuple(_null_last(r[c]) for c in
+                                      ("f_key", "f_ts", "f_src", "f_uid")))
     # single forward pass, O(#blocks): `prev_carry` is the latest right
     # row of the key run ending at the previous block's tail (None when
     # that run has produced no right row yet, or the run began mid-block

