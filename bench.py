@@ -121,6 +121,8 @@ def run_bench() -> dict:
     timed("dedup_simhash_docs", docops.dedup_simhash_docs)
     timed("ssjoin_jaccard_docs", docops.ssjoin_jaccard_docs)
     timed("doc_top_bigrams", docops.doc_top_bigrams)
+    timed("doc_top_tokens", docops.doc_top_tokens)
+    timed("doc_pack_plan", docops.doc_pack_plan)
     timed("doc_top_terms", docops.doc_top_terms)
     timed("user_event_paths", r.user_event_paths)
     timed("events_asof_purchase", r.events_asof_purchase)
