@@ -252,7 +252,12 @@ def write_corpus(path: str, n_docs: int, seed: int = 42, docs_per_file: int = 20
     # (glob / read_parquet on the dir) would silently see the old corpus
     n_shards = len(files)
     for name in os.listdir(path):
-        if (name.startswith("part-") and name.endswith(".parquet")
-                and int(name[5:10]) >= n_shards):
+        if not (name.startswith("part-") and name.endswith(".parquet")):
+            continue
+        try:  # full stem, not a fixed 5-digit slice (f'{k:05d}' widens)
+            idx = int(name[5:-len(".parquet")])
+        except ValueError:
+            continue
+        if idx >= n_shards:
             os.unlink(os.path.join(path, name))
     return files

@@ -191,15 +191,25 @@ def heavy_hitters(ds: Dataset, col: str, *, k: int = 4096,
                             "cnt": kept.to_numpy().astype("int64")})
         out["kind"] = "v"
         # one marker row per block carries the block's drop bound on a
-        # separate channel (a null/sentinel key through groupby would
-        # collide with real values or rely on null-group semantics)
-        marker = pd.DataFrame({col: pd.Series([""], dtype=object),
+        # separate channel. Its value-column slot is None (NOT a string
+        # sentinel, which would poison non-string columns at the
+        # pandas->Arrow block conversion); marker rows are filtered by
+        # `kind` before the groupby, so the null never reaches a key.
+        marker = pd.DataFrame({col: pd.Series([None], dtype=object),
                                "cnt": pd.Series([eps], dtype="int64"),
                                "kind": ["m"]})
         return pd.concat([out, marker], ignore_index=True)
 
     partials = ds.select_columns([col]).map_batches(
         partial, batch_format="pandas", batch_size=65536).materialize()
+    psch = partials.schema()
+    if psch is None or "kind" not in psch.names:
+        # an ALL-empty dataset bypasses map_batches entirely and lands
+        # here with the raw (col,) schema — return a typed empty frame
+        return pd.DataFrame({col: pd.Series(dtype="object"),
+                             "count_lo": pd.Series(dtype="int64"),
+                             "count_hi": pd.Series(dtype="int64"),
+                             "exact": pd.Series(dtype="bool")})
     total_eps = int(partials.filter(expr="kind == 'm'")
                     .to_pandas()["cnt"].sum())
     merged = (partials.filter(expr="kind == 'v'")

@@ -337,9 +337,15 @@ def doc_top_tokens(sf_dir: str) -> pd.DataFrame:
     from ..functions.sketches import heavy_hitters
 
     def explode(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        toks = [tok for txt in texts for tok in (txt or "").split()]
-        return pa.table({"token": pa.array(toks, type=pa.string())})
+        import pyarrow.compute as pc
+
+        # the Arrow-native tokenize kernel (same null/empty semantics
+        # as text.py's token_stats): no per-doc Python loop
+        texts = pc.fill_null(t.column("text"), "")
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+        flat = pc.list_flatten(toks)
+        return pa.table({"token": flat.combine_chunks()
+                         if isinstance(flat, pa.ChunkedArray) else flat})
 
     toks = _docs(sf_dir, ["text"]).map_batches(explode,
                                                batch_format="pyarrow")

@@ -113,10 +113,13 @@ class InteractionStore:
           commit the SAME seq under different names (their last-wins
           order then decided alphabetically, not by commit). The claim
           loser retries with a fresh seq instead of discarding its
-          fully-written data; the marker is removed after the rename.
-          A crash between claim and rename orphans one empty marker
-          dir, permanently skipping that seq — a harmless gap (the log
-          orders by number, not density)."""
+          fully-written data. The marker is PERMANENT: removing it
+          after the rename would reopen the race for a writer that
+          read _next_seq before the winner committed (nothing
+          re-checks seg-<seq>-* after mkdir succeeds). A claim is one
+          empty dir; ``compact()`` sweeps claims below the newest
+          committed seq, which no writer can ever legitimately claim
+          again (_next_seq only grows)."""
         tmp = os.path.join(self.root, f"seg.tmp-{uuid.uuid4().hex[:8]}")
         os.makedirs(tmp)
         try:
@@ -134,8 +137,13 @@ class InteractionStore:
                     seq = max(self._next_seq(), seq + 1)
                     continue
                 final = os.path.join(self.root, f"seg-{seq:06d}-{op}")
-                os.rename(tmp, final)
-                os.rmdir(claim)
+                try:
+                    os.rename(tmp, final)
+                except OSError:
+                    # defensive: a pre-claim-era segment already holds
+                    # this seq — burn the claim, slide to the next
+                    seq = max(self._next_seq(), seq + 1)
+                    continue
                 return final
             raise OSError(
                 f"could not claim a segment number after 50 attempts "
@@ -320,10 +328,20 @@ class InteractionStore:
                 d, min_rows_per_file=64_000))
         for _, _, path in old:
             shutil.rmtree(path, ignore_errors=True)
+        new_seq = int(os.path.basename(new).split("-")[1])
         for name in os.listdir(self.root):
             if ".tmp-" in name:
                 shutil.rmtree(os.path.join(self.root, name),
                               ignore_errors=True)
+            elif name.startswith(".claim-"):
+                # claims below the newest committed seq can never be
+                # legitimately re-claimed (_next_seq only grows) —
+                # sweep them; the newest claim stays (it IS `new`'s)
+                try:
+                    if int(name.split("-", 1)[1]) < new_seq:
+                        os.rmdir(os.path.join(self.root, name))
+                except (ValueError, OSError):
+                    pass
         return new
 
 

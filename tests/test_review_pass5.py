@@ -430,3 +430,41 @@ def test_heavy_hitters_exact_and_truncated():
     assert trunc.iloc[0]["v"] == "HOT"          # survives truncation
     row = trunc.iloc[0]
     assert row["count_lo"] <= 500 <= row["count_hi"]
+
+
+def test_heavy_hitters_int_column_and_empty():
+    """Non-string columns must work (the marker row rides a None slot,
+    not a string sentinel) and an all-empty dataset returns a typed
+    empty frame instead of KeyError."""
+    from datacapsule_ray.functions.sketches import heavy_hitters
+
+    df = pd.DataFrame({"user_id": [7] * 10 + [1, 2, 3]})
+    out = heavy_hitters(rd.from_pandas(df), "user_id", k=100, top=2)
+    assert out.iloc[0]["user_id"] == 7
+    assert out.iloc[0]["count_lo"] == 10
+    assert bool(out["exact"].all())
+
+    empty = pd.DataFrame({"v": pd.Series([], dtype=object)})
+    out2 = heavy_hitters(rd.from_pandas(empty), "v", top=5)
+    assert len(out2) == 0
+    assert list(out2.columns) == ["v", "count_lo", "count_hi", "exact"]
+
+
+def test_interaction_store_claim_is_permanent_until_compact(tmp_path):
+    """The seq-claim marker must persist after commit (removing it
+    reopens the duplicate-seq race for a descheduled writer); compact
+    sweeps only claims below the newest committed seq."""
+    from datacapsule_ray.state.interactions import InteractionStore
+
+    d = str(tmp_path / "st")
+    st = InteractionStore(d)
+    st.append([{"id": "1", "question": "q", "model": "m", "version": "v",
+                "modelResponse": "a", "reasoning": "r"}])
+    st.append([{"id": "2", "question": "q", "model": "m", "version": "v",
+                "modelResponse": "a", "reasoning": "r"}])
+    claims = sorted(n for n in os.listdir(d) if n.startswith(".claim-"))
+    assert claims == [".claim-000000", ".claim-000001"]
+    st.compact()
+    claims = sorted(n for n in os.listdir(d) if n.startswith(".claim-"))
+    assert claims == [".claim-000002"]      # only the compact's own claim
+    assert st.get("1") is not None and st.get("2") is not None
