@@ -468,3 +468,56 @@ def test_interaction_store_claim_is_permanent_until_compact(tmp_path):
     claims = sorted(n for n in os.listdir(d) if n.startswith(".claim-"))
     assert claims == [".claim-000002"]      # only the compact's own claim
     assert st.get("1") is not None and st.get("2") is not None
+
+
+@pytest.mark.parametrize("seed,n,nkeys,nparts,join_type", [
+    (1, 300, 3, 7, "left"),
+    (2, 2000, 1, 24, "left"),      # one hot key across many blocks
+    (3, 1500, 40, 5, "inner"),     # many keys, few rows each
+    (4, 800, 6, 13, "inner"),
+    (5, 50, 50, 9, "left"),        # mostly singleton keys
+])
+def test_asof_join_randomized_vs_merge_asof(seed, n, nkeys, nparts,
+                                            join_type):
+    """Randomized sweep of the Arrow as-of join against pandas
+    merge_asof across key-cardinality / partitioning / join-type
+    regimes (ties, right-less keys, and carry chains all arise by
+    construction)."""
+    from datacapsule_ray.functions.asof import asof_join
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, nkeys, size=n),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 50, size=n), unit="s"),  # many ties
+        "kind": rng.choice(["L", "R"], size=n, p=[0.75, 0.25]),
+        "value": rng.integers(0, 1000, size=n).astype("int64"),
+    })
+    left = df[df.kind == "L"][["event_id", "user_id", "ts"]]
+    right = df[df.kind == "R"][["event_id", "user_id", "ts", "value"]]
+    if left.empty or right.empty:
+        pytest.skip("degenerate draw")
+    out = asof_join(
+        rd.from_pandas(left).repartition(nparts),
+        rd.from_pandas(right).repartition(3),
+        key="user_id", ts_col="ts", tiebreak_col="event_id",
+        value_cols=["value"], join_type=join_type,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    ref = pd.merge_asof(
+        left.sort_values(["ts", "event_id"], kind="stable"),
+        right.sort_values(["ts", "event_id"], kind="stable")
+        .rename(columns={"event_id": "r_event_id"}),
+        on="ts", by="user_id", direction="backward",
+        allow_exact_matches=True, suffixes=("", "_r"))
+    if join_type == "inner":
+        ref = ref[ref["value"].notna()]
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert len(out) == len(ref), (len(out), len(ref))
+    assert (out["event_id"].to_numpy() == ref["event_id"].to_numpy()).all()
+    got_v = out["value_asof"].to_numpy(dtype="float64", na_value=np.nan)
+    ref_v = ref["value"].to_numpy(dtype="float64", na_value=np.nan)
+    np.testing.assert_array_equal(np.isnan(got_v), np.isnan(ref_v))
+    np.testing.assert_array_equal(got_v[~np.isnan(got_v)],
+                                  ref_v[~np.isnan(ref_v)])
