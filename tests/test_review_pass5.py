@@ -521,3 +521,36 @@ def test_asof_join_randomized_vs_merge_asof(seed, n, nkeys, nparts,
     np.testing.assert_array_equal(np.isnan(got_v), np.isnan(ref_v))
     np.testing.assert_array_equal(got_v[~np.isnan(got_v)],
                                   ref_v[~np.isnan(ref_v)])
+
+
+def test_events_in_windows_statless_parquet_fallback(tmp_path):
+    """A parquet file WITHOUT row-group statistics must take the
+    distributed min/max fallback and produce the same window hits as
+    the stats-driven path."""
+    import pyarrow.parquet as pq_
+
+    from datacapsule_ray.pipelines.relational import (
+        _parquet_column_bounds, events_in_windows)
+
+    ev = pd.DataFrame({
+        "event_id": np.arange(100),
+        "ts": pd.to_datetime("2024-03-01")
+        + pd.to_timedelta(np.arange(100) * 37, unit="min"),
+        "event_type": ["click"] * 100,
+        "user_id": np.zeros(100, dtype=np.int64),
+        "value": np.ones(100),
+    })
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    d1, d2 = tmp_path / "with_stats", tmp_path / "no_stats"
+    d1.mkdir(); d2.mkdir()
+    t = pa.Table.from_pandas(ev, preserve_index=False)
+    pq_.write_table(t, d1 / "events.parquet")
+    pq_.write_table(t, d2 / "events.parquet", write_statistics=False)
+    assert _parquet_column_bounds(str(d1 / "events.parquet"), "ts")
+    assert _parquet_column_bounds(str(d2 / "events.parquet"), "ts") is None
+    a = (events_in_windows(str(d1)).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    b = (events_in_windows(str(d2)).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    assert len(a) > 0                      # some events land in 02:00-03:00
+    pd.testing.assert_frame_equal(a, b)
