@@ -17,16 +17,6 @@ def ray_session():
 
 
 @pytest.fixture(scope="session")
-def small_corpus(tmp_path_factory):
-    """18-doc corpus (mirrors demo_18 scale) written as 3 parquet shards."""
-    from datacapsule_ray.fixtures import write_corpus
-
-    d = str(tmp_path_factory.mktemp("corpus_small"))
-    files = write_corpus(d, n_docs=18, seed=42, docs_per_file=6)
-    return d, files
-
-
-@pytest.fixture(scope="session")
 def mid_corpus(tmp_path_factory):
     """134-doc corpus (mirrors demo130 scale), 4 shards."""
     from datacapsule_ray.fixtures import write_corpus

@@ -101,7 +101,6 @@ def test_anti_join_nonzero(shard_dir):
 def test_user_event_paths_multiblock_matches_pandas():
     """Force tiny sort blocks so user runs straddle block boundaries,
     then compare the ordered-collect against a driver-side reference."""
-    import ray.data as rd
     from ray.data import DataContext
 
     from datacapsule_ray.pipelines.relational import user_event_paths

@@ -178,6 +178,7 @@ def test_complete_batch_positional_choices_and_short_response():
             client.complete_batch(["a", "b", "c"])
     finally:
         srv.shutdown()
+        srv.server_close()
 
 
 def test_remote_embedder_empty_batch_no_http():
@@ -380,16 +381,15 @@ def test_write_corpus_shrink_and_regrow(tmp_path):
     assert [pq.read_metadata(f).num_rows for f in files] == [4, 4, 2]
 
 
-def test_interaction_store_concurrent_upsert_delete_distinct_seq():
+def test_interaction_store_concurrent_upsert_delete_distinct_seq(tmp_path):
     """An upsert and a delete racing to the same sequence number must
     commit under DIFFERENT numbers (the op-suffixed rename alone would
     let both commit seq N, leaving last-write-wins to alphabetics)."""
     import re
-    import tempfile
 
     from datacapsule_ray.state.interactions import InteractionStore
 
-    d = tempfile.mkdtemp()
+    d = str(tmp_path / "st")
     st = InteractionStore(d)
     st.append([{"id": "1", "question": "q", "model": "m", "version": "v",
                 "modelResponse": "a", "reasoning": "r"}])

@@ -61,7 +61,7 @@ def test_minhash_hot_bucket_drop_count(caplog):
     assert pairs["id_b"].max() <= 9
 
 
-def test_minhash_no_drop_stats_zero(dup_docs=None):
+def test_minhash_no_drop_stats_zero():
     from datacapsule_ray.functions.dedup import minhash_lsh_pairs
 
     ds = rd.from_pandas(pd.DataFrame({
@@ -196,7 +196,10 @@ def test_dedup_minhash_components_pipeline():
     original ids via distributed joins."""
     from datacapsule_ray.pipelines.docops import dedup_minhash_components
 
-    out = dedup_minhash_components("/root/testdata/sf0.001")
+    from tests.conftest import SF_DIR
+
+    out = dedup_minhash_components(SF_DIR)
+    assert len(out) > 0  # the corpus plants near-dups; empty = broken
     # every listed doc has a keeper different from itself, and keepers
     # are never themselves listed as drops (min-label consistency)
     assert (out["doc_id"] != out["keep_id"]).all()

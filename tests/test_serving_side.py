@@ -90,6 +90,7 @@ def mock_server():
     t.start()
     yield f"http://127.0.0.1:{srv.server_address[1]}"
     srv.shutdown()
+    srv.server_close()
 
 
 # --- A8 judge ----------------------------------------------------------------
