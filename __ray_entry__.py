@@ -89,6 +89,14 @@ def _kg_hot_node_neighbors(sf_dir: str) -> Any:
     return pd.DataFrame({"neighbor": found})
 
 
+def _gather(ds):
+    """Collect a small Dataset as one Arrow table, schema intact even
+    at zero rows (Dataset.to_pandas() drops an empty result's columns)."""
+    from datacapsule_ray.traverse import gather_table
+
+    return gather_table(ds)
+
+
 def entry() -> Any:
     """Flagship: interleaved documents → triples (runs full construction:
     parse → emit → link → dedup/merge shuffles → star schema → vectors)."""
@@ -114,7 +122,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": r.approx_distinct_users,
         "approx_value_quantiles": r.approx_value_quantiles,
         "top3_orders_per_customer": r.top3_orders_per_customer,
-        "customers_without_orders": r.customers_without_orders,
+        # gate adapter: the library fn returns a Dataset (unbounded at
+        # scale — caller decides to collect); the gate collects it as
+        # ARROW because Dataset.to_pandas() drops the schema of an
+        # empty result and this query IS empty on the driver tables
+        "customers_without_orders": lambda sf_dir: _gather(
+            r.customers_without_orders(sf_dir)),
         "events_page2": r.events_page2,
         "events_asof_purchase": r.events_asof_purchase,
         "events_asof_purchase_left": r.events_asof_purchase_left,

@@ -48,13 +48,34 @@ TASK_HABITS = "SPLIT_HABITS"
 TASK_FEATURES = "SPLIT_FEATURES"
 
 
+_RETRYABLE_HTTP = {429, 500, 502, 503, 504}
+
+
 class OpenAICompatClient:
     """Batched HTTP client for an OpenAI-compatible endpoint (stdlib
-    only — no SDK dependency). One instance per actor (A1/A2 state)."""
+    only — no SDK dependency). One instance per actor (A1/A2 state).
+
+    Production hardening (a real endpoint throttles and flakes):
+    - bounded RETRIES with exponential backoff on 429/5xx and transport
+      errors (``max_retries`` total re-attempts per request);
+    - a per-request DEADLINE (``deadline_s``, default 4× the socket
+      timeout): once it passes, no further retry is attempted and the
+      last error propagates — so one throttled request can't stall a
+      whole actor-pool batch indefinitely;
+    - request CONCURRENCY is governed where it belongs in Ray Data: by
+      the actor-pool size (``map_batches(..., concurrency=(a, b))``) —
+      each actor holds one client and issues one request at a time, so
+      the endpoint sees at most ``b`` in-flight requests per stage.
+
+    Non-retryable HTTP errors (4xx other than 429) raise immediately;
+    the splitter backends turn any raise into per-item M11 fallbacks,
+    so hardening changes latency behavior, never data semantics."""
 
     def __init__(self, base_url: str | None = None, api_key: str | None = None,
                  model: str | None = None, embed_model: str | None = None,
-                 timeout: float = 60.0, max_batch: int | None = None) -> None:
+                 timeout: float = 60.0, max_batch: int | None = None,
+                 max_retries: int = 3, backoff_s: float = 0.5,
+                 deadline_s: float | None = None) -> None:
         self.base_url = (base_url or os.environ.get("DCRAY_LLM_BASE_URL", "")).rstrip("/")
         if not self.base_url:
             raise ValueError("no endpoint: pass base_url or set DCRAY_LLM_BASE_URL")
@@ -64,15 +85,40 @@ class OpenAICompatClient:
                             or os.environ.get("DCRAY_EMBED_MODEL", "default-embed"))
         self.timeout = timeout
         self.max_batch = max_batch or int(os.environ.get("DCRAY_MAX_BATCH_SIZE", "100"))
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.deadline_s = deadline_s if deadline_s is not None else 4 * timeout
 
     def _post(self, path: str, payload: dict) -> dict:
-        req = urllib.request.Request(
-            self.base_url + path,
-            data=json.dumps(payload).encode("utf-8"),
-            headers={"Content-Type": "application/json",
-                     "Authorization": f"Bearer {self.api_key}"})
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            return json.loads(resp.read().decode("utf-8"))
+        import time
+        import urllib.error
+
+        req_data = json.dumps(payload).encode("utf-8")
+        headers = {"Content-Type": "application/json",
+                   "Authorization": f"Bearer {self.api_key}"}
+        deadline = time.monotonic() + self.deadline_s
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            req = urllib.request.Request(self.base_url + path,
+                                         data=req_data, headers=headers)
+            try:
+                timeout = min(self.timeout, max(0.001,
+                                                deadline - time.monotonic()))
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    return json.loads(resp.read().decode("utf-8"))
+            except urllib.error.HTTPError as e:
+                if e.code not in _RETRYABLE_HTTP:
+                    raise  # 4xx (bad request/auth): retrying can't help
+                last_err = e
+            except (urllib.error.URLError, TimeoutError, OSError) as e:
+                last_err = e  # transport flake — retryable
+            if attempt >= self.max_retries:
+                break
+            sleep = min(self.backoff_s * (2 ** attempt), 30.0)
+            if time.monotonic() + sleep > deadline:
+                break  # no budget for another attempt
+            time.sleep(sleep)
+        raise last_err  # type: ignore[misc]
 
     def complete_batch(self, prompts: list[str]) -> list[str]:
         """/v1/completions with a list prompt; returns one completion

@@ -52,7 +52,19 @@ def _aligned(left: Dataset, right: Dataset, key: str, ts_col: str,
     r_schema = right.schema()
     r_fields = dict(zip(r_schema.names, r_schema.types))
 
+    def _require_non_null(t: pa.Table, side: str) -> None:
+        # the block summaries and run detection assume non-null key/ts/
+        # tiebreak: a null key decays to NaN in to_numpy (breaking run
+        # equality) and a null-first sort would misalign the driver's
+        # null-last summary ordering — fail loudly at entry instead
+        for c in (key, ts_col, tiebreak_col):
+            if t.column(c).null_count:
+                raise ValueError(
+                    f"asof_join: {side} column {c!r} contains nulls; "
+                    f"key, ts and tiebreak must be non-null")
+
     def tag_left(t: pa.Table) -> pa.Table:
+        _require_non_null(t, "left")
         n = len(t)
         out = {c: t.column(c) for c in l_fields}
         out["src"] = pa.array(np.ones(n, dtype=np.int8))
@@ -62,6 +74,7 @@ def _aligned(left: Dataset, right: Dataset, key: str, ts_col: str,
         return pa.table(out)
 
     def tag_right(t: pa.Table) -> pa.Table:
+        _require_non_null(t, "right")
         n = len(t)
         out = {}
         for c, typ in l_fields.items():

@@ -71,8 +71,9 @@ def exact_dedup(ds: Dataset, text_col: str = "text",
     shuffle of (hash, id) pairs, never the payload."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        fps = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        from .text import md5_hex_batch
+
+        fps = md5_hex_batch(batch.column(text_col))
         return pa.table({
             "fingerprint": pa.array(fps, type=pa.string()),
             id_col: batch.column(id_col),
@@ -107,24 +108,28 @@ def keep_best_dedup(ds: Dataset, *, group_col: str = "fingerprint",
     sort_keys = [group_col, score_col, id_col]  # best first within group
     srt = ds.sort(sort_keys, descending=[False, True, False])
 
-    def block(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
+    def block(t: pa.Table) -> pa.Table:
+        # Arrow in/out: one block schema across the interior + fixup
+        # channels, and ids/scores never ride a pandas object/float
+        # promotion
+        n = t.num_rows
+        t = t.select(base_cols)
         if not n:
-            empty = df[base_cols].copy()
-            empty["n_copies"] = pd.Series(dtype="int64")
-            empty["edge"] = pd.Series(dtype="bool")
-            return empty
-        starts = np.flatnonzero(_run_change_mask(df[group_col].to_numpy()))
+            return (t.append_column("n_copies",
+                                    pa.array([], type=pa.int64()))
+                     .append_column("edge", pa.array([], type=pa.bool_())))
+        starts = np.flatnonzero(_run_change_mask(
+            t.column(group_col).to_numpy(zero_copy_only=False)))
         nruns = len(starts)
         counts = np.diff(np.append(starts, n))
-        out = df.iloc[starts][base_cols].copy()
-        out["n_copies"] = counts.astype(np.int64)
+        out = t.take(pa.array(starts))
         edge = np.zeros(nruns, dtype=bool)
         edge[0] = edge[-1] = True  # runs that may straddle block bounds
-        out["edge"] = edge
-        return out
+        return (out.append_column("n_copies",
+                                  pa.array(counts.astype(np.int64)))
+                   .append_column("edge", pa.array(edge)))
 
-    partial = srt.map_batches(block, batch_format="pandas").materialize()
+    partial = srt.map_batches(block, batch_format="pyarrow").materialize()
     interior = partial.filter(expr="edge == False").drop_columns(["edge"])
     edge_df = partial.filter(expr="edge == True").to_pandas()
     if not len(edge_df):

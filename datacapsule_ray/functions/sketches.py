@@ -183,25 +183,29 @@ def heavy_hitters(ds: Dataset, col: str, *, k: int = 4096,
     (deterministic)."""
     from ray.data.aggregate import Sum
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df[col].value_counts()  # exact within the block
+    # NULL values are EXCLUDED from the count (value_counts drops them)
+    # — a documented divergence from SQL GROUP BY's null group; callers
+    # counting a nullable column should pre-filter or fill explicitly.
+    def partial(t: pa.Table) -> pa.Table:
+        col_type = t.schema.field(col).type
+        vc = t.column(col).to_pandas().value_counts()  # exact in-block
         kept = vc.iloc[:k]
         eps = int(vc.iloc[k]) if len(vc) > k else 0
-        out = pd.DataFrame({col: kept.index.astype(object),
-                            "cnt": kept.to_numpy().astype("int64")})
-        out["kind"] = "v"
         # one marker row per block carries the block's drop bound on a
-        # separate channel. Its value-column slot is None (NOT a string
-        # sentinel, which would poison non-string columns at the
-        # pandas->Arrow block conversion); marker rows are filtered by
-        # `kind` before the groupby, so the null never reaches a key.
-        marker = pd.DataFrame({col: pd.Series([None], dtype=object),
-                               "cnt": pd.Series([eps], dtype="int64"),
-                               "kind": ["m"]})
-        return pd.concat([out, marker], ignore_index=True)
+        # separate channel. Its value-column slot is a TYPED null (an
+        # object-dtype None marker through pandas became a null-typed
+        # Arrow column that schema-clashed with string/int blocks);
+        # marker rows are filtered by `kind` before the groupby, so the
+        # null never reaches a key.
+        return pa.table({
+            col: pa.array(kept.index.tolist() + [None], type=col_type),
+            "cnt": pa.array(kept.to_numpy().astype(np.int64).tolist()
+                            + [eps], type=pa.int64()),
+            "kind": pa.array(["v"] * len(kept) + ["m"], type=pa.string()),
+        })
 
     partials = ds.select_columns([col]).map_batches(
-        partial, batch_format="pandas", batch_size=65536).materialize()
+        partial, batch_format="pyarrow", batch_size=65536).materialize()
     psch = partials.schema()
     if psch is None or "kind" not in psch.names:
         # an ALL-empty dataset bypasses map_batches entirely and lands

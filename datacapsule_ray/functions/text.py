@@ -148,11 +148,37 @@ def lang_id(ds: Dataset, concurrency=(1, 4)) -> Dataset:
                           concurrency=concurrency)
 
 
+def md5_hex_batch(texts: pa.Array | pa.ChunkedArray) -> list[str]:
+    """Per-row md5 hex digests of an Arrow string column straight off
+    the column's UTF-8 data buffer: offsets come from the Arrow offsets
+    buffer, each row hashes a memoryview SLICE — no per-row Python
+    string materialization or ``.encode()`` copy (those dominated the
+    old ``to_pylist`` loop). The digest itself is contract-bound to md5
+    (SQL ``md5()`` parity), so one C call per row remains; nulls hash
+    like '' (the ``(t or '')`` convention)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    if pa.types.is_large_string(texts.type):
+        off_dtype = np.int64
+    else:
+        texts = texts.cast(pa.string())
+        off_dtype = np.int32
+    bufs = texts.buffers()  # [validity, offsets, data]
+    itemsize = np.dtype(off_dtype).itemsize
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype,
+                            count=len(texts) + 1,
+                            offset=texts.offset * itemsize)
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    md5 = hashlib.md5
+    return [md5(data[offsets[i]:offsets[i + 1]]).hexdigest()
+            for i in range(len(texts))]
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text",
                       id_col: str = "doc_id") -> pa.Table:
     """MD5 content fingerprint (exact-dedup key; matches SQL md5())."""
-    texts = batch.column(text_col).to_pylist()
-    fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    fps = md5_hex_batch(batch.column(text_col))
     return pa.table({
         id_col: batch.column(id_col),
         "fingerprint": pa.array(fps, type=pa.string()),
@@ -302,25 +328,23 @@ def top_distinctive_terms(ds: Dataset, *, text_col: str = "text",
     srt = joined.map_batches(neg, batch_format="pyarrow").sort(
         [id_col, "tf_neg", "df", "token"]).materialize()
 
-    def first_per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
+    def first_per_doc(t: pa.Table) -> pa.Table:
+        # Arrow in/out: id types ride through untouched (string or
+        # int64) and every block carries one schema
+        n = t.num_rows
+        t = t.select([id_col, "token", "tf", "df"])
         if n == 0:
-            # derive empty-frame dtypes from the INPUT block so every
-            # block emits one schema whatever the id type is
-            empty = pdf[[id_col, "token", "tf", "df"]].copy()
-            empty["edge"] = pd.Series(dtype=bool)
-            return empty
-        ids = pdf[id_col].to_numpy()
+            return t.append_column("edge", pa.array([], type=pa.bool_()))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
         new = np.ones(n, dtype=bool)
         new[1:] = ids[1:] != ids[:-1]
         starts = np.flatnonzero(new)
-        out = pdf.iloc[starts][[id_col, "token", "tf", "df"]].copy()
+        out = t.take(pa.array(starts))
         edge = np.zeros(len(starts), dtype=bool)
         edge[0] = edge[-1] = True
-        out["edge"] = edge
-        return out.reset_index(drop=True)
+        return out.append_column("edge", pa.array(edge))
 
-    firsts = srt.map_batches(first_per_doc, batch_format="pandas").materialize()
+    firsts = srt.map_batches(first_per_doc, batch_format="pyarrow").materialize()
     interior = firsts.filter(expr="edge == False").map_batches(
         lambda t: t.select([id_col, "token", "tf", "df"]),
         batch_format="pyarrow")
@@ -334,4 +358,6 @@ def top_distinctive_terms(ds: Dataset, *, text_col: str = "text",
     fixed = (edge_df.sort_values([id_col, "tf_neg", "df", "token"],
                                  kind="stable")
              .drop_duplicates(id_col)[[id_col, "token", "tf", "df"]])
-    return interior.union(rd.from_pandas(fixed.reset_index(drop=True)))
+    return interior.union(rd.from_arrow(
+        pa.Table.from_pandas(fixed.reset_index(drop=True),
+                             preserve_index=False)))

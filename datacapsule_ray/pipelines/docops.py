@@ -143,13 +143,15 @@ def dedup_minhash_docs(sf_dir: str) -> pd.DataFrame:
         "est_jaccard", "float64")
 
 
-def dedup_minhash_components(sf_dir: str) -> pd.DataFrame:
+def dedup_minhash_components(sf_dir: str) -> Dataset:
     """The FULL near-dup dedup pipeline: MinHash+LSH candidate pairs →
     min-label connected components → per-doc keep/drop decision (keep =
     the component's min-hash id). One row per document that belongs to
     a multi-doc near-dup cluster, mapped back to string doc_ids with
     distributed joins — the id↔surrogate mapping never lands on the
-    driver (doc_ids are fact-scale at 100×)."""
+    driver (doc_ids are fact-scale at 100×). Returns a DATASET: the
+    drop list is unbounded at scale (every near-dup member), so the
+    caller decides whether to collect it."""
     import pyarrow as _pa
 
     docs = _docs(sf_dir, ["doc_id", "text"])
@@ -171,24 +173,27 @@ def dedup_minhash_components(sf_dir: str) -> pd.DataFrame:
     dups = labels.map_batches(
         lambda t: t.filter(_pc.not_equal(t.column("comp"), t.column("id"))),
         batch_format="pyarrow").materialize()
+    out_schema = _pa.schema([("doc_id", _pa.string()),
+                             ("keep_id", _pa.string())])
+    from ..traverse import drop_empty_blocks
+
     if dups.count() == 0:
-        return pd.DataFrame({"doc_id": pd.Series(dtype="object"),
-                             "keep_id": pd.Series(dtype="object")})
+        return rd.from_arrow(out_schema.empty_table())
     mapping = mapped.select_columns(["doc_idx", "doc_id"])
     a = dups.join(mapping, join_type="inner", num_partitions=2,
                   on=("id",), right_on=("doc_idx",))
     # launder between the chained joins: a sparse dup set can leave a
     # received-nothing partition in `a`, which Ray 2.49 materializes
     # schema-less and which poisons the second join's partitioner
-    from ..traverse import drop_empty_blocks
-
     a = drop_empty_blocks(a)
     b = a.join(mapping, join_type="inner", num_partitions=2,
                on=("comp",), right_on=("doc_idx",),
                left_suffix="", right_suffix="_keep")
-    out = b.to_pandas()
-    out = out.rename(columns={"doc_id_keep": "keep_id"})
-    return out[["doc_id", "keep_id"]].sort_values("doc_id").reset_index(drop=True)
+    out = b.map_batches(
+        lambda t: _pa.table({"doc_id": t.column("doc_id"),
+                             "keep_id": t.column("doc_id_keep")}),
+        batch_format="pyarrow")
+    return drop_empty_blocks(out, out_schema)
 
 
 def dedup_simhash_docs(sf_dir: str) -> pd.DataFrame:
@@ -363,12 +368,13 @@ def sample_docs_hash(sf_dir: str) -> Dataset:
     hex digit is '0'. Reproducible across runs/engines (the property a
     training-data sample needs — rerunning the pipeline yields the SAME
     subset), embarrassingly parallel, no shuffle."""
-    import hashlib
+    import pyarrow.compute as pc
+
+    from ..functions.text import md5_hex_batch
 
     def pick(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        keep = [hashlib.md5(str(i).encode()).hexdigest()[0] == "0"
-                for i in ids]
+        hexes = md5_hex_batch(pc.cast(batch.column("doc_id"), pa.string()))
+        keep = [h[0] == "0" for h in hexes]
         return batch.filter(pa.array(keep))
 
     return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
@@ -380,12 +386,12 @@ def sample_docs_stratified(sf_dir: str, k: int = 3) -> pd.DataFrame:
     the smallest id-hash (a seedless 'random' pick that is stable across
     engines). Per-batch partial top-k per stratum, then a driver merge
     over O(blocks x strata x k) rows — never the table."""
-    import hashlib
+    from ..functions.text import md5_hex_batch
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["h"] = [hashlib.md5(str(i).encode()).hexdigest()
-                   for i in df["doc_id"]]
+        df["h"] = md5_hex_batch(
+            pa.array(df["doc_id"].astype(str), type=pa.string()))
         return (df.sort_values(["lang", "h", "doc_id"], kind="stable")
                 .groupby("lang").head(k))
 

@@ -258,39 +258,42 @@ def user_sessions(sf_dir: str, gap_s: int = 1800) -> Dataset:
     ds = _t(sf_dir, "events", ["user_id", "ts", "event_id"])
     srt = ds.sort(["user_id", "ts", "event_id"])
 
-    def block_partial(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
+    def block_partial(t: pa.Table) -> pa.Table:
+        # Arrow in, Arrow out: every block carries ONE schema (a pandas
+        # partial here emitted PandasBlockSchema blocks that union with
+        # the Arrow interior/fixup channels and trip Ray's mixed-schema
+        # warning)
+        out_schema = pa.schema([
+            ("user_id", t.schema.field("user_id").type),
+            ("n_events", pa.int64()),
+            ("n_gaps", pa.int64()),
+            ("first_ts", t.schema.field("ts").type),
+            ("last_ts", t.schema.field("ts").type),
+            ("edge", pa.bool_()),
+        ])
+        n = t.num_rows
         if n == 0:
-            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
-                                 "n_events": pd.Series(dtype="int64"),
-                                 "n_gaps": pd.Series(dtype="int64"),
-                                 # [us], matching the events table's
-                                 # timestamp[us] (a [ns] placeholder
-                                 # emits a mixed-unit block schema)
-                                 "first_ts": pd.Series(dtype="datetime64[us]"),
-                                 "last_ts": pd.Series(dtype="datetime64[us]"),
-                                 "edge": pd.Series(dtype=bool)})
-        uid = df["user_id"].to_numpy()
-        ts = df["ts"].to_numpy()
+            return out_schema.empty_table()
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
         new_run = np.ones(n, dtype=bool)
         new_run[1:] = uid[1:] != uid[:-1]
         gap = np.zeros(n, dtype=np.int64)
         gap[1:] = (((ts[1:] - ts[:-1]) / np.timedelta64(1, "s")) > gap_s) & ~new_run[1:]
         starts = np.flatnonzero(new_run)
         ends = np.append(starts[1:], n)
-        out = pd.DataFrame({
-            "user_id": uid[starts],
-            "n_events": (ends - starts).astype(np.int64),
-            "n_gaps": np.add.reduceat(gap, starts),
-            "first_ts": ts[starts],
-            "last_ts": ts[ends - 1],
-        })
         edge = np.zeros(len(starts), dtype=bool)
         edge[0] = edge[-1] = True  # runs touching a block boundary
-        out["edge"] = edge
-        return out
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+            "n_gaps": pa.array(np.add.reduceat(gap, starts)),
+            "first_ts": pa.array(ts[starts]),
+            "last_ts": pa.array(ts[ends - 1]),
+            "edge": pa.array(edge),
+        }, schema=out_schema)
 
-    partial = srt.map_batches(block_partial, batch_format="pandas").materialize()
+    partial = srt.map_batches(block_partial, batch_format="pyarrow").materialize()
     interior = partial.filter(expr="edge == False").map_batches(
         lambda t: pa.table({
             "user_id": t.column("user_id"),
@@ -310,12 +313,13 @@ def user_sessions(sf_dir: str, gap_s: int = 1800) -> Dataset:
     cur_first = edge_df["first_ts"].to_numpy()[1:]
     boundary_gap[1:] = (((cur_first - prev_last) / np.timedelta64(1, "s")) > gap_s) & same[1:]
     g = edge_df.assign(bgap=boundary_gap).groupby("user_id", sort=False)
-    fixed = pd.DataFrame({
-        "user_id": g["user_id"].first().to_numpy(),
-        "n_events": g["n_events"].sum().to_numpy(),
-        "n_sessions": 1 + g["n_gaps"].sum().to_numpy() + g["bgap"].sum().to_numpy(),
+    fixed = pa.table({
+        "user_id": pa.array(g["user_id"].first().to_numpy()),
+        "n_events": pa.array(g["n_events"].sum().to_numpy().astype(np.int64)),
+        "n_sessions": pa.array((1 + g["n_gaps"].sum().to_numpy()
+                                + g["bgap"].sum().to_numpy()).astype(np.int64)),
     })
-    return interior.union(rd.from_pandas(fixed))
+    return interior.union(rd.from_arrow(fixed))
 
 
 def distinct_users_by_type(sf_dir: str) -> Dataset:
@@ -390,12 +394,12 @@ def top3_orders_per_customer(sf_dir: str, k: int = 3) -> Dataset:
         ["o_custkey", "price_c", "o_orderkey"],
         descending=[False, True, False])
 
-    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
+    def block_topk(t: pa.Table) -> pa.Table:
+        # Arrow in/out (one schema across interior + fixup channels)
+        n = t.num_rows
         if n == 0:
-            df["edge"] = pd.Series(dtype=bool)
-            return df
-        ck = df["o_custkey"].to_numpy()
+            return t.append_column("edge", pa.array([], type=pa.bool_()))
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
         new_run = np.ones(n, dtype=bool)
         new_run[1:] = ck[1:] != ck[:-1]
         run_id = np.cumsum(new_run) - 1
@@ -403,11 +407,10 @@ def top3_orders_per_customer(sf_dir: str, k: int = 3) -> Dataset:
         pos = np.arange(n) - starts[run_id]  # rank within run (price desc)
         is_edge_run = (run_id == 0) | (run_id == run_id[-1])
         keep = is_edge_run | (pos < k)  # edge runs keep ALL rows (raw)
-        out = df.iloc[keep.nonzero()[0]].copy()
-        out["edge"] = is_edge_run[keep]
-        return out
+        out = t.take(pa.array(np.flatnonzero(keep)))
+        return out.append_column("edge", pa.array(is_edge_run[keep]))
 
-    partial = srt.map_batches(block_topk, batch_format="pandas").materialize()
+    partial = srt.map_batches(block_topk, batch_format="pyarrow").materialize()
     interior = partial.filter(expr="edge == False").drop_columns(["edge"])
     edge_df = partial.filter(expr="edge == True").to_pandas()
     if not len(edge_df):
@@ -416,15 +419,22 @@ def top3_orders_per_customer(sf_dir: str, k: int = 3) -> Dataset:
              .sort_values(["o_custkey", "price_c", "o_orderkey"],
                           ascending=[True, False, True], kind="stable")
              .groupby("o_custkey", group_keys=False).head(k))
-    return interior.union(rd.from_pandas(fixed.reset_index(drop=True)))
+    return interior.union(rd.from_arrow(
+        pa.Table.from_pandas(fixed.reset_index(drop=True),
+                             preserve_index=False)))
 
 
 def customers_without_orders(sf_dir: str,
-                             num_partitions: int = 4) -> pd.DataFrame:
+                             num_partitions: int = 4) -> Dataset:
     """Distributed anti-join: customer LEFT ANTI orders on custkey — no
     driver-side key-set materialization (the orders custkey set is
     fact-sized at scale). Orders pre-dedup per batch so the shuffle ships
-    distinct keys, not one row per order."""
+    distinct keys, not one row per order. Returns the surviving
+    customers as a DATASET (the result is unbounded at 100× — the
+    caller decides whether to collect); empty/schema-less join blocks
+    are laundered with ``drop_empty_blocks`` so a zero-row result still
+    carries the typed (c_custkey, c_name) schema."""
+    from ..traverse import drop_empty_blocks
 
     def local_distinct(t: pa.Table) -> pa.Table:
         keys = pd.unique(t.column("o_custkey").to_numpy(zero_copy_only=False))
@@ -435,11 +445,13 @@ def customers_without_orders(sf_dir: str,
     cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
     out = cust.join(okeys, join_type="left_anti",
                     num_partitions=num_partitions,
-                    on=("c_custkey",), right_on=("o_custkey",)).to_pandas()
-    if out.empty and len(out.columns) == 0:  # empty Datasets drop schema
-        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
-                            "c_name": pd.Series(dtype="object")})
-    return out[["c_custkey", "c_name"]]
+                    on=("c_custkey",), right_on=("o_custkey",))
+    # select BEFORE laundering: empty blocks bypass map_batches, so a
+    # projection after the typed-empty fallback would erase its schema
+    out = out.map_batches(
+        lambda t: t.select(["c_custkey", "c_name"]), batch_format="pyarrow")
+    return drop_empty_blocks(out, pa.schema([("c_custkey", pa.int64()),
+                                             ("c_name", pa.string())]))
 
 
 def paginate(ds: Dataset, *, sort_key: str, descending: bool = True,
@@ -688,36 +700,40 @@ def user_event_paths(sf_dir: str, k: int = 10) -> Dataset:
     ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
     srt = ds.sort(["user_id", "ts", "event_id"])
 
-    def block_partial(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"user_id": pd.Series(dtype="int64"),
-                "path": pd.Series(dtype="object"),
-                "n_run": pd.Series(dtype="int64"),
-                "first_ts": pd.Series(dtype="datetime64[us]"),
-                "first_id": pd.Series(dtype="int64"),
-                "edge": pd.Series(dtype=bool)}
-        n = len(df)
+    def block_partial(t: pa.Table) -> pa.Table:
+        # Arrow in/out (one schema across interior + fixup channels)
+        out_schema = pa.schema([
+            ("user_id", t.schema.field("user_id").type),
+            ("path", pa.string()),
+            ("n_run", pa.int64()),
+            ("first_ts", t.schema.field("ts").type),
+            ("first_id", t.schema.field("event_id").type),
+            ("edge", pa.bool_()),
+        ])
+        n = t.num_rows
         if n == 0:
-            return pd.DataFrame(cols)
-        uid = df["user_id"].to_numpy()
-        et = df["event_type"].to_numpy()
+            return out_schema.empty_table()
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
         new_run = np.ones(n, dtype=bool)
         new_run[1:] = uid[1:] != uid[:-1]
         starts = np.flatnonzero(new_run)
         ends = np.append(starts[1:], n)
-        out = pd.DataFrame({
-            "user_id": uid[starts],
-            "path": ["->".join(et[s:min(e, s + k)]) for s, e in
-                     zip(starts, ends)],
-            "n_run": (ends - starts).astype(np.int64),
-            "first_ts": df["ts"].to_numpy()[starts],
-            "first_id": df["event_id"].to_numpy()[starts],
-        })
         edge = np.zeros(len(starts), dtype=bool)
         edge[0] = edge[-1] = True
-        out["edge"] = edge
-        return out
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "path": pa.array(["->".join(et[s:min(e, s + k)]) for s, e in
+                              zip(starts, ends)], type=pa.string()),
+            "n_run": pa.array((ends - starts).astype(np.int64)),
+            "first_ts": pa.array(t.column("ts").to_numpy(
+                zero_copy_only=False)[starts]),
+            "first_id": pa.array(t.column("event_id").to_numpy(
+                zero_copy_only=False)[starts]),
+            "edge": pa.array(edge),
+        }, schema=out_schema)
 
-    partial = srt.map_batches(block_partial, batch_format="pandas").materialize()
+    partial = srt.map_batches(block_partial, batch_format="pyarrow").materialize()
     interior = partial.filter(expr="edge == False").map_batches(
         lambda t: t.select(["user_id", "path"]), batch_format="pyarrow")
     edge_df = partial.filter(expr="edge == True").to_pandas()
@@ -733,7 +749,12 @@ def user_event_paths(sf_dir: str, k: int = 10) -> Dataset:
                 break
             types.extend(p.split("->") if p else [])
         rows.append({"user_id": user, "path": "->".join(types[:k])})
-    return interior.union(rd.from_pandas(pd.DataFrame(rows)))
+    fixed = pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows],
+                            type=pa.int64()),
+        "path": pa.array([r["path"] for r in rows], type=pa.string()),
+    })
+    return interior.union(rd.from_arrow(fixed))
 
 
 def approx_value_quantiles(sf_dir: str) -> pd.DataFrame:

@@ -95,8 +95,43 @@ class InteractionStore:
         segs = self._segments()
         return (segs[-1][0] + 1) if segs else 0
 
+    # --- compaction lock ------------------------------------------------------
+    # Writers and compact() coordinate through one atomic-mkdir lock so
+    # compact can never fold the log while a writer holds a claim BELOW
+    # the compacted segment's seq: without it, a writer that claimed seq
+    # S before compact claims N>S could rename seg-S in AFTER compact's
+    # scan, and the compacted segment (older data, higher seq) would
+    # permanently shadow seg-S under last-wins ordering (lost update).
+    _LOCK_NAME = ".compact-lock"
+    _LOCK_STALE_S = 600.0
+
+    def _lock_path(self) -> str:
+        return os.path.join(self.root, self._LOCK_NAME)
+
+    def _lock_held(self) -> bool:
+        return os.path.isdir(self._lock_path())
+
+    def _wait_lock_clear(self, timeout: float = 120.0) -> None:
+        import time
+
+        deadline = time.monotonic() + timeout
+        while self._lock_held():
+            try:  # a crashed compactor must not wedge writers forever
+                age = time.time() - os.path.getmtime(self._lock_path())
+                if age > self._LOCK_STALE_S:
+                    os.rmdir(self._lock_path())
+                    break
+            except OSError:
+                break  # lock vanished between the checks
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"compaction lock {self._lock_path()!r} held past "
+                    f"{timeout}s")
+            time.sleep(0.05)
+
     def _commit_segment(self, op: str, write_fn,
-                        empty_schema: pa.Schema | None = None) -> str:
+                        empty_schema: pa.Schema | None = None,
+                        ignore_lock: bool = False) -> str:
         """Atomic segment commit: write into a tmp dir, rename in. The
         rename IS the commit — a crash mid-write leaves only .tmp junk
         that is ignored by _segments and swept by compact().
@@ -119,7 +154,15 @@ class InteractionStore:
           re-checks seg-<seq>-* after mkdir succeeds). A claim is one
           empty dir; ``compact()`` sweeps claims below the newest
           committed seq, which no writer can ever legitimately claim
-          again (_next_seq only grows)."""
+          again (_next_seq only grows).
+
+        Interaction with ``compact()``: the rename is gated on the
+        compaction lock being clear AFTER the claim (claim → re-check
+        lock → rename). If the lock appeared in between, the claim is
+        burned and the writer waits the lock out, then retries with a
+        fresh (now post-compaction) seq — so no segment ever commits
+        below a concurrently compacted segment's seq. See the lock
+        comment at _LOCK_NAME."""
         tmp = os.path.join(self.root, f"seg.tmp-{uuid.uuid4().hex[:8]}")
         os.makedirs(tmp)
         try:
@@ -128,12 +171,21 @@ class InteractionStore:
                 pq.write_table(
                     (empty_schema or INTERACTION_FIELDS).empty_table(),
                     os.path.join(tmp, "part-0.parquet"))
+            if not ignore_lock:
+                self._wait_lock_clear()  # fast-path; racy, re-checked below
             seq = self._next_seq()
             for _ in range(50):
                 claim = os.path.join(self.root, f".claim-{seq:06d}")
                 try:
                     os.mkdir(claim)  # atomic-exclusive, op-independent
                 except FileExistsError:
+                    seq = max(self._next_seq(), seq + 1)
+                    continue
+                if not ignore_lock and self._lock_held():
+                    # compact started after the fast-path check: burn
+                    # this claim (one empty dir), wait the compaction
+                    # out, re-claim above its output seq
+                    self._wait_lock_clear()
                     seq = max(self._next_seq(), seq + 1)
                     continue
                 final = os.path.join(self.root, f"seg-{seq:06d}-{op}")
@@ -318,31 +370,70 @@ class InteractionStore:
         return self.scan().map_batches(pick, batch_format="pyarrow")
 
     # --- maintenance ---------------------------------------------------------
-    def compact(self) -> str:
-        """Fold the log into one resolved upsert segment and drop the
-        old segments + stray tmp dirs."""
-        old = self._segments()
-        resolved = self.scan()
-        new = self._commit_segment(
-            "upsert", lambda d: resolved.write_parquet(
-                d, min_rows_per_file=64_000))
-        for _, _, path in old:
-            shutil.rmtree(path, ignore_errors=True)
-        new_seq = int(os.path.basename(new).split("-")[1])
+    def _claim_seqs(self) -> set[int]:
+        out = set()
         for name in os.listdir(self.root):
-            if ".tmp-" in name:
-                shutil.rmtree(os.path.join(self.root, name),
-                              ignore_errors=True)
-            elif name.startswith(".claim-"):
-                # claims below the newest committed seq can never be
-                # legitimately re-claimed (_next_seq only grows) —
-                # sweep them; the newest claim stays (it IS `new`'s)
+            if name.startswith(".claim-"):
                 try:
-                    if int(name.split("-", 1)[1]) < new_seq:
-                        os.rmdir(os.path.join(self.root, name))
-                except (ValueError, OSError):
+                    out.add(int(name.split("-", 1)[1]))
+                except ValueError:
                     pass
-        return new
+        return out
+
+    def compact(self, grace_s: float = 2.0) -> str:
+        """Fold the log into one resolved upsert segment and drop the
+        old segments + stray tmp dirs. Safe to run concurrently with
+        writers: the compaction lock (see _LOCK_NAME) stops new claims,
+        and a bounded grace wait lets writers that claimed BEFORE the
+        lock finish their rename (claim → rename is a few syscalls), so
+        their segments are included in the fold instead of being
+        shadowed by it. A writer stalled past ``grace_s`` between claim
+        and rename is treated as crashed — the documented residual
+        assumption. A second concurrent compact raises."""
+        import time
+
+        try:
+            os.mkdir(self._lock_path())
+        except FileExistsError:
+            raise RuntimeError(
+                f"another compaction holds {self._lock_path()!r}") from None
+        try:
+            # grace: wait for claims without a committed segment (an
+            # in-flight writer between mkdir and rename) to resolve
+            deadline = time.monotonic() + grace_s
+            while time.monotonic() < deadline:
+                committed = {s for s, _, _ in self._segments()}
+                if not (self._claim_seqs() - committed):
+                    break
+                time.sleep(0.02)
+            old = self._segments()
+            resolved = self.scan()
+            new = self._commit_segment(
+                "upsert", lambda d: resolved.write_parquet(
+                    d, min_rows_per_file=64_000), ignore_lock=True)
+            for _, _, path in old:
+                shutil.rmtree(path, ignore_errors=True)
+            new_seq = int(os.path.basename(new).split("-")[1])
+            for name in os.listdir(self.root):
+                if ".tmp-" in name:
+                    shutil.rmtree(os.path.join(self.root, name),
+                                  ignore_errors=True)
+                elif name.startswith(".claim-"):
+                    # claims below the new seq can never be re-claimed
+                    # (_next_seq only grows past it, and the lock stops
+                    # pre-lock claimants from renaming under us) —
+                    # sweep them; the newest claim stays (it IS `new`'s)
+                    try:
+                        if int(name.split("-", 1)[1]) < new_seq:
+                            os.rmdir(os.path.join(self.root, name))
+                    except (ValueError, OSError):
+                        pass
+            return new
+        finally:
+            try:
+                os.rmdir(self._lock_path())
+            except OSError:
+                pass
 
 
 def _has_parquet(path: str) -> bool:
@@ -372,43 +463,56 @@ def _stamp(seq: int, op: str):
     return inner
 
 
+def _last_of_run_mask(ids: np.ndarray) -> np.ndarray:
+    n = len(ids)
+    last_of_run = np.ones(n, dtype=bool)
+    last_of_run[:-1] = ids[:-1] != ids[1:]
+    return last_of_run
+
+
 def _resolve_last_wins(log: Dataset) -> Dataset:
     """sort(id, _seq) → vectorized take-last-of-run per block; boundary
-    runs re-resolved driver-side (O(blocks) rows)."""
+    runs re-resolved driver-side (O(blocks) rows). Arrow end-to-end —
+    both the per-block combine and the driver fixup emit Arrow blocks,
+    so nullable int64 columns (processingTime) never ride through a
+    pandas object/float promotion and every block carries ONE schema."""
+    import pyarrow.compute as pc
+
     srt = log.sort(["id", "_seq"])
 
-    def block_last(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
+    def block_last(t: pa.Table) -> pa.Table:
+        n = t.num_rows
         if n == 0:
-            df["_edge"] = pd.Series(dtype=bool)
-            return df
-        ids = df["id"].to_numpy()
-        last_of_run = np.ones(n, dtype=bool)
-        last_of_run[:-1] = ids[:-1] != ids[1:]
-        keep = last_of_run.copy()
+            return t.append_column("_edge", pa.array([], type=pa.bool_()))
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        keep = _last_of_run_mask(ids)
         keep[0] = keep[-1] = True  # boundary candidates ride along raw
-        out = df.iloc[np.flatnonzero(keep)].copy()
-        oid = out["id"].to_numpy()
-        edge = np.zeros(len(out), dtype=bool)
-        edge[oid == ids[0]] = True
-        edge[oid == ids[-1]] = True
-        out["_edge"] = edge
-        return out
+        out = t.take(pa.array(np.flatnonzero(keep)))
+        oid = out.column("id").to_numpy(zero_copy_only=False)
+        edge = (oid == ids[0]) | (oid == ids[-1])
+        return out.append_column("_edge", pa.array(edge))
 
-    partial = srt.map_batches(block_last, batch_format="pandas").materialize()
+    partial = srt.map_batches(block_last, batch_format="pyarrow").materialize()
     interior = (partial.filter(expr="_edge == False")
                 .filter(expr="_op == 'upsert'")
                 .drop_columns(["_edge", "_seq", "_op"]))
-    edge_df = partial.filter(expr="_edge == True").to_pandas()
-    if not len(edge_df):
+    from ..traverse import gather_table
+
+    edge_t = gather_table(partial.filter(expr="_edge == True"))
+    if not edge_t.num_rows:
         return interior
-    fixed = (edge_df.sort_values(["id", "_seq"], kind="stable")
-             .groupby("id", sort=False).tail(1))
-    fixed = fixed[fixed["_op"] == "upsert"].drop(
-        columns=["_edge", "_seq", "_op"])
-    if not len(fixed):
+    # the same take-last-of-run, now over the globally re-sorted edge
+    # fragments (sort_indices is stable, matching the distributed sort)
+    order = pc.sort_indices(edge_t, sort_keys=[("id", "ascending"),
+                                               ("_seq", "ascending")])
+    edge_t = edge_t.take(order)
+    ids = edge_t.column("id").to_numpy(zero_copy_only=False)
+    fixed = edge_t.take(pa.array(np.flatnonzero(_last_of_run_mask(ids))))
+    fixed = fixed.filter(pc.equal(fixed.column("_op"), "upsert")).drop_columns(
+        ["_edge", "_seq", "_op"])
+    if not fixed.num_rows:
         return interior
-    return interior.union(rd.from_pandas(fixed.reset_index(drop=True)))
+    return interior.union(rd.from_arrow(fixed))
 
 
 class VersionStore:

@@ -201,3 +201,118 @@ def test_embed_batching_chunks(mock_server):
     mat = c.embed(texts)
     assert mat.shape == (250, 32)
     np.testing.assert_allclose(mat, _hash_matrix(texts, 32), rtol=0, atol=1e-6)
+
+
+class _FlakyHandler(BaseHTTPRequestHandler):
+    """Fails each DISTINCT request payload N times with a retryable
+    status before answering — exercises the client's bounded-retry
+    path. 400s (non-retryable) when the prompt asks for it."""
+
+    fail_first = 2
+    seen: dict = {}
+
+    def log_message(self, *a):
+        pass
+
+    def do_POST(self):
+        payload = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        key = json.dumps(payload, sort_keys=True)
+        prompts = payload.get("prompt", [])
+        if any("HARD_FAIL" in p for p in prompts):
+            self.send_response(400)
+            self.end_headers()
+            return
+        n = self.seen.get(key, 0)
+        self.seen[key] = n + 1
+        if n < self.fail_first:
+            self.send_response(429)  # throttled — retryable
+            self.end_headers()
+            return
+        body = json.dumps({"choices": [
+            {"index": i, "text": f"ok:{p}"} for i, p in enumerate(prompts)
+        ]}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture()
+def flaky_server():
+    _FlakyHandler.seen = {}
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FlakyHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_retry_succeeds_after_transient_429s(flaky_server):
+    """Two 429s then success: the client's backoff absorbs transient
+    throttling without surfacing an error (VERDICT r2 hardening item)."""
+    from datacapsule_ray.clients import OpenAICompatClient
+
+    c = OpenAICompatClient(base_url=flaky_server, max_retries=3,
+                           backoff_s=0.01)
+    out = c.complete_batch(["hello"])
+    assert out == ["ok:hello"]
+
+
+def test_retry_budget_exhausted_raises(flaky_server):
+    """More consecutive 429s than max_retries → the last HTTP error
+    propagates (and the splitter backends would turn it into per-item
+    M11 fallbacks, test_transport_failure_degrades_per_document)."""
+    import urllib.error
+
+    from datacapsule_ray.clients import OpenAICompatClient
+
+    _FlakyHandler.seen = {}
+    _FlakyHandler.fail_first = 99
+    try:
+        c = OpenAICompatClient(base_url=flaky_server, max_retries=2,
+                               backoff_s=0.01)
+        with pytest.raises(urllib.error.HTTPError):
+            c.complete_batch(["hello"])
+        # exactly 1 + max_retries attempts were made
+        assert sum(_FlakyHandler.seen.values()) == 3
+    finally:
+        _FlakyHandler.fail_first = 2
+
+
+def test_non_retryable_http_error_raises_immediately(flaky_server):
+    """A 400 (bad request) must NOT burn the retry budget."""
+    import urllib.error
+
+    from datacapsule_ray.clients import OpenAICompatClient
+
+    c = OpenAICompatClient(base_url=flaky_server, max_retries=3,
+                           backoff_s=5.0)  # a retry would be visible
+    import time
+
+    t0 = time.monotonic()
+    with pytest.raises(urllib.error.HTTPError):
+        c.complete_batch(["HARD_FAIL please"])
+    assert time.monotonic() - t0 < 2.0  # no backoff sleeps happened
+
+
+def test_deadline_caps_retry_loop(flaky_server):
+    """A deadline shorter than the backoff schedule stops retrying even
+    with budget left (one slow endpoint can't wedge an actor)."""
+    import time
+    import urllib.error
+
+    from datacapsule_ray.clients import OpenAICompatClient
+
+    _FlakyHandler.seen = {}
+    _FlakyHandler.fail_first = 99
+    try:
+        c = OpenAICompatClient(base_url=flaky_server, max_retries=50,
+                               backoff_s=0.2, deadline_s=0.5)
+        t0 = time.monotonic()
+        with pytest.raises(urllib.error.HTTPError):
+            c.complete_batch(["hello"])
+        assert time.monotonic() - t0 < 5.0
+        assert sum(_FlakyHandler.seen.values()) < 10
+    finally:
+        _FlakyHandler.fail_first = 2

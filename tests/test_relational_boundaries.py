@@ -91,7 +91,7 @@ def test_anti_join_nonzero(shard_dir):
     from datacapsule_ray.pipelines.relational import customers_without_orders
 
     root, _, od, cust = shard_dir
-    got = customers_without_orders(root)
+    got = customers_without_orders(root).to_pandas()
     got = got.sort_values("c_custkey").reset_index(drop=True)
     want = cust[~cust["c_custkey"].isin(od["o_custkey"])].reset_index(drop=True)
     assert len(want) == 10

@@ -198,7 +198,7 @@ def test_dedup_minhash_components_pipeline():
 
     from tests.conftest import SF_DIR
 
-    out = dedup_minhash_components(SF_DIR)
+    out = dedup_minhash_components(SF_DIR).to_pandas()
     assert len(out) > 0  # the corpus plants near-dups; empty = broken
     # every listed doc has a keeper different from itself, and keepers
     # are never themselves listed as drops (min-label consistency)
