@@ -169,33 +169,233 @@ def test_vector_build_on_reference_graph(ref_tables):
                                  "embedding"]
 
 
-def test_reference_json_corpus_end_to_end(tmp_path):
+DEMO18 = "/root/reference/docs/demo_18.json"
+SQLITE_GOLDEN = "/root/reference/.dbs/marine_species.db"
+
+
+@pytest.fixture(scope="module")
+def demo18_run(tmp_path_factory):
+    """The reference's shipped demo_18 corpus through the full pipeline,
+    ONCE per module — shared by the triple-parity and SQLite-golden
+    tests."""
+    import json
+
+    from datacapsule_ray.pipelines.build_graph import KGPipeline
+    from datacapsule_ray.sources.io import ingest_reference_json
+
+    if not os.path.exists(DEMO18):
+        pytest.skip("reference corpus not present")
+    tmp = tmp_path_factory.mktemp("demo18")
+    files = ingest_reference_json(DEMO18, str(tmp / "corpus"),
+                                  docs_per_file=6)
+    assert len(files) == 3  # 18 docs, 6 per shard
+    out = KGPipeline(str(tmp / "ck")).run_all(
+        files, files_per_partition=1, with_vectors=False)
+    with open(DEMO18, encoding="utf-8") as f:
+        recs = json.load(f)
+    return out, recs
+
+
+def test_reference_json_corpus_end_to_end(demo18_run):
     """Ingest the reference's OWN shipped corpus (docs/demo_18.json, 18
     real organism records) through the full pipeline and require exact
     triple-set equality vs the sequential reference-semantics oracle on
     the same records — conformance on real reference data, not just the
     synthetic fixture corpus."""
-    import json
-
     from datacapsule_ray.oracle import build_oracle
-    from datacapsule_ray.pipelines.build_graph import KGPipeline
-    from datacapsule_ray.sources.io import ingest_reference_json
 
-    src = "/root/reference/docs/demo_18.json"
-    files = ingest_reference_json(src, str(tmp_path / "corpus"),
-                                  docs_per_file=6)
-    assert len(files) == 3  # 18 docs, 6 per shard
-    out = KGPipeline(str(tmp_path / "ck")).run_all(
-        files, files_per_partition=1)
+    out, recs = demo18_run
     got = sorted(
         tuple(r)
         for r in out["triples"].to_pandas()[
             ["subj", "pred", "obj", "subj_type", "obj_type", "doc_id"]
         ].itertuples(index=False)
     )
-    with open(src, encoding="utf-8") as f:
-        recs = json.load(f)
     doc_ids = [f"ref-{i:08d}" for i in range(len(recs))]
     want = sorted(build_oracle(recs, doc_ids).triples)
     assert got == want
     assert out["species"].count() == 18
+
+
+def _shipped_db():
+    import sqlite3
+
+    if not os.path.exists(SQLITE_GOLDEN):
+        pytest.skip("shipped SQLite golden not present")
+    return sqlite3.connect(f"file:{SQLITE_GOLDEN}?mode=ro", uri=True)
+
+
+def test_star_species_and_descriptions_match_shipped_sqlite(demo18_run):
+    """Row-for-row diff of the species + descriptions tables against the
+    reference's SHIPPED .dbs/marine_species.db (the artifact its own
+    tools/entity_extraction_db.py produced on demo_18 — DDL at :85-137,
+    inserts :392-500). The shipped serial species ids are JSON-array
+    order (lastrowid starting at 1); our deterministic hash ids map to
+    them by document order. Both tables match EXACTLY — including the
+    body_length regex text (M12) and the M16 projections — pinning the
+    whole deterministic half of the DB path to the reference's own
+    artifact, not just to our oracle."""
+    from datacapsule_ray.schema import species_id_of
+
+    out, recs = demo18_run
+    id_map = {species_id_of(f"ref-{i:08d}"): i + 1 for i in range(len(recs))}
+    con = _shipped_db()
+
+    sp = out["species"].to_pandas()
+    cols = ["species_id", "latin_name", "naming_year", "author",
+            "chinese_name", "kingdom", "phylum", "class", "order_name",
+            "family", "genus", "species_name", "body_length"]
+    ours = sorted((id_map[r[0]],) + tuple(r[1:])
+                  for r in sp[cols].itertuples(index=False, name=None))
+    theirs = sorted(tuple(row) for row in con.execute("SELECT * FROM species"))
+    assert len(ours) == len(theirs) == 18
+    for a, b in zip(ours, theirs):
+        assert a == b, (a, b)
+
+    de = out["descriptions"].to_pandas()
+    o = sorted((id_map[r[0]], r[1], r[2]) for r in de[
+        ["species_id", "description_type", "content"]
+    ].itertuples(index=False, name=None))
+    t = sorted(tuple(row) for row in con.execute(
+        "SELECT species_id, description_type, content FROM descriptions"))
+    assert o == t
+    assert len(o) == 36
+
+
+def test_star_traits_superset_of_shipped_sqlite(demo18_run):
+    """numerical_traits vs the shipped golden: every one of the
+    reference artifact's 19 rows is recovered EXACTLY (trait names,
+    midpoint values, normalized units — M13/M14), and our rule
+    extractors additionally recover 4 depth traits the artifact's LLM
+    run missed (e.g. doc 1's '栖息于水深达200米' → 200米). Pinned as an
+    explained, enumerated delta — the code-vs-artifact divergence is in
+    the artifact's favor being LOSSY, not ours being wrong."""
+    from datacapsule_ray.schema import species_id_of
+
+    out, recs = demo18_run
+    id_map = {species_id_of(f"ref-{i:08d}"): i + 1 for i in range(len(recs))}
+    con = _shipped_db()
+    tr = out["numerical_traits"].to_pandas()
+    ours = {(id_map[r[0]], r[1], r[2], r[3], r[4]) for r in tr[
+        ["species_id", "trait_type", "trait_name", "value", "unit"]
+    ].itertuples(index=False, name=None)}
+    theirs = {tuple(row) for row in con.execute(
+        "SELECT species_id, trait_type, trait_name, value, unit "
+        "FROM numerical_traits")}
+    assert len(theirs) == 19
+    assert theirs <= ours  # every shipped row recovered exactly
+    extras = ours - theirs
+    assert extras == {
+        (1, "生活习性", "栖息水深", 200.0, "米"),
+        (13, "生活习性", "栖息水深", 295.0, "米"),
+        (14, "生活习性", "栖息水深", 750.0, "米"),
+        (15, "生活习性", "栖息水深", 1520.0, "米"),
+    }
+
+
+def test_star_distributions_vs_shipped_sqlite_pinned_divergence(demo18_run):
+    """distributions vs the shipped golden: the location SPLIT is the
+    one genuinely LLM-dependent step (ClassifyDistribution,
+    entity_extraction_db.py:180-190) — the artifact's LLM expanded
+    compounds ('中国台湾海域' → 中国 + 台湾 + 台湾海域) and stripped
+    lead-ins ('分布于黄海南部海域' → 黄海南部) where our deterministic
+    rules keep the surface form. The overlap and both sides' totals are
+    pinned so any drift in either the rules or the mapping shows up;
+    the per-location text divergence is documented rather than papered
+    over (SURVEY §2.2 M5 notes the same split-granularity caveat)."""
+    from datacapsule_ray.schema import species_id_of
+
+    out, recs = demo18_run
+    id_map = {species_id_of(f"ref-{i:08d}"): i + 1 for i in range(len(recs))}
+    con = _shipped_db()
+    di = out["distributions"].to_pandas()
+    ours = {(id_map[r[0]], r[1]) for r in di[
+        ["species_id", "location"]].itertuples(index=False, name=None)}
+    theirs = {tuple(row) for row in con.execute(
+        "SELECT species_id, location FROM distributions")}
+    assert len(theirs) == 65
+    assert len(ours) == 51
+    # the deterministic splits agree wherever the reference LLM didn't
+    # re-segment; pin the exact agreement size and the full set of
+    # our-only (species, location) pairs
+    assert len(ours & theirs) == 27, len(ours & theirs)
+    assert ours - theirs == _OUR_ONLY_DIST, sorted(ours - theirs)
+
+
+# our-only (shipped-serial-id, location) pairs on demo_18: compounds
+# the artifact's LLM re-segmented ('中国台湾海域' → 中国+台湾+台湾海域),
+# lead-ins it stripped ('分布于我国东海' → 东海), or trailing-punct
+# variants it normalized ('冲绳海漕。')
+_OUR_ONLY_DIST = {
+    (3, "中国台湾海域"), (4, "中国台湾海域"), (5, "中国台湾海域"),
+    (6, "中国台湾海域"), (7, "中国台湾海域"), (8, "中国台湾海域"),
+    (9, "分布于黄海南部海域"), (9, "日本青森以南海域。"),
+    (10, "分布于我国东海"), (10, "台湾海域"),
+    (11, "偶见于鸭绿江口及江苏近岸水域；以及日本海。"),
+    (11, "分布于中国的黑龙江"),
+    (12, "中国的黄海北部"), (12, "日本海等"),
+    (13, "分布于我国东海"), (13, "台湾海域"),
+    (13, "日本北海道以南海域"), (13, "朝鲜半岛西南部海域。"), (13, "黄海"),
+    (14, "冲绳海漕。"), (14, "分布于我国东海"),
+    (15, "分布于我国南海"), (15, "美国夏威夷海域等。"),
+    (17, "南海"),
+}
+
+
+DEMO130 = "/root/reference/docs/demo130.json"
+
+
+@pytest.mark.slow
+def test_demo130_corpus_parity():
+    """The FULL 134-doc corpus the shipped GraphML derives from, as a
+    maintained test (round-2 COVERAGE recorded a one-time 2,019/2,019
+    verification; this pins it): exact triple-set equality vs the
+    sequential oracle, and the node-type histogram against the shipped
+    artifact's counts — taxonomy ranks match the GraphML EXACTLY (they
+    are deterministic field projections), the M2 year/author/latin node
+    types are our documented divergence (the artifact predates those
+    lines — SURVEY §2.2 M2), and the attribute-type counts pin OUR
+    rule-splitter granularity (the artifact's LLM split free text into
+    many short phrases: 生活习性 305 / 生物特征 527 there vs 43 / 130
+    here — same fields, different segmentation, exact-set-checked
+    against the oracle either way)."""
+    import json
+    import tempfile
+
+    from collections import Counter
+
+    from datacapsule_ray.oracle import build_oracle
+    from datacapsule_ray.pipelines.build_graph import KGPipeline
+    from datacapsule_ray.sources.io import ingest_reference_json
+
+    if not os.path.exists(DEMO130):
+        pytest.skip("reference corpus not present")
+    tmp = tempfile.mkdtemp()
+    files = ingest_reference_json(DEMO130, os.path.join(tmp, "c"),
+                                  docs_per_file=34)
+    out = KGPipeline(os.path.join(tmp, "ck")).run_all(
+        files, files_per_partition=1, with_vectors=False)
+    got = sorted(
+        tuple(r) for r in out["triples"].to_pandas()[
+            ["subj", "pred", "obj", "subj_type", "obj_type", "doc_id"]
+        ].itertuples(index=False))
+    with open(DEMO130, encoding="utf-8") as f:
+        recs = json.load(f)
+    want = sorted(build_oracle(
+        recs, [f"ref-{i:08d}" for i in range(len(recs))]).triples)
+    assert len(recs) == 134
+    assert len(got) == 2019
+    assert got == want
+
+    hist = Counter(out["nodes"].to_pandas()["node_type"])
+    # taxonomy ranks: exact match with the shipped GraphML histogram
+    assert {k: hist[k] for k in ("种", "界", "门", "纲", "目", "科", "属")} \
+        == {"种": 134, "界": 1, "门": 1, "纲": 2, "目": 12, "科": 36,
+            "属": 69}
+    # M2 divergence: typed year/author/latin nodes the artifact lacks
+    assert hist["命名年份"] == 73 and hist["作者"] == 80 \
+        and hist["拉丁学名"] == 134
+    # rule-splitter attribute granularity (ours, pinned)
+    assert hist["自然分布地"] == 208 and hist["生活习性"] == 43 \
+        and hist["生物特征"] == 130
+    assert out["edges"].count() == 1469
