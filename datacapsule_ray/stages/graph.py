@@ -101,14 +101,17 @@ def _combine_sorted(partial: Dataset, reduce_pdf) -> Dataset:
 
     srt = partial.sort("h1")
 
-    def combine_block(df: pd.DataFrame) -> pd.DataFrame:
+    def combine_block(df: pd.DataFrame) -> pa.Table:
+        # emit ARROW so the interior/fixup union carries one block
+        # schema (pandas partials emitted PandasBlockSchema blocks that
+        # tripped Ray's mixed-schema warning in every build)
         if df.empty:
             df["edge"] = pd.Series(dtype=bool)
-            return df
+            return pa.Table.from_pandas(df, preserve_index=False)
         df = df.sort_values(["h1", "h2"], kind="stable")
         out = reduce_pdf(df)
         out["edge"] = (out["h1"] == df["h1"].iloc[0]) | (out["h1"] == df["h1"].iloc[-1])
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     reduced = srt.map_batches(combine_block, batch_format="pandas").materialize()
     interior = reduced.filter(expr="edge == False").drop_columns(["edge"])
@@ -116,7 +119,8 @@ def _combine_sorted(partial: Dataset, reduce_pdf) -> Dataset:
     if len(edge_df):
         fixed = reduce_pdf(
             edge_df.drop(columns=["edge"]).sort_values(["h1", "h2"], kind="stable"))
-        return interior.union(rd.from_pandas(fixed))
+        return interior.union(rd.from_arrow(
+            pa.Table.from_pandas(fixed, preserve_index=False)))
     return interior
 
 
