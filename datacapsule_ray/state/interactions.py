@@ -192,6 +192,13 @@ class InteractionStore:
                 try:
                     os.rename(tmp, final)
                 except OSError:
+                    if not os.path.isdir(tmp):
+                        # our staged data is GONE (e.g. an over-eager
+                        # external cleanup) — retrying would spin
+                        # through the claim space; surface it
+                        raise OSError(
+                            f"segment tmp dir {tmp!r} vanished before "
+                            f"rename — staged write lost") from None
                     # defensive: a pre-claim-era segment already holds
                     # this seq — burn the claim, slide to the next
                     seq = max(self._next_seq(), seq + 1)
@@ -414,10 +421,19 @@ class InteractionStore:
             for _, _, path in old:
                 shutil.rmtree(path, ignore_errors=True)
             new_seq = int(os.path.basename(new).split("-")[1])
+            now = time.time()
             for name in os.listdir(self.root):
                 if ".tmp-" in name:
-                    shutil.rmtree(os.path.join(self.root, name),
-                                  ignore_errors=True)
+                    # sweep only STALE tmp dirs (crashed writers): a
+                    # fresh tmp belongs to an in-flight writer parked on
+                    # our lock — deleting it would destroy its staged
+                    # segment and spin its rename loop
+                    path = os.path.join(self.root, name)
+                    try:
+                        if now - os.path.getmtime(path) > self._LOCK_STALE_S:
+                            shutil.rmtree(path, ignore_errors=True)
+                    except OSError:
+                        pass
                 elif name.startswith(".claim-"):
                     # claims below the new seq can never be re-claimed
                     # (_next_seq only grows past it, and the lock stops

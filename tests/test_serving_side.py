@@ -506,3 +506,87 @@ def test_segment_seq_past_six_digits(tmp_path):
     live = store.scan().to_pandas().sort_values("id")
     assert live["id"].tolist() == ["1", "2"]
     assert store.get("1")["model"] == "m9"         # later generation wins
+
+
+def test_compact_lock_parks_concurrent_writer(tmp_path):
+    """The compaction lock closes the seq-claim lost-update race: a
+    writer that arrives while compact holds the lock parks, then
+    commits ABOVE the compacted segment's seq — its data can never be
+    shadowed by the fold."""
+    import os
+    import threading
+    import time
+
+    from datacapsule_ray.state.interactions import InteractionStore
+
+    store = InteractionStore(str(tmp_path / "s"))
+    store.append([{"id": "a", "question": "q1"}])
+    os.mkdir(store._lock_path())  # simulate an in-flight compactor
+    done = []
+    t = threading.Thread(target=lambda: done.append(
+        store.append([{"id": "b", "question": "q2"}])))
+    t.start()
+    time.sleep(0.4)
+    assert not done  # writer is parked on the lock
+    os.rmdir(store._lock_path())
+    t.join(20)
+    assert done
+    assert store.get("b")["question"] == "q2"
+    assert store.get("a")["question"] == "q1"
+
+
+def test_compact_concurrent_appends_not_lost(tmp_path):
+    """Appends racing a compaction land either inside the fold or in a
+    segment sequenced above it — never shadowed (the ADVICE r2 race)."""
+    import threading
+
+    from datacapsule_ray.state.interactions import InteractionStore
+
+    store = InteractionStore(str(tmp_path / "s"))
+    for i in range(4):
+        store.append([{"id": f"seed-{i}", "question": "base"}])
+
+    errs = []
+
+    def writer(lo, hi):
+        try:
+            for i in range(lo, hi):
+                store.append([{"id": f"w-{i}", "question": f"v{i}"}])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def compactor():
+        try:
+            store.compact(grace_s=0.5)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(0, 8)),
+               threading.Thread(target=writer, args=(8, 16)),
+               threading.Thread(target=compactor)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert not errs, errs
+    live = store.scan().to_pandas()
+    ids = set(live["id"])
+    assert {f"seed-{i}" for i in range(4)} <= ids
+    assert {f"w-{i}" for i in range(16)} <= ids  # nothing lost
+
+
+def test_second_concurrent_compact_raises(tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from datacapsule_ray.state.interactions import InteractionStore
+
+    store = InteractionStore(str(tmp_path / "s"))
+    store.append([{"id": "a", "question": "q"}])
+    os.mkdir(store._lock_path())
+    try:
+        with _pytest.raises(RuntimeError, match="compaction"):
+            store.compact()
+    finally:
+        os.rmdir(store._lock_path())
