@@ -126,12 +126,17 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = 8) -> Dataset:
 
     class Annotate:
         def __init__(self) -> None:
-            self.n = ray.get(n_ref)
+            # broadcast dict → Arrow lookup arrays once per actor; the
+            # per-batch lookup is then one index_in + take (vectorized)
+            n = ray.get(n_ref)
+            self.keys = pa.array(list(n.keys()), type=pa.int64())
+            self.names = pa.array(list(n.values()), type=pa.string())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            nk = pd.Series(t.column("c_nationkey").to_numpy(zero_copy_only=False))
+            idx = pc.index_in(t.column("c_nationkey").cast(pa.int64()),
+                              value_set=self.keys)
             return pa.table({
-                "n_name": pa.array(nk.map(self.n), type=pa.string()),
+                "n_name": pc.take(self.names, idx),
                 "rev_c": t.column("rev_c"),
                 "n_items": t.column("n_items"),
             })
@@ -204,12 +209,15 @@ def supplier_nation_balance(sf_dir: str) -> Dataset:
 
     class Annotate:
         def __init__(self) -> None:
-            self.n = ray.get(ref)
+            n = ray.get(ref)
+            self.keys = pa.array(list(n.keys()), type=pa.int64())
+            self.names = pa.array(list(n.values()), type=pa.string())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+            idx = pc.index_in(t.column("s_nationkey").cast(pa.int64()),
+                              value_set=self.keys)
             return pa.table({
-                "n_name": pa.array([self.n.get(int(k)) for k in keys], type=pa.string()),
+                "n_name": pc.take(self.names, idx),
                 "bal_c": _cents(t.column("s_acctbal")),
             })
 
@@ -565,13 +573,15 @@ def kg_rel_triples(sf_dir: str) -> Dataset:
 
     class CustTriples:
         def __init__(self) -> None:
-            self.n_name = {k: v[1] for k, v in ray.get(rn_ref).items()}
+            n_name = {k: v[1] for k, v in ray.get(rn_ref).items()}
+            self.keys = pa.array(list(n_name.keys()), type=pa.int64())
+            self.names = pa.array(list(n_name.values()), type=pa.string())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            nkeys = pd.Series(t.column("c_nationkey").to_numpy(zero_copy_only=False))
-            subj = nkeys.map(self.n_name)
+            idx = pc.index_in(t.column("c_nationkey").cast(pa.int64()),
+                              value_set=self.keys)
             return pa.table({
-                "subj": pa.array(subj, type=pa.string()),
+                "subj": pc.take(self.names, idx),
                 "pred": pa.array(["contains"] * len(t)),
                 "obj": t.column("c_name").cast(pa.string()),
             })
