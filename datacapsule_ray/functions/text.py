@@ -253,25 +253,37 @@ def bigram_counts(ds: Dataset, *, top_n: int = 20, text_col: str = "text",
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        tok_lists = [(t or "").split() for t in texts]
-        flat = np.array([tok for toks in tok_lists for tok in toks],
-                        dtype=object)
-        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        # fully vectorized: Arrow tokenize → dictionary-encode → count
+        # bigrams as packed int64 code pairs (np.unique on ints beats
+        # string value_counts), decode once per distinct bigram
+        texts = pc.fill_null(batch.column(text_col), "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
         if len(flat) < 2:
             return pa.table({"bigram": pa.array([], type=pa.string()),
                              "n": pa.array([], type=pa.int64())})
-        # pair i is (flat[i], flat[i+1]); mask pairs that cross docs
+        dic = pc.dictionary_encode(flat)
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # pair i is (flat[i], flat[i+1]); mask pairs that cross docs.
+        # (a trimmed-empty doc contributes one '' token, but it can
+        # only pair across its own doc boundary — always masked)
         ends = np.cumsum(lens)
         valid = np.ones(len(flat) - 1, dtype=bool)
         cross = ends[(ends > 0) & (ends < len(flat))] - 1
         valid[cross] = False
-        lhs = flat[:-1][valid]
-        rhs = flat[1:][valid]
-        grams = pd.Series(lhs) + " " + pd.Series(rhs)
-        vc = grams.value_counts()
-        return pa.table({"bigram": pa.array(vc.index, type=pa.string()),
-                         "n": pa.array(vc.to_numpy(), type=pa.int64())})
+        V = np.int64(len(dic.dictionary))
+        packed = codes[:-1][valid] * V + codes[1:][valid]
+        uniq, cnt = np.unique(packed, return_counts=True)
+        lhs = dic.dictionary.take(pa.array(uniq // V)).cast(pa.string())
+        rhs = dic.dictionary.take(pa.array(uniq % V)).cast(pa.string())
+        return pa.table({
+            "bigram": pc.binary_join_element_wise(lhs, rhs, " "),
+            "n": pa.array(cnt.astype(np.int64))})
 
     counts = (ds.select_columns([id_col, text_col])
               .map_batches(partial, batch_format="pyarrow")
@@ -295,24 +307,43 @@ def top_distinctive_terms(ds: Dataset, *, text_col: str = "text",
     from ray.data.aggregate import Count
 
     def tf_rows(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        ids = batch.column(id_col).to_pylist()
-        out_id, out_tok, out_tf = [], [], []
-        for i, t in zip(ids, texts):
-            toks = (t or "").split()
-            if not toks:
-                continue
-            uniq, cnt = np.unique(np.array(toks, dtype=object),
-                                  return_counts=True)
-            out_id.extend([i] * len(uniq))
-            out_tok.extend(uniq.tolist())
-            out_tf.extend(cnt.tolist())
-        # id rows follow the INPUT id type (string doc ids are the
-        # corpus-native shape; hard-coded int64 crashed on them)
-        return pa.table({id_col: pa.array(out_id,
-                                          type=batch.column(id_col).type),
-                         "token": pa.array(out_tok, type=pa.string()),
-                         "tf": pa.array(out_tf, type=pa.int64())})
+        # fully vectorized (the old per-doc np.unique loop dominated
+        # this stage): Arrow tokenize → dictionary-encode the flat
+        # token array → lexsort pure-int (code, parent) pairs → run
+        # boundaries give each doc's distinct tokens + counts. One id
+        # `take` keeps the input id type (string or int64).
+        import pyarrow.compute as pc
+
+        texts = pc.fill_null(batch.column(text_col), "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) == 0:
+            return pa.table({
+                id_col: pa.array([], type=batch.column(id_col).type),
+                "token": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64())})
+        dic = pc.dictionary_encode(flat)
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(texts)), lengths)
+        order = np.lexsort((codes, parent))
+        p_s, c_s = parent[order], codes[order]
+        change = np.ones(len(order), dtype=bool)
+        change[1:] = (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(order)))
+        ids = batch.column(id_col).take(pa.array(p_s[starts]))
+        tokens = dic.dictionary.take(pa.array(c_s[starts])).cast(pa.string())
+        out = pa.table({id_col: ids, "token": tokens,
+                        "tf": pa.array(counts.astype(np.int64))})
+        # a trimmed-EMPTY doc splits to [''] in Arrow (Python .split()
+        # gives []) — drop the empty-token rows so empty docs emit
+        # nothing, like the old per-doc loop
+        return out.filter(pc.not_equal(out.column("token"), ""))
 
     tf = ds.select_columns([id_col, text_col]).map_batches(
         tf_rows, batch_format="pyarrow").materialize()
