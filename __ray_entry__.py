@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs_hash": docops.sample_docs_hash,
         "sample_docs_stratified": docops.sample_docs_stratified,
         "sim_topk_embeddings": docops.sim_topk_embeddings,
+        "doc_repetition_stats": docops.doc_repetition_stats,
+        "docs_redacted": docops.docs_redacted,
+        "cluster_assign_embeddings": docops.cluster_assign_embeddings,
         # non-SQL-expressible (LSH / IVF / multimodal / flagship KG):
         # rows-only driver check; semantics pinned by tests/
         "doc_rolling_fingerprints": docops.doc_rolling_fingerprints,
@@ -170,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_ivf_topk_embeddings": docops.sim_ivf_topk_embeddings,
         # nprobe = n_cells → exact; full SQL oracle over the IVF path
         "sim_ivf_exhaustive_topk": docops.sim_ivf_exhaustive_topk,
+        # iterative Lloyd's — rows-only; sequential-reference parity in tests
+        "kmeans_clusters_embeddings": docops.kmeans_clusters_embeddings,
         "media_features": docops.media_features_demo,
         "frame_sample": docops.frame_sample_demo,
         # resize geometry is integer arithmetic → full SQL oracle
@@ -452,6 +457,45 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "doc_repetition_stats": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(trim(text), '\s+'),
+                    x -> x <> '')) AS token
+                FROM documents),
+            per AS (SELECT doc_id, token, COUNT(*) AS c
+                    FROM toks GROUP BY doc_id, token),
+            agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+                           CAST(MAX(c) AS BIGINT) AS top_token_count
+                    FROM per GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(a.n_distinct_tokens, 0) AS BIGINT)
+                       AS n_distinct_tokens,
+                   CAST(COALESCE(a.n_tokens - a.n_distinct_tokens, 0)
+                       AS BIGINT) AS dup_token_count,
+                   CAST(COALESCE(a.top_token_count, 0) AS BIGINT)
+                       AS top_token_count
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "docs_redacted": r"""
+            SELECT doc_id,
+                   regexp_replace(text, '\b(customer|spark)\b', '<ENT>', 'g')
+                       AS clean_text
+            FROM documents
+        """,
+        "cluster_assign_embeddings": r"""
+            WITH cent AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+                FROM embeddings ORDER BY vec_id LIMIT 8)
+            SELECT e.vec_id,
+                   CAST((SELECT cid FROM cent
+                         ORDER BY list_distance(
+                             CAST(e.embedding AS DOUBLE[]), cemb), cid
+                         LIMIT 1) AS BIGINT) AS centroid_id
+            FROM embeddings e
+        """,
         "doc_lang_marker_counts": """
             SELECT doc_id,
                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),

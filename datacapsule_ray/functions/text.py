@@ -392,3 +392,113 @@ def top_distinctive_terms(ds: Dataset, *, text_col: str = "text",
     return interior.union(rd.from_arrow(
         pa.Table.from_pandas(fixed.reset_index(drop=True),
                              preserve_index=False)))
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats (Gopher-style quality signal) and regex redaction
+# ---------------------------------------------------------------------------
+
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Per-doc token-repetition signal (Gopher-style quality rules —
+    Rae et al. 2021 §A1.1 use duplicate-line/most-common-ngram
+    fractions as filters; this is the whitespace-token analogue over
+    the synthetic corpus, all-integer so the DuckDB oracle matches
+    exactly):
+
+    - ``n_tokens``: non-empty whitespace tokens
+    - ``n_distinct_tokens``: distinct tokens in the doc
+    - ``dup_token_count``: n_tokens - n_distinct (the duplicate mass —
+      divide by n_tokens for the Gopher fraction)
+    - ``top_token_count``: occurrences of the most frequent token
+
+    Fully vectorized: dictionary-encode the flat token column once,
+    then one ``np.unique`` over ``parent * K + code`` composite keys
+    gives every per-(doc, token) count; per-doc reductions are
+    bincount / maximum.at over those group rows — no per-row Python.
+    """
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    n = len(texts)
+    flat = toks.flatten()
+    parent = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+
+    n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+    if len(flat):
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        grp, counts = np.unique(parent * k + codes, return_counts=True)
+        docs_of = grp // k
+        n_distinct = np.bincount(docs_of, minlength=n).astype(np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        np.maximum.at(top, docs_of, counts)
+    else:
+        n_distinct = np.zeros(n, dtype=np.int64)
+        top = np.zeros(n, dtype=np.int64)
+
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_tokens": pa.array(n_tokens),
+        "n_distinct_tokens": pa.array(n_distinct),
+        "dup_token_count": pa.array(n_tokens - n_distinct),
+        "top_token_count": pa.array(top),
+    })
+
+
+def repetition_stats(ds: Dataset, text_col: str = "text",
+                     id_col: str = "doc_id") -> Dataset:
+    return ds.map_batches(
+        lambda t: repetition_stats_batch(t, text_col, id_col),
+        batch_format="pyarrow")
+
+
+# RE2-safe presets (pyarrow.compute and DuckDB both run RE2, so one
+# pattern string serves the Ray stage AND its SQL oracle verbatim).
+# C4-style cleaning (Raffel et al. 2020 §2.2 strip pages by token
+# patterns; modern pipelines redact instead of dropping).
+PII_PRESETS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d().\-]{6,}\d",
+}
+
+
+def redact_batch(batch: pa.Table, patterns: list[str] | None = None,
+                 replacement: str = "<REDACTED>", *,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 out_col: str = "clean_text") -> pa.Table:
+    """Redact every match of ``patterns`` (default: all PII_PRESETS)
+    with ``replacement`` — ONE alternation compiled into ONE
+    ``pc.replace_substring_regex`` kernel call per batch (RE2 global
+    leftmost-non-overlapping replace, identical to DuckDB
+    ``regexp_replace(..., 'g')``). Null text passes through as null,
+    like SQL."""
+    pats = list(PII_PRESETS.values()) if patterns is None else patterns
+    combined = "|".join(f"(?:{p})" for p in pats)
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    cleaned = pc.replace_substring_regex(
+        texts, pattern=combined, replacement=replacement)
+    return pa.table({id_col: batch.column(id_col), out_col: cleaned})
+
+
+def redact(ds: Dataset, patterns: list[str] | None = None,
+           replacement: str = "<REDACTED>", *, text_col: str = "text",
+           id_col: str = "doc_id", out_col: str = "clean_text") -> Dataset:
+    return ds.map_batches(
+        lambda t: redact_batch(t, patterns, replacement, text_col=text_col,
+                               id_col=id_col, out_col=out_col),
+        batch_format="pyarrow")

@@ -400,3 +400,51 @@ def sample_docs_stratified(sf_dir: str, k: int = 3) -> pd.DataFrame:
     out = (parts.sort_values(["lang", "h", "doc_id"], kind="stable")
            .groupby("lang").head(k))
     return out[["lang", "doc_id"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Quality / scrubbing / clustering additions (round 3)
+# ---------------------------------------------------------------------------
+
+def doc_repetition_stats(sf_dir: str) -> Dataset:
+    """Gopher-style per-doc token-repetition signal (all-integer; full
+    SQL oracle)."""
+    return text.repetition_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+# fires on the synthetic corpus (no real PII in the test tables); the
+# email/url/ipv4/phone presets are pinned by tests/test_functions.py
+REDACT_DEMO_PATTERN = r"\b(customer|spark)\b"
+
+
+def docs_redacted(sf_dir: str) -> Dataset:
+    """C4-style regex scrub as one RE2 kernel call per batch; the gate
+    query uses a corpus-firing pattern so the oracle exercises real
+    replacements (DuckDB regexp_replace 'g' == pc.replace_substring_regex,
+    both RE2)."""
+    return text.redact(_docs(sf_dir, ["doc_id", "text"]),
+                       [REDACT_DEMO_PATTERN], "<ENT>")
+
+
+def cluster_assign_embeddings(sf_dir: str, k: int = 8) -> Dataset:
+    """Fixed-centroid nearest-neighbor assignment (the SQL-checkable
+    half of k-means): centroids are the embeddings of the k smallest
+    vec_ids, clusters labeled by seed id so the output is pure
+    integers."""
+    from ..functions import clustering
+
+    emb = _emb(sf_dir, ["vec_id", "embedding"])
+    ids, cents = clustering.seed_centroids(emb, k)
+    return clustering.kmeans_assign(emb, cents, labels=ids,
+                                    out_col="centroid_id")
+
+
+def kmeans_clusters_embeddings(sf_dir: str, k: int = 8,
+                               iters: int = 5) -> Dataset:
+    """Full Lloyd's k-means (iterative — rows-only driver check; exact
+    sequential-reference parity pinned in tests/test_functions.py)."""
+    from ..functions import clustering
+
+    emb = _emb(sf_dir, ["vec_id", "embedding"])
+    fit = clustering.kmeans_fit(emb, k, iters=iters)
+    return clustering.kmeans_assign(emb, fit["centroids"])

@@ -594,3 +594,118 @@ def test_media_resizer_plan_geometry():
     })), max_w=224, max_h=224).to_pandas()
     assert out.loc[0, "out_w"] == 224 and out.loc[0, "out_h"] == 70
     assert len(out.loc[0, "payload"]) == 20  # sha1 stand-in payload
+
+
+def test_repetition_stats_matches_python_reference():
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["a b a b a", "", "  x  ", None, "w1 w2 w3 w1 w1 w2"],
+    })
+    out = text.repetition_stats_batch(t).to_pandas().set_index("doc_id")
+    from collections import Counter
+    for did, txt in zip([1, 2, 3, 4, 5],
+                        ["a b a b a", "", "  x  ", "", "w1 w2 w3 w1 w1 w2"]):
+        c = Counter(txt.split())
+        row = out.loc[did]
+        assert row["n_tokens"] == sum(c.values())
+        assert row["n_distinct_tokens"] == len(c)
+        assert row["dup_token_count"] == sum(c.values()) - len(c)
+        assert row["top_token_count"] == (max(c.values()) if c else 0)
+
+
+def test_repetition_stats_partitioning_invariance(dup_docs, ray_session):
+    one = text.repetition_stats(
+        rd.from_pandas(dup_docs).repartition(1)).to_pandas()
+    many = text.repetition_stats(
+        rd.from_pandas(dup_docs).repartition(7)).to_pandas()
+    pd.testing.assert_frame_equal(
+        one.sort_values("doc_id").reset_index(drop=True),
+        many.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_redact_presets_and_null_passthrough():
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["mail a.b+c@d-e.co or http://x.y/z?q=1 done",
+                 "ip 10.0.0.1 tel +1(212)555-0100.",
+                 None],
+    })
+    out = text.redact_batch(t).to_pandas()
+    assert out["clean_text"].tolist()[:2] == [
+        "mail <REDACTED> or <REDACTED> done",
+        "ip <REDACTED> tel <REDACTED>.",
+    ]
+    assert out["clean_text"].isna().tolist() == [False, False, True]
+    # custom pattern + replacement
+    custom = text.redact_batch(t, [r"\bmail\b"], "X").to_pandas()
+    assert custom["clean_text"][0].startswith("X a.b+c@d-e.co")
+
+
+def test_kmeans_matches_sequential_reference_across_partitionings(ray_session):
+    from datacapsule_ray.functions import clustering
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(240, 16))
+    mat[:80] += 4.0  # three planted blobs
+    mat[80:160] -= 4.0
+    t = pa.table({
+        "vec_id": pa.array(range(240), type=pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.ravel(), type=pa.float64()), 16),
+    })
+
+    # sequential Lloyd reference: same init (k smallest ids), same
+    # tie rule (argmin -> lowest index), empty cluster keeps centroid
+    k, iters = 6, 4
+    cents = mat[:k].copy()
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                cents[j] = mat[m].mean(axis=0)
+    ref_assign = (((mat[:, None, :] - cents[None, :, :]) ** 2)
+                  .sum(axis=2).argmin(axis=1))
+
+    for parts in (1, 5):
+        ds = rd.from_arrow(t).repartition(parts)
+        fit = clustering.kmeans_fit(ds, k, iters=iters)
+        np.testing.assert_allclose(fit["centroids"], cents, atol=1e-9)
+        got = (clustering.kmeans_assign(ds, fit["centroids"])
+               .to_pandas().sort_values("vec_id"))
+        assert got["cluster"].to_numpy().tolist() == ref_assign.tolist()
+        assert fit["counts"].sum() == 240
+        assert fit["inertia"] >= 0.0
+
+
+def test_kmeans_assign_tie_breaks_to_lowest_index(ray_session):
+    from datacapsule_ray.functions import clustering
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1], type=pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array([1.0, 0.0, 0.0, 1.0], type=pa.float64()), 2),
+    })
+    cents = np.array([[0.0, 0.0], [0.0, 0.0], [9.0, 9.0]])  # 0 and 1 tie
+    out = (clustering.kmeans_assign(rd.from_arrow(t), cents)
+           .to_pandas().sort_values("vec_id"))
+    assert out["cluster"].tolist() == [0, 0]
+
+
+def test_kmeans_seed_centroids_partial_topk(ray_session):
+    from datacapsule_ray.functions import clustering
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(50, 4))
+    ids = rng.permutation(50) + 100
+    t = pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.ravel(), type=pa.float64()), 4),
+    })
+    sids, cents = clustering.seed_centroids(
+        rd.from_arrow(t).repartition(6), 5)
+    assert sids.tolist() == sorted(ids)[:5]
+    want = mat[np.argsort(ids, kind="stable")[:5]]
+    np.testing.assert_array_equal(cents, want)
