@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": docops.doc_repetition_stats,
         "docs_redacted": docops.docs_redacted,
         "cluster_assign_embeddings": docops.cluster_assign_embeddings,
+        "doc_quality_percentile_filter": docops.doc_quality_percentile_filter,
         # non-SQL-expressible (LSH / IVF / multimodal / flagship KG):
         # rows-only driver check; semantics pinned by tests/
         "doc_rolling_fingerprints": docops.doc_rolling_fingerprints,
@@ -478,6 +479,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.top_token_count, 0) AS BIGINT)
                        AS top_token_count
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "doc_quality_percentile_filter": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       END AS n_tokens
+                FROM documents)
+            SELECT doc_id, n_tokens FROM s
+            WHERE n_tokens >= (SELECT quantile_disc(n_tokens, 0.1) FROM s)
         """,
         "docs_redacted": r"""
             SELECT doc_id,

@@ -128,6 +128,9 @@ def run_bench() -> dict:
     timed("events_asof_purchase", r.events_asof_purchase)
     timed("events_value_quantiles", r.events_value_quantiles)
     timed("sim_topk_embeddings", docops.sim_topk_embeddings)
+    timed("doc_repetition_stats", docops.doc_repetition_stats)
+    timed("docs_redacted", docops.docs_redacted)
+    timed("kmeans_clusters_embeddings", docops.kmeans_clusters_embeddings)
 
     # serving-side data operators (round 2): judge stage over doc
     # pairs, agent batch inference over the relational KG, and the full

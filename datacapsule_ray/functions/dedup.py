@@ -356,14 +356,26 @@ def _dedup_pairs(pairs: Dataset, value_col: str) -> Dataset:
 
     srt = pairs.sort(["id_a", "id_b"])
 
-    def block(df: pd.DataFrame) -> pd.DataFrame:
+    def _as_arrow(df: pd.DataFrame) -> pa.Table:
+        # emit Arrow so every downstream block has one type (the
+        # _bucket_verify pattern); 0-row object columns decay to Arrow
+        # null type, which would schema-clash with string-typed blocks
+        # — pin them back to string
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        if t.num_rows == 0:
+            for i, f in enumerate(t.schema):
+                if pa.types.is_null(f.type):
+                    t = t.set_column(i, f.name, pa.array([], pa.string()))
+        return t
+
+    def block(df: pd.DataFrame) -> pa.Table:
         # empty frame derives dtypes from the INPUT block so every block
         # emits one schema (ids may be strings, value may be integer)
         n = len(df)
         if not n:
             empty = df[["id_a", "id_b", value_col]].copy()
             empty["kind"] = pd.Series(dtype="object")
-            return empty
+            return _as_arrow(empty)
         a = df["id_a"].to_numpy()
         b = df["id_b"].to_numpy()
         vals = df[value_col].to_numpy()
@@ -384,7 +396,7 @@ def _dedup_pairs(pairs: Dataset, value_col: str) -> Dataset:
         raw = pd.DataFrame({"id_a": a[raw_mask], "id_b": b[raw_mask],
                             value_col: vals[raw_mask]})
         raw["kind"] = "raw"
-        return pd.concat([out, raw], ignore_index=True)
+        return _as_arrow(pd.concat([out, raw], ignore_index=True))
 
     mixed = srt.map_batches(block, batch_format="pandas").materialize()
     deduped = mixed.filter(expr="kind == 'pair'").select_columns(

@@ -448,3 +448,26 @@ def kmeans_clusters_embeddings(sf_dir: str, k: int = 8,
     emb = _emb(sf_dir, ["vec_id", "embedding"])
     fit = clustering.kmeans_fit(emb, k, iters=iters)
     return clustering.kmeans_assign(emb, fit["centroids"])
+
+
+def doc_quality_percentile_filter(sf_dir: str, num: int = 1,
+                                  den: int = 10) -> Dataset:
+    """Global-percentile quality gate (two-pass broadcast-threshold
+    pattern): pass 1 materializes the per-doc integer stats table
+    (~1% of corpus volume) and computes the EXACT global num/den
+    token-count quantile via the two-phase value histogram
+    (functions/quantiles.py — shuffle volume O(distinct values), not
+    rows); pass 2 is a streaming filter of the stats table against the
+    broadcast scalar. Matches DuckDB ``quantile_disc`` (same ceil-rank
+    definition the events_value_quantiles oracle pins)."""
+    from ..functions.quantiles import grouped_exact_quantiles
+
+    stats = text.token_stats(_docs(sf_dir, ["doc_id", "text"])).materialize()
+    keyed = stats.map_batches(
+        lambda t: t.append_column(
+            "g", pa.array(np.zeros(t.num_rows, dtype=np.int32))),
+        batch_format="pyarrow")
+    thr = int(grouped_exact_quantiles(
+        keyed, "g", "n_tokens", [(num, den, "p")])["p"].iloc[0])
+    return (stats.filter(expr=f"n_tokens >= {thr}")
+            .select_columns(["doc_id", "n_tokens"]))
