@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_components": docops.dedup_minhash_components,
         "dedup_simhash_docs": docops.dedup_simhash_docs,
         "neardup_embeddings": docops.neardup_embeddings,
+        "neardup_embeddings_kmeans": docops.neardup_embeddings_kmeans,
         "sim_ivf_topk_embeddings": docops.sim_ivf_topk_embeddings,
         # nprobe = n_cells → exact; full SQL oracle over the IVF path
         "sim_ivf_exhaustive_topk": docops.sim_ivf_exhaustive_topk,

@@ -879,6 +879,19 @@ def embedding_neardup_pairs(ds: Dataset, *, dim: int, threshold: float = 0.95,
                                "emb_col": emb_col, "id_col": id_col},
         batch_format="pyarrow", concurrency=concurrency)
 
+    verify = _cosine_verify(threshold, id_col, emb_col, max_bucket)
+    pairs = _bucket_verify(bucketed, ["bucket"], verify, "cosine", stats=stats,
+                           id_type=_col_type(ds, id_col),
+                           raw_cap=max_bucket, raw_cap_col=id_col)
+    return _dedup_pairs(pairs, "cosine")
+
+
+def _cosine_verify(threshold: float, id_col: str, emb_col: str,
+                   max_bucket: int):
+    """In-bucket pairwise-cosine verify kernel shared by the
+    hyperplane-LSH and k-means-bucketed near-dup paths (one kernel so
+    the two bucketings can never disagree on the similarity math)."""
+
     def verify(group: pd.DataFrame):
         g = group.sort_values(id_col).head(max_bucket)
         ids = g[id_col].to_numpy()
@@ -892,6 +905,49 @@ def embedding_neardup_pairs(ds: Dataset, *, dim: int, threshold: float = 0.95,
         return (ids[iu[0][keep]], ids[iu[1][keep]], sims[iu][keep],
                 max(0, len(group) - max_bucket))
 
+    return verify
+
+
+def embedding_neardup_kmeans_pairs(ds: Dataset, *, threshold: float = 0.95,
+                                   k_cells: int = 16, iters: int = 3,
+                                   nprobe: int = 2,
+                                   emb_col: str = "embedding",
+                                   id_col: str = "vec_id",
+                                   max_bucket: int = 500,
+                                   stats: dict | None = None) -> Dataset:
+    """Near-duplicate embedding pairs with a k-means coarse quantizer
+    instead of hyperplane LSH — the IVF-style scale path: cells track
+    the data distribution, so bucket sizes stay balanced where random
+    hyperplanes fragment dense regions.
+
+    Each vector is MULTI-ASSIGNED to its ``nprobe`` nearest cells
+    (a near-identical pair straddling a cell boundary still shares a
+    second-nearest cell with high probability — the standard IVF
+    multi-probe recall trick); duplicate pairs surfacing from two
+    shared cells are collapsed by the same ``_dedup_pairs`` combine the
+    LSH path uses. Centroids come from ``clustering.kmeans_fit`` (one
+    extra corpus pass per Lloyd iteration; at 100 TB train on a
+    deterministic-hash sample instead and pass fewer ``iters``)."""
+    from .clustering import _emb_matrix, kmeans_fit
+
+    proj = ds.select_columns([id_col, emb_col])
+    fit = kmeans_fit(proj, k_cells, iters=iters,
+                     id_col=id_col, emb_col=emb_col)
+    cents = fit["centroids"]
+    p = min(nprobe, len(cents))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("bucket", pa.array([], pa.int64()))
+        mat = _emb_matrix(batch, emb_col)
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argpartition(d, p - 1, axis=1)[:, :p].astype(np.int64)
+        take = np.repeat(np.arange(batch.num_rows), p)
+        sub = batch.take(pa.array(take))
+        return sub.append_column("bucket", pa.array(idx.ravel()))
+
+    bucketed = proj.map_batches(bucketize, batch_format="pyarrow")
+    verify = _cosine_verify(threshold, id_col, emb_col, max_bucket)
     pairs = _bucket_verify(bucketed, ["bucket"], verify, "cosine", stats=stats,
                            id_type=_col_type(ds, id_col),
                            raw_cap=max_bucket, raw_cap_col=id_col)

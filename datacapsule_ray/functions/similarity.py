@@ -169,7 +169,8 @@ def _block_topk_masked(batch: pa.Table, qmat: np.ndarray, k: int,
 def ivf_topk_cosine(ds: Dataset, queries: np.ndarray, k: int = 10, *,
                     n_cells: int = 16, nprobe: int = 4, seed: int = 31,
                     id_col: str = "vec_id", emb_col: str = "embedding",
-                    concurrency=(1, 4)) -> pd.DataFrame:
+                    concurrency=(1, 4),
+                    centroids: np.ndarray | None = None) -> pd.DataFrame:
     """IVF-style approximate top-k: assign vectors to coarse cells once
     (actor pool, broadcast centroids), then scan only the nprobe closest
     cells PER QUERY (a row in a cell probed by query A but not query B
@@ -182,7 +183,16 @@ def ivf_topk_cosine(ds: Dataset, queries: np.ndarray, k: int = 10, *,
     if qmat.ndim == 1:
         qmat = qmat[None, :]
     dim = qmat.shape[1]
-    cent = train_centroids(ds, n_cells, dim, seed=seed, emb_col=emb_col)
+    if centroids is not None:
+        # pre-trained quantizer (e.g. clustering.kmeans_fit over the
+        # full corpus — better cell balance than the sample trainer);
+        # rows are L2-normalized because _IVFAssign and the probe
+        # ranking both use normalized dot = cosine
+        cent = np.asarray(centroids, dtype=np.float32)
+        cent = cent / np.maximum(
+            np.linalg.norm(cent, axis=1, keepdims=True), 1e-9)
+    else:
+        cent = train_centroids(ds, n_cells, dim, seed=seed, emb_col=emb_col)
     cent_ref = ray.put(cent)
     assigned = ds.map_batches(
         _IVFAssign, fn_constructor_kwargs={

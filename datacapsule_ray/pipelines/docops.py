@@ -207,6 +207,14 @@ def neardup_embeddings(sf_dir: str) -> pd.DataFrame:
         "cosine", "float64")
 
 
+def neardup_embeddings_kmeans(sf_dir: str) -> pd.DataFrame:
+    """k-means-bucketed variant of the embedding near-dup (IVF-style
+    scale path; rows-only — recall/bucketing pinned by pytest)."""
+    return _typed_pairs(
+        dedup.embedding_neardup_kmeans_pairs(_emb(sf_dir), threshold=0.95),
+        "cosine", "float64")
+
+
 def _query_vec(sf_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
 

@@ -709,3 +709,30 @@ def test_kmeans_seed_centroids_partial_topk(ray_session):
     assert sids.tolist() == sorted(ids)[:5]
     want = mat[np.argsort(ids, kind="stable")[:5]]
     np.testing.assert_array_equal(cents, want)
+
+
+def test_embedding_neardup_kmeans_matches_lsh_on_planted(emb_table):
+    t, mat = emb_table
+    pairs = dedup.embedding_neardup_kmeans_pairs(
+        rd.from_arrow(t), threshold=0.99, k_cells=6, nprobe=2).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    want = {(5, 250), (5, 251), (5, 252), (250, 251), (250, 252), (251, 252)}
+    assert want <= got
+    assert not (got - want)
+    # multi-probe duplicates collapsed: every pair appears once
+    assert len(pairs) == len(got)
+
+
+def test_ivf_pretrained_centroids_path(emb_table):
+    t, mat = emb_table
+    from datacapsule_ray.functions import clustering
+
+    ds = rd.from_arrow(t)
+    fit = clustering.kmeans_fit(ds, 8, iters=3)
+    q = mat[7].astype(np.float64)
+    exact = similarity.topk_cosine(ds, q, k=10)
+    approx = similarity.ivf_topk_cosine(ds, q, k=10, nprobe=4,
+                                        centroids=fit["centroids"])
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+    assert recall >= 0.7
+    assert approx["vec_id"].iloc[0] == 7
