@@ -38,6 +38,8 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
+from ..traverse import gather_table
+
 # cap for the (chunk, k, dim) float64 distance temporary
 _DIST_TEMP_BYTES = 64 << 20
 
@@ -69,6 +71,25 @@ def assign_chunked(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     return out
 
 
+def assign_topp_chunked(mat: np.ndarray, centroids: np.ndarray,
+                        p: int) -> np.ndarray:
+    """(n, p) indices of each row's p nearest centroids (unordered
+    within the p — IVF multi-probe only needs the SET). Same chunking
+    contract as ``assign_chunked``: the (chunk, k, dim) distance
+    temporary is capped at ~64 MB, so large k·dim never blows a worker
+    heap."""
+    n, dim = mat.shape
+    k = centroids.shape[0]
+    p = min(p, k)
+    step = max(1, _DIST_TEMP_BYTES // (8 * k * dim))
+    out = np.empty((n, p), dtype=np.int64)
+    for lo in range(0, n, step):
+        chunk = mat[lo:lo + step]
+        d = ((chunk[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        out[lo:lo + step] = np.argpartition(d, p - 1, axis=1)[:, :p]
+    return out
+
+
 def seed_centroids(ds: Dataset, k: int, *, id_col: str = "vec_id",
                    emb_col: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
     """Deterministic init: the embeddings of the k smallest ids.
@@ -85,9 +106,7 @@ def seed_centroids(ds: Dataset, k: int, *, id_col: str = "vec_id",
         order = np.argsort(ids, kind="stable")[:k]
         return batch.take(pa.array(order))
 
-    cand = pa.concat_tables(
-        _gather_tables(ds.map_batches(partial, batch_format="pyarrow")),
-        promote_options="default")
+    cand = gather_table(ds.map_batches(partial, batch_format="pyarrow"))
     ids = cand.column(id_col).to_numpy(zero_copy_only=False)
     order = np.argsort(ids, kind="stable")[:k]
     if len(order) < k:
@@ -97,18 +116,9 @@ def seed_centroids(ds: Dataset, k: int, *, id_col: str = "vec_id",
             _emb_matrix(top, emb_col))
 
 
-def _gather_tables(ds: Dataset) -> list[pa.Table]:
-    """Collect a SMALL dataset as Arrow tables (never ``to_pandas`` —
-    an all-empty dataset would lose its schema there; see the
-    empty-partition notes in traverse.drop_empty_blocks)."""
-    import ray
-
-    return [ray.get(ref) for ref in ds.to_arrow_refs()]
-
-
 def kmeans_fit(ds: Dataset, k: int, *, iters: int = 10,
                id_col: str = "vec_id", emb_col: str = "embedding",
-               tol: float = 0.0) -> dict:
+               tol: float = 0.0, materialize: bool = True) -> dict:
     """Lloyd's k-means over ``ds[emb_col]``; returns
     ``{"centroids": (k, dim), "counts": (k,), "iters": int,
     "inertia": float}``.
@@ -117,8 +127,13 @@ def kmeans_fit(ds: Dataset, k: int, *, iters: int = 10,
     to the driver; see the module docstring for the scale contract.
     ``tol`` stops early when the max centroid shift (L2) falls to or
     below it (0.0 = run until assignments fix or ``iters`` exhaust).
+    ``materialize=False`` skips the internal project+materialize for a
+    caller that already holds the materialized (id, embedding)
+    projection and will reuse it after the fit — without it the fit's
+    copy is discarded and the caller's next pass re-reads the corpus.
     """
-    proj = ds.select_columns([id_col, emb_col]).materialize()
+    proj = (ds if not materialize
+            else ds.select_columns([id_col, emb_col]).materialize())
     _, cents = seed_centroids(proj, k, id_col=id_col, emb_col=emb_col)
     dim = cents.shape[1]
     counts = np.zeros(k, dtype=np.int64)
@@ -152,21 +167,18 @@ def kmeans_fit(ds: Dataset, k: int, *, iters: int = 10,
                     [float(sq)] + [0.0] * (len(nz) - 1), type=pa.float64()),
             })
 
-        parts = _gather_tables(
-            proj.map_batches(partial, batch_format="pyarrow"))
+        t = gather_table(proj.map_batches(partial, batch_format="pyarrow"))
         total = np.zeros((k, dim), dtype=np.float64)
         counts = np.zeros(k, dtype=np.int64)
         inertia = 0.0
-        for t in parts:
-            if t.num_rows == 0:
-                continue
+        if t.num_rows:
             cl = t.column("cluster").to_numpy(zero_copy_only=False)
             vs = np.asarray(t.column("vsum").combine_chunks().flatten(),
                             dtype=np.float64).reshape(len(cl), dim)
             np.add.at(total, cl, vs)
             np.add.at(counts, cl,
                       t.column("count").to_numpy(zero_copy_only=False))
-            inertia += float(
+            inertia = float(
                 t.column("sq").to_numpy(zero_copy_only=False).sum())
         nz = counts > 0
         new = cents.copy()

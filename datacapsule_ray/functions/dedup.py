@@ -129,8 +129,10 @@ def keep_best_dedup(ds: Dataset, *, group_col: str = "fingerprint",
                                   pa.array(counts.astype(np.int64)))
                    .append_column("edge", pa.array(edge)))
 
+    from ..traverse import filter_select
+
     partial = srt.map_batches(block, batch_format="pyarrow").materialize()
-    interior = partial.filter(expr="edge == False").drop_columns(["edge"])
+    interior = filter_select(partial, "edge", False, drop=["edge"])
     edge_df = partial.filter(expr="edge == True").to_pandas()
     if not len(edge_df):
         return interior
@@ -218,7 +220,19 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
     # preserved by row-order-preserving maps) — the boundary raw
     # channel then stays exact without paying a second sort.
     srt = banded if presorted else banded.sort(key_cols)
-    data_cols = [c for c in banded.schema().names]
+    base = banded.schema()
+    data_cols = list(base.names)
+    # ONE explicit Arrow schema for every emitted block: the pair
+    # columns plus the raw channel's data columns (typed from the input
+    # schema, null on pair rows). Pair-only blocks used to omit the data
+    # columns entirely, so blocks of one dataset disagreed on schema —
+    # Ray's "RefBundle with a different schema" warning and undefined
+    # downstream behavior.
+    _reserved = {"id_a", "id_b", pair_value_col, "kind"}
+    out_fields = ([("id_a", id_type), ("id_b", id_type),
+                   (pair_value_col, pa.float64()), ("kind", pa.string())]
+                  + [(n, t) for n, t in zip(base.names, base.types)
+                     if n not in _reserved])
 
     def process_block(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
@@ -285,31 +299,48 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
         if raw_idx:
             raw = df.iloc[np.concatenate(raw_idx)].copy()
             for c in raw.columns:
+                # nullable ints BEFORE the concat: plain int64 columns
+                # would promote to float64 under the pair rows' NaN
+                # fill and corrupt ids above 2^53
                 if raw[c].dtype.kind == "i":
                     raw[c] = raw[c].astype("Int64")
                 elif raw[c].dtype.kind == "u":
                     raw[c] = raw[c].astype("UInt64")
             raw["kind"] = "raw"
             pairs = pd.concat([pairs, raw], ignore_index=True)
-        # emit Arrow so every downstream block has one type (mixing
-        # pandas/arrow blocks in one dataset trips the block builder)
-        return pa.Table.from_pandas(pairs, preserve_index=False)
+        # build against the ONE explicit schema (see out_fields above)
+        cols = []
+        for name, typ in out_fields:
+            if name in pairs.columns:
+                cols.append(pa.array(pairs[name], type=typ,
+                                     from_pandas=True))
+            else:
+                cols.append(pa.nulls(len(pairs), type=typ))
+        return pa.Table.from_arrays(cols, names=[n for n, _ in out_fields])
 
-    mixed = srt.map_batches(process_block, batch_format="pandas").materialize()
+    from ..traverse import drop_empty_blocks
 
-    def cast_pairs(t: pa.Table) -> pa.Table:
-        # pd.concat promoted the id columns to float64 (NaN on raw rows)
+    # drop the sort's empty range partitions: they BYPASS map_batches
+    # kernels and ride through every downstream stage as schema-less
+    # 0-column blocks (free here — the dataset is materialized anyway)
+    mixed = drop_empty_blocks(
+        srt.map_batches(process_block, batch_format="pandas"),
+        pa.schema([pa.field(n, t) for n, t in out_fields]))
+
+    def pick_pairs(t: pa.Table) -> pa.Table:
+        # filter + project + cast in ONE kernel (a chained
+        # .filter().select_columns() leaves empty filter results
+        # unprojected — see traverse.filter_select)
         import pyarrow.compute as pc
 
+        t = t.filter(pc.equal(t.column("kind"), "pair"))
         return pa.table({
             "id_a": pc.cast(t.column("id_a"), id_type),
             "id_b": pc.cast(t.column("id_b"), id_type),
             pair_value_col: pc.cast(t.column(pair_value_col), pa.float64()),
         })
 
-    pairs = mixed.filter(expr="kind == 'pair'").select_columns(
-        ["id_a", "id_b", pair_value_col]).map_batches(
-        cast_pairs, batch_format="pyarrow")
+    pairs = mixed.map_batches(pick_pairs, batch_format="pyarrow")
     drop_df = mixed.filter(expr="kind == 'drop'").to_pandas()
     total_dropped = int(drop_df[pair_value_col].sum()) if len(drop_df) else 0
     raw_df = mixed.filter(expr="kind == 'raw'").to_pandas()
@@ -327,8 +358,15 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
             "id_b": pd.Series(out_b, dtype=id_dtype),
             pair_value_col: pd.Series(out_v, dtype="float64")})
         if len(fixed):
-            pairs = pairs.union(
-                rd.from_arrow(pa.Table.from_pandas(fixed, preserve_index=False)))
+            # cast to the declared id/value types so the union's blocks
+            # agree with cast_pairs' output schema exactly
+            ft = pa.Table.from_pandas(fixed, preserve_index=False)
+            ft = pa.table({
+                "id_a": ft.column("id_a").cast(id_type),
+                "id_b": ft.column("id_b").cast(id_type),
+                pair_value_col: ft.column(pair_value_col).cast(pa.float64()),
+            })
+            pairs = pairs.union(rd.from_arrow(ft))
     if total_dropped:
         logger.warning(
             "LSH bucket cap truncated %d rows from hot buckets; candidate "
@@ -398,9 +436,13 @@ def _dedup_pairs(pairs: Dataset, value_col: str) -> Dataset:
         raw["kind"] = "raw"
         return _as_arrow(pd.concat([out, raw], ignore_index=True))
 
-    mixed = srt.map_batches(block, batch_format="pandas").materialize()
-    deduped = mixed.filter(expr="kind == 'pair'").select_columns(
-        ["id_a", "id_b", value_col])
+    from ..traverse import drop_empty_blocks, filter_select
+
+    # drop empty sorted partitions — they bypass kernels and surface as
+    # schema-less blocks downstream (see _bucket_verify)
+    mixed = drop_empty_blocks(srt.map_batches(block, batch_format="pandas"))
+    deduped = filter_select(mixed, "kind", "pair",
+                            columns=["id_a", "id_b", value_col])
     raw_df = mixed.filter(expr="kind == 'raw'").to_pandas()
     if len(raw_df):
         fixed = (raw_df.groupby(["id_a", "id_b"], sort=False, as_index=False)
@@ -928,11 +970,14 @@ def embedding_neardup_kmeans_pairs(ds: Dataset, *, threshold: float = 0.95,
     LSH path uses. Centroids come from ``clustering.kmeans_fit`` (one
     extra corpus pass per Lloyd iteration; at 100 TB train on a
     deterministic-hash sample instead and pass fewer ``iters``)."""
-    from .clustering import _emb_matrix, kmeans_fit
+    from .clustering import _emb_matrix, assign_topp_chunked, kmeans_fit
 
-    proj = ds.select_columns([id_col, emb_col])
-    fit = kmeans_fit(proj, k_cells, iters=iters,
-                     id_col=id_col, emb_col=emb_col)
+    # materialize the pruned projection ONCE and share it between the
+    # fit and the bucketing pass — letting kmeans_fit materialize its
+    # own copy would discard it and re-read the whole corpus here
+    proj = ds.select_columns([id_col, emb_col]).materialize()
+    fit = kmeans_fit(proj, k_cells, iters=iters, id_col=id_col,
+                     emb_col=emb_col, materialize=False)
     cents = fit["centroids"]
     p = min(nprobe, len(cents))
 
@@ -940,8 +985,11 @@ def embedding_neardup_kmeans_pairs(ds: Dataset, *, threshold: float = 0.95,
         if batch.num_rows == 0:
             return batch.append_column("bucket", pa.array([], pa.int64()))
         mat = _emb_matrix(batch, emb_col)
-        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        idx = np.argpartition(d, p - 1, axis=1)[:, :p].astype(np.int64)
+        # chunked kernel: the (chunk, k_cells, dim) distance temporary
+        # is capped at ~64 MB (an unchunked broadcast here was ~400 MB
+        # per 1024-row batch at dim=768, k=64 — a heap blowup exactly
+        # at the scale this path exists for)
+        idx = assign_topp_chunked(mat, cents, p)
         take = np.repeat(np.arange(batch.num_rows), p)
         sub = batch.take(pa.array(take))
         return sub.append_column("bucket", pa.array(idx.ravel()))

@@ -477,5 +477,12 @@ def doc_quality_percentile_filter(sf_dir: str, num: int = 1,
         batch_format="pyarrow")
     thr = int(grouped_exact_quantiles(
         keyed, "g", "n_tokens", [(num, den, "p")])["p"].iloc[0])
-    return (stats.filter(expr=f"n_tokens >= {thr}")
-            .select_columns(["doc_id", "n_tokens"]))
+    def gate(t: pa.Table) -> pa.Table:
+        # filter + project in one kernel (traverse.filter_select note:
+        # fused Filter->Project leaves empty filter results unprojected)
+        import pyarrow.compute as pc
+
+        return (t.filter(pc.greater_equal(t.column("n_tokens"), thr))
+                .select(["doc_id", "n_tokens"]))
+
+    return stats.map_batches(gate, batch_format="pyarrow")

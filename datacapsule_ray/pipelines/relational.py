@@ -301,13 +301,25 @@ def user_sessions(sf_dir: str, gap_s: int = 1800) -> Dataset:
             "edge": pa.array(edge),
         }, schema=out_schema)
 
-    partial = srt.map_batches(block_partial, batch_format="pyarrow").materialize()
-    interior = partial.filter(expr="edge == False").map_batches(
-        lambda t: pa.table({
+    from ..traverse import drop_empty_blocks as _deb
+
+    # drop empty sorted partitions: they bypass kernels and ride
+    # downstream as schema-less blocks (dedup._bucket_verify note)
+    partial = _deb(srt.map_batches(block_partial, batch_format="pyarrow"))
+
+    def interior_fn(t: pa.Table) -> pa.Table:
+        # filter + project in ONE kernel: Ray's fused Filter->Map passes
+        # empty filter results through unprojected (see
+        # traverse.filter_select), which leaves marker columns on 0-row
+        # blocks and makes block schemas disagree
+        t = t.filter(pc.equal(t.column("edge"), False))
+        return pa.table({
             "user_id": t.column("user_id"),
             "n_events": t.column("n_events"),
             "n_sessions": pc.add(t.column("n_gaps"), 1),
-        }), batch_format="pyarrow")
+        })
+
+    interior = partial.map_batches(interior_fn, batch_format="pyarrow")
     edge_df = partial.filter(expr="edge == True").to_pandas()
     if not len(edge_df):
         return interior
@@ -418,8 +430,14 @@ def top3_orders_per_customer(sf_dir: str, k: int = 3) -> Dataset:
         out = t.take(pa.array(np.flatnonzero(keep)))
         return out.append_column("edge", pa.array(is_edge_run[keep]))
 
-    partial = srt.map_batches(block_topk, batch_format="pyarrow").materialize()
-    interior = partial.filter(expr="edge == False").drop_columns(["edge"])
+    from ..traverse import filter_select
+
+    from ..traverse import drop_empty_blocks as _deb
+
+    # drop empty sorted partitions: they bypass kernels and ride
+    # downstream as schema-less blocks (dedup._bucket_verify note)
+    partial = _deb(srt.map_batches(block_topk, batch_format="pyarrow"))
+    interior = filter_select(partial, "edge", False, drop=["edge"])
     edge_df = partial.filter(expr="edge == True").to_pandas()
     if not len(edge_df):
         return interior
@@ -651,10 +669,12 @@ def events_asof_purchase(sf_dir: str) -> Dataset:
 
     ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type",
                                "value"])
-    left = (ev.filter(expr="event_type == 'click'")
-            .select_columns(["event_id", "user_id", "ts"]))
-    right = (ev.filter(expr="event_type == 'purchase'")
-             .select_columns(["event_id", "user_id", "ts", "value"]))
+    from ..traverse import filter_select
+
+    left = filter_select(ev, "event_type", "click",
+                         columns=["event_id", "user_id", "ts"])
+    right = filter_select(ev, "event_type", "purchase",
+                          columns=["event_id", "user_id", "ts", "value"])
     return asof_join(left, right, key="user_id", ts_col="ts",
                      tiebreak_col="event_id", value_cols=["value"],
                      join_type="inner")
@@ -669,10 +689,12 @@ def events_asof_purchase_left(sf_dir: str) -> Dataset:
 
     ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type",
                                "value"])
-    left = (ev.filter(expr="event_type == 'click'")
-            .select_columns(["event_id", "user_id", "ts"]))
-    right = (ev.filter(expr="event_type == 'purchase'")
-             .select_columns(["event_id", "user_id", "ts", "value"]))
+    from ..traverse import filter_select
+
+    left = filter_select(ev, "event_type", "click",
+                         columns=["event_id", "user_id", "ts"])
+    right = filter_select(ev, "event_type", "purchase",
+                          columns=["event_id", "user_id", "ts", "value"])
     return asof_join(left, right, key="user_id", ts_col="ts",
                      tiebreak_col="event_id", value_cols=["value"],
                      join_type="left")
@@ -743,14 +765,26 @@ def user_event_paths(sf_dir: str, k: int = 10) -> Dataset:
             "edge": pa.array(edge),
         }, schema=out_schema)
 
-    partial = srt.map_batches(block_partial, batch_format="pyarrow").materialize()
-    interior = partial.filter(expr="edge == False").map_batches(
-        lambda t: t.select(["user_id", "path"]), batch_format="pyarrow")
-    edge_df = partial.filter(expr="edge == True").to_pandas()
-    if not len(edge_df):
+    from ..traverse import drop_empty_blocks as _deb
+
+    # drop empty sorted partitions: they bypass kernels and ride
+    # downstream as schema-less blocks (dedup._bucket_verify note)
+    partial = _deb(srt.map_batches(block_partial, batch_format="pyarrow"))
+    from ..traverse import filter_select, gather_table
+
+    interior = filter_select(partial, "edge", False,
+                             columns=["user_id", "path"])
+
+    # gather the O(blocks) edge rows as ARROW so the fixup channel keeps
+    # the input's user_id type — block_partial derives out_schema from
+    # the data precisely so non-int64 ids ride through, and a hardcoded
+    # int64 here would schema-clash the union (or fail on string ids)
+    edge_tbl = gather_table(partial.filter(expr="edge == True"))
+    uid_type = edge_tbl.schema.field("user_id").type
+    if not edge_tbl.num_rows:
         return interior
-    edge_df = edge_df.sort_values(["user_id", "first_ts", "first_id"],
-                                  kind="stable")
+    edge_df = edge_tbl.to_pandas().sort_values(
+        ["user_id", "first_ts", "first_id"], kind="stable")
     rows = []
     for user, sub in edge_df.groupby("user_id", sort=False):
         types: list[str] = []
@@ -760,8 +794,7 @@ def user_event_paths(sf_dir: str, k: int = 10) -> Dataset:
             types.extend(p.split("->") if p else [])
         rows.append({"user_id": user, "path": "->".join(types[:k])})
     fixed = pa.table({
-        "user_id": pa.array([r["user_id"] for r in rows],
-                            type=pa.int64()),
+        "user_id": pa.array([r["user_id"] for r in rows], type=uid_type),
         "path": pa.array([r["path"] for r in rows], type=pa.string()),
     })
     return interior.union(rd.from_arrow(fixed))

@@ -106,15 +106,28 @@ def _combine_sorted(partial: Dataset, reduce_pdf) -> Dataset:
         # schema (pandas partials emitted PandasBlockSchema blocks that
         # tripped Ray's mixed-schema warning in every build)
         if df.empty:
+            # 0-row object columns decay to Arrow null type, which
+            # schema-clashes with the string-typed non-empty blocks
+            # (hard ArrowInvalid on concat) — pin them back to string,
+            # the only object dtype the reduce_pdf contracts emit
             df["edge"] = pd.Series(dtype=bool)
-            return pa.Table.from_pandas(df, preserve_index=False)
+            t = pa.Table.from_pandas(df, preserve_index=False)
+            for i, f in enumerate(t.schema):
+                if pa.types.is_null(f.type):
+                    t = t.set_column(i, f.name, pa.array([], pa.string()))
+            return t
         df = df.sort_values(["h1", "h2"], kind="stable")
         out = reduce_pdf(df)
         out["edge"] = (out["h1"] == df["h1"].iloc[0]) | (out["h1"] == df["h1"].iloc[-1])
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    reduced = srt.map_batches(combine_block, batch_format="pandas").materialize()
-    interior = reduced.filter(expr="edge == False").drop_columns(["edge"])
+    from ..traverse import drop_empty_blocks, filter_select
+
+    # drop empty sorted partitions — they bypass kernels and surface as
+    # schema-less blocks downstream (dedup._bucket_verify note)
+    reduced = drop_empty_blocks(
+        srt.map_batches(combine_block, batch_format="pandas"))
+    interior = filter_select(reduced, "edge", False, drop=["edge"])
     edge_df = reduced.filter(expr="edge == True").to_pandas()
     if len(edge_df):
         fixed = reduce_pdf(

@@ -397,6 +397,7 @@ class InteractionStore:
         shadowed by it. A writer stalled past ``grace_s`` between claim
         and rename is treated as crashed — the documented residual
         assumption. A second concurrent compact raises."""
+        import threading
         import time
 
         try:
@@ -404,6 +405,22 @@ class InteractionStore:
         except FileExistsError:
             raise RuntimeError(
                 f"another compaction holds {self._lock_path()!r}") from None
+        # keepalive: a fold longer than _LOCK_STALE_S would otherwise
+        # look crashed to _wait_lock_clear, which would steal the lock
+        # and reopen the lost-update race the lock exists to close —
+        # refresh the lock mtime while compact runs so only genuinely
+        # dead compactors age out
+        stop = threading.Event()
+
+        def _keepalive() -> None:
+            while not stop.wait(self._LOCK_STALE_S / 3):
+                try:
+                    os.utime(self._lock_path())
+                except OSError:
+                    return  # lock gone (stolen/removed) — nothing to refresh
+
+        beat = threading.Thread(target=_keepalive, daemon=True)
+        beat.start()
         try:
             # grace: wait for claims without a committed segment (an
             # in-flight writer between mkdir and rename) to resolve
@@ -446,6 +463,8 @@ class InteractionStore:
                         pass
             return new
         finally:
+            stop.set()
+            beat.join(timeout=1.0)
             try:
                 os.rmdir(self._lock_path())
             except OSError:
@@ -508,10 +527,24 @@ def _resolve_last_wins(log: Dataset) -> Dataset:
         edge = (oid == ids[0]) | (oid == ids[-1])
         return out.append_column("_edge", pa.array(edge))
 
-    partial = srt.map_batches(block_last, batch_format="pyarrow").materialize()
-    interior = (partial.filter(expr="_edge == False")
-                .filter(expr="_op == 'upsert'")
-                .drop_columns(["_edge", "_seq", "_op"]))
+    from ..traverse import drop_empty_blocks as _deb
+
+    # drop empty sorted partitions: they bypass kernels and ride
+    # downstream as schema-less blocks (dedup._bucket_verify note)
+    partial = _deb(srt.map_batches(block_last, batch_format="pyarrow"))
+
+    import pyarrow.compute as pc
+
+    def pick_interior(t: pa.Table) -> pa.Table:
+        # both filters + the projection in ONE kernel — chained
+        # Filter->Project leaves empty filter results unprojected
+        # (traverse.filter_select), so the marker columns would survive
+        # on 0-row blocks and block schemas would disagree
+        keep = pc.and_(pc.equal(t.column("_edge"), False),
+                       pc.equal(t.column("_op"), "upsert"))
+        return t.filter(keep).drop_columns(["_edge", "_seq", "_op"])
+
+    interior = partial.map_batches(pick_interior, batch_format="pyarrow")
     from ..traverse import gather_table
 
     edge_t = gather_table(partial.filter(expr="_edge == True"))

@@ -147,6 +147,32 @@ def gather_table(ds: Dataset) -> pa.Table:
                             promote_options="default")
 
 
+def filter_select(ds: Dataset, col: str, value, *,
+                  columns: list[str] | None = None,
+                  drop: list[str] | None = None) -> Dataset:
+    """``ds[col] == value`` filter + projection in ONE map_batches
+    kernel. Ray 2.49's fused Filter->Project passes a block whose
+    filter result is EMPTY through *unprojected* (the marker column
+    survives on the 0-row block), so a chained
+    ``.filter(expr=...).select_columns(...)`` emits blocks that
+    disagree on schema — the "RefBundle with a different schema"
+    warning, and a hazard for schema-sensitive consumers (unions,
+    joins). One kernel projects every block it sees. (Fully empty
+    INPUT blocks still bypass map_batches kernels; launder those with
+    drop_empty_blocks where they can occur.)"""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.equal(t.column(col), value))
+        if columns is not None:
+            out = out.select(columns)
+        if drop:
+            out = out.drop_columns(drop)
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 _INF_LEVEL = 1 << 30  # stand-in for float('inf') in int64 level columns
 
 
