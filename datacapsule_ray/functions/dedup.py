@@ -129,9 +129,12 @@ def keep_best_dedup(ds: Dataset, *, group_col: str = "fingerprint",
                                   pa.array(counts.astype(np.int64)))
                    .append_column("edge", pa.array(edge)))
 
-    from ..traverse import filter_select
+    from ..traverse import drop_empty_blocks, filter_select
 
-    partial = srt.map_batches(block, batch_format="pyarrow").materialize()
+    # drop empty sorted partitions: they bypass kernels and ride
+    # downstream as schema-less blocks (see _bucket_verify)
+    partial = drop_empty_blocks(
+        srt.map_batches(block, batch_format="pyarrow"))
     interior = filter_select(partial, "edge", False, drop=["edge"])
     edge_df = partial.filter(expr="edge == True").to_pandas()
     if not len(edge_df):
@@ -399,12 +402,10 @@ def _dedup_pairs(pairs: Dataset, value_col: str) -> Dataset:
         # _bucket_verify pattern); 0-row object columns decay to Arrow
         # null type, which would schema-clash with string-typed blocks
         # — pin them back to string
-        t = pa.Table.from_pandas(df, preserve_index=False)
-        if t.num_rows == 0:
-            for i, f in enumerate(t.schema):
-                if pa.types.is_null(f.type):
-                    t = t.set_column(i, f.name, pa.array([], pa.string()))
-        return t
+        from ..traverse import pin_empty_null_columns
+
+        return pin_empty_null_columns(
+            pa.Table.from_pandas(df, preserve_index=False))
 
     def block(df: pd.DataFrame) -> pa.Table:
         # empty frame derives dtypes from the INPUT block so every block

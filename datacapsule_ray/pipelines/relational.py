@@ -430,9 +430,8 @@ def top3_orders_per_customer(sf_dir: str, k: int = 3) -> Dataset:
         out = t.take(pa.array(np.flatnonzero(keep)))
         return out.append_column("edge", pa.array(is_edge_run[keep]))
 
-    from ..traverse import filter_select
-
     from ..traverse import drop_empty_blocks as _deb
+    from ..traverse import filter_select
 
     # drop empty sorted partitions: they bypass kernels and ride
     # downstream as schema-less blocks (dedup._bucket_verify note)
@@ -780,9 +779,11 @@ def user_event_paths(sf_dir: str, k: int = 10) -> Dataset:
     # the data precisely so non-int64 ids ride through, and a hardcoded
     # int64 here would schema-clash the union (or fail on string ids)
     edge_tbl = gather_table(partial.filter(expr="edge == True"))
-    uid_type = edge_tbl.schema.field("user_id").type
     if not edge_tbl.num_rows:
+        # before reading the schema: an all-empty input leaves only
+        # schema-less 0-column blocks here, where .field() would raise
         return interior
+    uid_type = edge_tbl.schema.field("user_id").type
     edge_df = edge_tbl.to_pandas().sort_values(
         ["user_id", "first_ts", "first_id"], kind="stable")
     rows = []

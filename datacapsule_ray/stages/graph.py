@@ -110,12 +110,11 @@ def _combine_sorted(partial: Dataset, reduce_pdf) -> Dataset:
             # schema-clashes with the string-typed non-empty blocks
             # (hard ArrowInvalid on concat) — pin them back to string,
             # the only object dtype the reduce_pdf contracts emit
+            from ..traverse import pin_empty_null_columns
+
             df["edge"] = pd.Series(dtype=bool)
-            t = pa.Table.from_pandas(df, preserve_index=False)
-            for i, f in enumerate(t.schema):
-                if pa.types.is_null(f.type):
-                    t = t.set_column(i, f.name, pa.array([], pa.string()))
-            return t
+            return pin_empty_null_columns(
+                pa.Table.from_pandas(df, preserve_index=False))
         df = df.sort_values(["h1", "h2"], kind="stable")
         out = reduce_pdf(df)
         out["edge"] = (out["h1"] == df["h1"].iloc[0]) | (out["h1"] == df["h1"].iloc[-1])

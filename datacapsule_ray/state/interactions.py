@@ -416,12 +416,16 @@ class InteractionStore:
             while not stop.wait(self._LOCK_STALE_S / 3):
                 try:
                     os.utime(self._lock_path())
-                except OSError:
+                except FileNotFoundError:
                     return  # lock gone (stolen/removed) — nothing to refresh
+                except OSError:
+                    continue  # transient FS error — keep refreshing
 
         beat = threading.Thread(target=_keepalive, daemon=True)
-        beat.start()
         try:
+            # start() inside the try: if it raises (thread exhaustion),
+            # the finally still releases the lock instead of leaking it
+            beat.start()
             # grace: wait for claims without a committed segment (an
             # in-flight writer between mkdir and rename) to resolve
             deadline = time.monotonic() + grace_s
@@ -464,7 +468,8 @@ class InteractionStore:
             return new
         finally:
             stop.set()
-            beat.join(timeout=1.0)
+            if beat.ident is not None:  # join() raises on unstarted threads
+                beat.join(timeout=1.0)
             try:
                 os.rmdir(self._lock_path())
             except OSError:

@@ -147,6 +147,21 @@ def gather_table(ds: Dataset) -> pa.Table:
                             promote_options="default")
 
 
+def pin_empty_null_columns(t: pa.Table,
+                           typ: pa.DataType | None = None) -> pa.Table:
+    """On a 0-row table, replace null-typed columns — the Arrow decay
+    of empty pandas object columns — with ``typ`` (default string) so
+    empty blocks cannot schema-clash with typed non-empty blocks
+    (pa.concat_tables raises ArrowInvalid on the mix)."""
+    if t.num_rows:
+        return t
+    typ = typ or pa.string()
+    for i, f in enumerate(t.schema):
+        if pa.types.is_null(f.type):
+            t = t.set_column(i, f.name, pa.array([], typ))
+    return t
+
+
 def filter_select(ds: Dataset, col: str, value, *,
                   columns: list[str] | None = None,
                   drop: list[str] | None = None) -> Dataset:
