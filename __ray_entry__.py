@@ -163,6 +163,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_redacted": docops.docs_redacted,
         "cluster_assign_embeddings": docops.cluster_assign_embeddings,
         "doc_quality_percentile_filter": docops.doc_quality_percentile_filter,
+        # training-mix hygiene (round 3b): split / domain cap /
+        # decontamination / normalization / n-gram Jaccard — all with
+        # full SQL oracles
+        "split_docs_hash": docops.split_docs_hash,
+        "source_cap_docs": docops.source_cap_docs,
+        "decontaminate_docs": docops.decontaminate_docs,
+        "docs_normalized": docops.docs_normalized,
+        "ssjoin_ngram_docs": docops.ssjoin_ngram_docs,
         # non-SQL-expressible (LSH / IVF / multimodal / flagship KG):
         # rows-only driver check; semantics pinned by tests/
         "doc_rolling_fingerprints": docops.doc_rolling_fingerprints,
@@ -657,6 +665,67 @@ def oracle_sql() -> dict[str, str]:
             WHERE 10 * len(list_intersect(a.ts, b.ts))
                   >= 9 * (len(a.ts) + len(b.ts)
                           - len(list_intersect(a.ts, b.ts)))
+        """,
+        "split_docs_hash": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('c', 'd') THEN 'val'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('e', 'f') THEN 'test'
+                        ELSE 'train' END AS split
+            FROM documents
+        """,
+        "source_cap_docs": """
+            SELECT source, doc_id, n_chars FROM (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 2
+        """,
+        "decontaminate_docs": r"""
+            WITH toks AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+                FROM documents),
+            grams AS (
+                SELECT doc_id, array_to_string(ts[i:i+3], ' ') AS g
+                FROM toks
+                CROSS JOIN unnest(generate_series(1, len(ts) - 3)) AS u(i)
+                WHERE len(ts) >= 4),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 101 = 0)
+            SELECT g.doc_id, COUNT(DISTINCT g.g) AS n_hits
+            FROM grams g JOIN bench b ON g.g = b.g
+            WHERE g.doc_id % 101 <> 0
+            GROUP BY g.doc_id
+        """,
+        "docs_normalized": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS norm_fp,
+                   length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS n_chars_norm
+            FROM documents
+        """,
+        "ssjoin_ngram_docs": r"""
+            WITH toks AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+                FROM documents),
+            sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, len(ts) - 2),
+                    i -> array_to_string(ts[i:i+2], ' '))) AS ss
+                FROM toks WHERE len(ts) >= 3)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.ss, b.ss)) AS n_inter,
+                   len(a.ss) + len(b.ss)
+                       - len(list_intersect(a.ss, b.ss)) AS n_union
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE 2 * len(list_intersect(a.ss, b.ss))
+                  >= 1 * (len(a.ss) + len(b.ss)
+                          - len(list_intersect(a.ss, b.ss)))
         """,
         "sim_topk_embeddings": """
             SELECT e.vec_id,

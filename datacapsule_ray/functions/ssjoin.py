@@ -90,24 +90,35 @@ def _cached_get(ref):
     return _GET_CACHE[key]
 
 
-def _doc_token_sets(ds: Dataset, text_col: str, id_col: str) -> Dataset:
+def _doc_token_sets(ds: Dataset, text_col: str, id_col: str,
+                    ngram: int = 1) -> Dataset:
     """(id, toks:binary, size, set_hash) — one u64 hash call per batch,
     per-doc unique over numpy slices, one 8-byte blake2b per doc for the
     set fingerprint. ``toks`` is the raw little-endian bytes of the
     value-sorted distinct u64 token hashes (binary rather than
     list<u64> so it survives Acero join payloads and the pandas
-    raw-channel round trip; decode with ``np.frombuffer``)."""
+    raw-channel round trip; decode with ``np.frombuffer``).
+
+    ``ngram > 1`` switches the set elements from tokens to word
+    n-gram SHINGLES (polynomial hashes of n consecutive token hashes,
+    ``decontam.flat_gram_hashes`` — vectorized, no shingle strings are
+    materialized); equality then means equal space-joined shingles
+    modulo hash collisions, the module-header stance."""
 
     def to_sets(batch: pa.Table) -> pa.Table:
+        from .decontam import flat_gram_hashes
+
         texts = batch.column(text_col).to_pylist()
         tok_lists = [(t or "").split() for t in texts]
         flat = [tok for toks in tok_lists for tok in toks]
+        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        hs0 = (_stable_u64(flat) if flat else np.zeros(0, dtype=np.uint64))
+        if ngram > 1:
+            hs0, lens = flat_gram_hashes(hs0, lens, ngram)
         # 63-bit token hashes: every downstream shuffle key (tok, ptok)
         # then fits int64, avoiding Arrow conversion fallbacks in the
         # groupby path; collision odds are unchanged in practice
-        hs = ((_stable_u64(flat) >> np.uint64(1)) if flat
-              else np.zeros(0, dtype=np.uint64))
-        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        hs = hs0 >> np.uint64(1)
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         uniq = [np.unique(hs[s:s + l]) for s, l in zip(starts, lens)]
         sizes = np.array([len(u) for u in uniq], dtype=np.int64)
@@ -151,12 +162,14 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
                    text_col: str = "text", id_col: str = "doc_id",
                    df_cutoff: int = 32, max_bucket: int = 4096,
                    num_partitions: int = 4, broadcast_cap: int = 2_000_000,
-                   stats: dict | None = None) -> Dataset:
+                   ngram: int = 1, stats: dict | None = None) -> Dataset:
     """All pairs (id_a < id_b) with token-set Jaccard >= tau_num/tau_den.
 
     Returns (id_a, id_b, n_inter, n_union) — exact integers, so a SQL
     oracle over the same tokenization matches hash-for-hash. Empty
-    documents (no tokens) never pair (J would be 0/0)."""
+    documents (no tokens) never pair (J would be 0/0). ``ngram > 1``
+    joins on word-shingle sets instead of token sets (exact n-gram
+    Jaccard — the shingle complement of the MinHash estimate)."""
     if not (0 < tau_num <= tau_den):
         raise ValueError("tau must satisfy 0 < tau_num/tau_den <= 1")
     tau_num, tau_den = int(tau_num), int(tau_den)
@@ -166,7 +179,7 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
     # distinct instead of a groupby+join (each shuffle round-trip costs
     # seconds of fixed overhead and an extra exchange at scale)
     docsets = _doc_token_sets(
-        ds.select_columns([id_col, text_col]), text_col, id_col
+        ds.select_columns([id_col, text_col]), text_col, id_col, ngram=ngram
     ).filter(expr="size > 0").sort("set_hash").materialize()
     # doc ids may be strings (the corpus fixtures' 'doc-00000000' shape)
     # or ints — the verify channel and the pair schema follow this type

@@ -502,3 +502,42 @@ def redact(ds: Dataset, patterns: list[str] | None = None,
         lambda t: redact_batch(t, patterns, replacement, text_col=text_col,
                                id_col=id_col, out_col=out_col),
         batch_format="pyarrow")
+
+
+def normalize_batch(batch: pa.Table, *, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Canonical text normalization (the pass that runs BEFORE exact
+    dedup in a web pipeline so trivially-reformatted copies collapse):
+    lowercase → collapse runs of whitespace to one space → trim. Emits
+    the normalized md5 (the dedup key) and the normalized length, all
+    via Arrow kernels + the buffer-sliced md5 (``md5_hex_batch``); the
+    full normalized text stays out of the output on purpose (the
+    fingerprint is what downstream joins on). Matches DuckDB
+    ``md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))`` —
+    both regex engines are RE2."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    # trim ' ' only (== DuckDB trim()): after the ASCII-\s collapse the
+    # string edges hold either ' ' or NON-ASCII whitespace (U+3000 …),
+    # which DuckDB's trim leaves in place — utf8_trim_whitespace would
+    # strip it and break fp parity
+    norm = pc.utf8_trim(pc.replace_substring_regex(
+        pc.utf8_lower(texts), pattern=r"\s+", replacement=" "),
+        characters=" ")
+    # null text → null outputs (SQL null propagation, not md5(''))
+    fp = pa.array(md5_hex_batch(norm), type=pa.string())
+    if norm.null_count:
+        fp = pc.if_else(pc.is_null(norm), pa.scalar(None, pa.string()), fp)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "norm_fp": fp,
+        "n_chars_norm": pc.cast(pc.utf8_length(norm), pa.int64()),
+    })
+
+
+def normalize(ds: Dataset, *, text_col: str = "text",
+              id_col: str = "doc_id") -> Dataset:
+    return ds.map_batches(
+        lambda t: normalize_batch(t, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow")

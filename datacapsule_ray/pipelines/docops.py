@@ -458,6 +458,71 @@ def kmeans_clusters_embeddings(sf_dir: str, k: int = 8,
     return clustering.kmeans_assign(emb, fit["centroids"])
 
 
+def split_docs_hash(sf_dir: str) -> Dataset:
+    """Deterministic train/val/test split (12/2/2 sixteenths) keyed on
+    the id-hash's first hex digit — reproducible across engines and
+    runs, embarrassingly parallel, no shuffle; the property a
+    training-data split needs (re-running the pipeline puts every doc
+    in the SAME split, and adding docs never reassigns old ones)."""
+    from ..functions.text import md5_hex_batch
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hexes = md5_hex_batch(pc.cast(batch.column("doc_id"), pa.string()))
+        split = ["val" if h[0] in "cd" else "test" if h[0] in "ef"
+                 else "train" for h in hexes]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "split": pa.array(split, type=pa.string())})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(assign,
+                                                 batch_format="pyarrow")
+
+
+def source_cap_docs(sf_dir: str, k: int = 2) -> Dataset:
+    """Per-source document cap (keep each source's k longest docs,
+    doc_id tiebreak) — the per-domain cap every web pipeline applies so
+    one hot domain can't dominate the training mix. Distributed
+    per-group top-k via functions/topk.py (sort + run-boundary take,
+    O(blocks) driver fixup)."""
+    from ..functions.topk import per_group_topk
+
+    return per_group_topk(_docs(sf_dir, ["source", "doc_id", "n_chars"]),
+                          group_col="source",
+                          order_cols=["n_chars", "doc_id"],
+                          descending=[True, False], k=k)
+
+
+def decontaminate_docs(sf_dir: str, n: int = 4) -> Dataset:
+    """Benchmark decontamination over the documents table: docs with
+    ``doc_id % 101 == 0`` stand in for the eval set; every other doc
+    sharing a word 4-gram with them is flagged with its distinct-gram
+    hit count (functions/decontam.py — broadcast gram set + one
+    shuffle-free streaming scan). Real pipelines use 8–13-grams; n=4
+    because the synthetic vocabulary is tiny."""
+    from ..functions.decontam import decontaminate
+
+    def is_bench(batch: pa.Table) -> pa.Array:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.array(ids % 101 == 0)
+
+    return decontaminate(_docs(sf_dir, ["doc_id", "text"]), is_bench, n=n)
+
+
+def docs_normalized(sf_dir: str) -> Dataset:
+    """Canonical normalization fingerprints (lower/collapse-ws/trim →
+    md5) — the pre-dedup normalization pass."""
+    return text.normalize(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def ssjoin_ngram_docs(sf_dir: str) -> Dataset:
+    """EXACT word-3-gram-shingle Jaccard >= 0.5 self-join — the n-gram
+    Jaccard dedup flavor (same prefix-filter engine as the token-set
+    join, sets swapped for shingle sets)."""
+    return ssjoin.jaccard_ssjoin(_docs(sf_dir, ["doc_id", "text"]),
+                                 tau_num=1, tau_den=2, ngram=3)
+
+
 def doc_quality_percentile_filter(sf_dir: str, num: int = 1,
                                   den: int = 10) -> Dataset:
     """Global-percentile quality gate (two-pass broadcast-threshold
