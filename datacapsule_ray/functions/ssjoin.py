@@ -334,9 +334,30 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
             "n_inter": inter, "n_union": union,
         })
 
-    ident_pairs = ident_pairs.select_columns(["id_a", "id_b", "iu_code"])
+    # launder the ident channel too: a corpus with no identical sets
+    # leaves only empty verify blocks here, and empty blocks BYPASS
+    # map_batches — they'd ride past decode schema-less and union with
+    # the decoded pairs as a different-schema RefBundle (Ray warns and
+    # downstream consumers see a mixed stream). Materializing is cheap:
+    # the channel is bounded by the identical-pair output.
+    pair_schema = pa.schema([("id_a", id_type), ("id_b", id_type),
+                             ("iu_code", pa.float64())])
+    ident_pairs = drop_empty_blocks(
+        ident_pairs.select_columns(["id_a", "id_b", "iu_code"]), pair_schema)
+    n_ident = ident_pairs.count()
     n_set_pairs = set_pairs.count()
-    if n_set_pairs == 0:  # empty Datasets lose schema → no join
+
+    def _empty_decoded() -> Dataset:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+            "n_inter": pa.array([], pa.int64()),
+            "n_union": pa.array([], pa.int64())}))
+
+    if n_set_pairs == 0:  # no cross-set candidates survived the filter
+        if n_ident == 0:
+            return _empty_decoded()
         return ident_pairs.map_batches(decode, batch_format="pyarrow")
 
     # ---- expansion strategy: broadcast when small, join at scale -----
@@ -448,7 +469,16 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
                 "iu_code": t.column("iu_code"),
             })
 
-        cross_pairs = expanded.map_batches(orient, batch_format="pyarrow")
+        # launder the second join's output the same way as the first:
+        # received-nothing partitions surface as schema-less empties
+        # that would bypass orient/decode and pollute the union stream
+        cross_pairs = drop_empty_blocks(
+            expanded.map_batches(orient, batch_format="pyarrow"),
+            pair_schema)
+        if cross_pairs.count() == 0:
+            if n_ident == 0:
+                return _empty_decoded()
+            return ident_pairs.map_batches(decode, batch_format="pyarrow")
 
-    return ident_pairs.union(cross_pairs).map_batches(
-        decode, batch_format="pyarrow")
+    out = ident_pairs.union(cross_pairs) if n_ident else cross_pairs
+    return out.map_batches(decode, batch_format="pyarrow")
