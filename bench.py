@@ -132,6 +132,15 @@ def run_bench() -> dict:
     timed("docs_redacted", docops.docs_redacted)
     timed("kmeans_clusters_embeddings", docops.kmeans_clusters_embeddings)
 
+    # training-mix hygiene (round 3): deterministic split, per-source
+    # cap, benchmark decontamination, normalization fingerprints, and
+    # the exact n-gram-shingle Jaccard self-join
+    timed("split_docs_hash", docops.split_docs_hash)
+    timed("source_cap_docs", docops.source_cap_docs)
+    timed("decontaminate_docs", docops.decontaminate_docs)
+    timed("docs_normalized", docops.docs_normalized)
+    timed("ssjoin_ngram_docs", docops.ssjoin_ngram_docs)
+
     # serving-side data operators (round 2): judge stage over doc
     # pairs, agent batch inference over the relational KG, and the full
     # interaction-store lifecycle (ingest + tombstones + upsert + page)

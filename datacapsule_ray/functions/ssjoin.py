@@ -62,7 +62,6 @@ import pyarrow as pa
 
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count
 
 from .dedup import _bucket_verify, _col_type, _dedup_pairs, _stable_u64
 
@@ -136,26 +135,48 @@ def _doc_token_sets(ds: Dataset, text_col: str, id_col: str,
     return ds.map_batches(to_sets, batch_format="pyarrow")
 
 
-def _frequent_token_df(reps: Dataset, df_cutoff: int) -> dict[int, int]:
-    """{token_hash: df} over DISTINCT sets for tokens with df >
-    ``df_cutoff``. Bounded by total_token_occurrences / df_cutoff
-    entries; at cluster scale raise ``df_cutoff`` (the table shrinks
-    linearly) or swap the broadcast for a distributed join."""
+def _frequent_token_df(reps: Dataset, df_cutoff: int,
+                       probe_cap: int = 2_000_000
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted token hashes, dfs) over DISTINCT sets for tokens with
+    df > ``df_cutoff``. The hot table is bounded by
+    total_token_occurrences / df_cutoff entries and is broadcast, so it
+    is driver-sized by construction; per-block PARTIAL counts (each set
+    holds distinct tokens, so a block-local unique+count is exactly
+    "sets in this block containing tok") are combined on the driver
+    when they fit under ``probe_cap`` rows — one map stage instead of a
+    full aggregate shuffle (the shuffle's fixed sort round-trip
+    dominates at small scale). Past the probe the exact distributed
+    groupby-sum runs instead."""
 
-    def explode(batch: pa.Table) -> pa.Table:
+    def explode_counts(batch: pa.Table) -> pa.Table:
         bufs = batch.column("toks").to_pylist()
         flat = (np.frombuffer(b"".join(bufs), dtype=np.uint64) if bufs
                 else np.zeros(0, dtype=np.uint64))
-        return pa.table({"tok": pa.array(flat, type=pa.uint64())})
+        uq, cnt = np.unique(flat, return_counts=True)
+        return pa.table({"tok": pa.array(uq, type=pa.uint64()),
+                         "df": pa.array(cnt.astype(np.int64))})
 
-    df = (reps.select_columns(["toks"])
-          .map_batches(explode, batch_format="pyarrow")
-          .groupby("tok").aggregate(Count(alias_name="df")))
-    hot = df.filter(expr=f"df > {int(df_cutoff)}").to_pandas()
+    partial = reps.select_columns(["toks"]).map_batches(
+        explode_counts, batch_format="pyarrow")
+    probe = partial.limit(probe_cap + 1).to_pandas()
+    if len(probe) <= probe_cap:
+        if probe.empty:
+            return (np.zeros(0, dtype=np.uint64),
+                    np.zeros(0, dtype=np.int64))
+        agg = probe.groupby("tok", sort=True)["df"].sum()
+        hot = agg[agg > int(df_cutoff)]
+        return (hot.index.to_numpy().astype(np.uint64),
+                hot.to_numpy().astype(np.int64))
+    from ray.data.aggregate import Sum
+
+    df = partial.groupby("tok").aggregate(Sum("df", alias_name="df"))
+    hot = (df.filter(expr=f"df > {int(df_cutoff)}")
+           .sort("tok").to_pandas())
     if "tok" not in hot.columns:  # empty result loses its schema
-        return {}
-    return dict(zip(hot["tok"].astype(np.uint64).tolist(),
-                    hot["df"].astype(np.int64).tolist()))
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    return (hot["tok"].to_numpy().astype(np.uint64),
+            hot["df"].to_numpy().astype(np.int64))
 
 
 def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
@@ -229,9 +250,10 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
     def emit_prefixes(batch: pa.Table) -> pa.Table:
         """Per-set (rarest-first) token ordering + prefix explosion.
         Stateless TASK stage (an actor pool paid ~2s spin-up the small
-        df dict never justified); the dict is deserialized once per
-        worker process via ``_cached_get``."""
-        df = _cached_get(df_ref)
+        df table never justified); the hot-token arrays are
+        deserialized once per worker process via ``_cached_get`` and
+        probed with one searchsorted per batch — no per-token Python."""
+        hot_keys, hot_dfs = _cached_get(df_ref)
         bufs = batch.column("toks").to_pylist()
         hashes = batch.column("set_hash").to_numpy(zero_copy_only=False)
         sizes = batch.column("size").to_numpy(zero_copy_only=False)
@@ -239,8 +261,12 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
                 else np.zeros(0, dtype=np.uint64))
         offs = np.concatenate(
             ([0], np.cumsum(sizes))).astype(np.int64)
-        dfv = np.fromiter((df.get(int(t), 0) for t in flat),
-                          dtype=np.int64, count=len(flat))
+        if len(hot_keys):
+            idx = np.searchsorted(hot_keys, flat)
+            idx_c = np.minimum(idx, len(hot_keys) - 1)
+            dfv = np.where(hot_keys[idx_c] == flat, hot_dfs[idx_c], 0)
+        else:  # no token crosses the cutoff: ties broken by value only
+            dfv = np.zeros(len(flat), dtype=np.int64)
         out_ptok, out_id, out_size, out_toks = [], [], [], []
         for i in range(len(hashes)):
             s, e = offs[i], offs[i + 1]
@@ -250,15 +276,16 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
             p = n - (-((-tau_num * n) // tau_den)) + 1  # n - ceil + 1
             order = np.lexsort((flat[s:e], dfv[s:e]))
             prefix = flat[s:e][order[:max(p, 1)]]
-            for t in prefix:
-                out_ptok.append(t)
-                out_id.append(hashes[i])
-                out_size.append(n)
-                out_toks.append(bufs[i])  # value-sorted (np.unique)
+            out_ptok.append(prefix)
+            out_id.append(np.full(len(prefix), hashes[i], dtype=np.int64))
+            out_size.append(np.full(len(prefix), n, dtype=np.int64))
+            out_toks.extend([bufs[i]] * len(prefix))  # value-sorted
+        cat = (lambda xs, dt: np.concatenate(xs) if xs
+               else np.zeros(0, dtype=dt))
         return pa.table({
-            "ptok": pa.array(np.array(out_ptok, dtype=np.uint64)),
-            "set_hash": pa.array(np.array(out_id, dtype=np.int64)),
-            "size": pa.array(np.array(out_size, dtype=np.int64)),
+            "ptok": pa.array(cat(out_ptok, np.uint64)),
+            "set_hash": pa.array(cat(out_id, np.int64)),
+            "size": pa.array(cat(out_size, np.int64)),
             "toks": pa.array(out_toks, type=pa.binary()),
         })
 
