@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap_docs": docops.source_cap_docs,
         "decontaminate_docs": docops.decontaminate_docs,
         "docs_normalized": docops.docs_normalized,
+        "mixture_sample_docs": docops.mixture_sample_docs,
         "ssjoin_ngram_docs": docops.ssjoin_ngram_docs,
         # non-SQL-expressible (LSH / IVF / multimodal / flagship KG):
         # rows-only driver check; semantics pinned by tests/
@@ -707,6 +708,12 @@ def oracle_sql() -> dict[str, str]:
                    length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                        AS n_chars_norm
             FROM documents
+        """,
+        "mixture_sample_docs": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                       AS INTEGER)
+                  < 64 * (CAST(substr(source, 4) AS INTEGER) % 4 + 1)
         """,
         "ssjoin_ngram_docs": r"""
             WITH toks AS (

@@ -523,6 +523,34 @@ def ssjoin_ngram_docs(sf_dir: str) -> Dataset:
                                  tau_num=1, tau_den=2, ngram=3)
 
 
+def mixture_sample_docs(sf_dir: str) -> Dataset:
+    """Weighted training-mix composer: each source gets a deterministic
+    acceptance rate (here (src_number % 4 + 1)/4 — the shape of a real
+    mix table: upsample curated sources, downsample crawl) and a doc is
+    kept iff its id-hash byte falls under rate*256. Same id-hash
+    acceptance as ``sample_docs_hash`` but per-source — deterministic,
+    shuffle-free, stable under corpus growth, and composable with the
+    split (the split and the mix key off the same id so membership
+    never drifts between runs). At 100 TB this is one streaming filter;
+    the weight table is a broadcast-sized dict by construction (one
+    entry per source/domain)."""
+    import pyarrow.compute as pc
+
+    from ..functions.text import md5_hex_batch
+
+    def pick(batch: pa.Table) -> pa.Table:
+        hexes = md5_hex_batch(pc.cast(batch.column("doc_id"), pa.string()))
+        byte = np.array([int(h[:2], 16) for h in hexes], dtype=np.int64)
+        srcn = pc.cast(pc.utf8_slice_codeunits(
+            batch.column("source"), start=3),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        thresh = (srcn % 4 + 1) * 64
+        return batch.filter(pa.array(byte < thresh))
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        pick, batch_format="pyarrow")
+
+
 def doc_quality_percentile_filter(sf_dir: str, num: int = 1,
                                   den: int = 10) -> Dataset:
     """Global-percentile quality gate (two-pass broadcast-threshold

@@ -248,3 +248,33 @@ def test_split_docs_hash_deterministic_and_stable(tmp_path):
         h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[0]
         want = "val" if h in "cd" else "test" if h in "ef" else "train"
         assert r["split"] == want
+
+
+# --------------------------------------------------------------- mixture
+
+def test_mixture_sample_docs_matches_rule():
+    """Per-source acceptance equals the direct md5-byte rule, and the
+    per-source keep fractions track the declared weights."""
+    from datacapsule_ray.pipelines import docops
+
+    sf = "/root/testdata/sf0.01"
+    got = docops.mixture_sample_docs(sf).to_pandas()
+    all_docs = rd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "source"]).to_pandas()
+
+    def keep(row) -> bool:
+        byte = int(hashlib.md5(
+            str(row["doc_id"]).encode()).hexdigest()[:2], 16)
+        rate = (int(row["source"][3:]) % 4 + 1) * 64
+        return byte < rate
+
+    want = all_docs[all_docs.apply(keep, axis=1)]
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        want.sort_values("doc_id").reset_index(drop=True))
+    # the full-weight sources keep everything; the 1/4 sources keep less
+    merged = all_docs.assign(kept=all_docs["doc_id"].isin(got["doc_id"]))
+    rates = merged.groupby(
+        merged["source"].str[3:].astype(int) % 4)["kept"].mean()
+    assert rates[3] == 1.0          # (n % 4 == 3) → rate 4/4
+    assert rates[0] < rates[3]      # (n % 4 == 0) → rate 1/4
