@@ -2,7 +2,8 @@
 (PARTITION BY g ORDER BY ...) <= k``) without per-group Python: one
 global sort on ``[group] + order_cols``, a vectorized positional take
 of each group run's first k rows per block, and a driver-side re-top-k
-of the ≤2 block-edge runs per block (O(blocks), never O(groups)).
+of the block-edge run PREFIXES (≤2k rows per block — O(blocks·k) even
+when a hot key spans many blocks, never O(groups) or O(hot-key rows)).
 
 This is the ``top3_orders_per_customer`` kernel (pipelines/
 relational.py) factored out for reuse — per-source document caps, any
@@ -37,7 +38,13 @@ def per_group_topk(ds: Dataset, *, group_col: str, order_cols: list[str],
         starts = np.flatnonzero(new_run)
         pos = np.arange(n) - starts[run_id]
         is_edge_run = (run_id == 0) | (run_id == run_id[-1])
-        keep = is_edge_run | (pos < k)  # edge runs ride raw to the fixup
+        # EVERY run keeps only its first k rows — including edge runs:
+        # within the global sort a group's fragments are block-ordered,
+        # so its global top-k is a prefix of the fragment concatenation
+        # and a row past its own fragment's first k can never qualify
+        # (k rows of the same group precede it). Bounds the driver
+        # fixup at 2k rows per block even when a hot key spans blocks.
+        keep = pos < k
         out = t.take(pa.array(np.flatnonzero(keep)))
         return out.append_column("edge", pa.array(is_edge_run[keep]))
 

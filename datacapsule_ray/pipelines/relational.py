@@ -399,8 +399,9 @@ def top3_orders_per_customer(sf_dir: str, k: int = 3) -> Dataset:
     """Per-group top-k without per-group Python: one global
     ``sort(custkey asc, price desc, orderkey asc)``, then a vectorized
     positional take of the first k rows of each custkey run per block.
-    Runs touching a block boundary ride a raw channel and are re-topk'd
-    driver-side (≤ 2 runs/block — O(blocks), not O(customers))."""
+    Runs touching a block boundary ride their first-k prefix on a raw
+    channel and are re-topk'd driver-side (≤ 2k rows/block —
+    O(blocks·k), not O(customers) or O(hot-key rows))."""
     import ray.data as rd
 
     ds = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
@@ -426,7 +427,13 @@ def top3_orders_per_customer(sf_dir: str, k: int = 3) -> Dataset:
         starts = np.flatnonzero(new_run)
         pos = np.arange(n) - starts[run_id]  # rank within run (price desc)
         is_edge_run = (run_id == 0) | (run_id == run_id[-1])
-        keep = is_edge_run | (pos < k)  # edge runs keep ALL rows (raw)
+        # edge fragments keep only their first k rows too: a group's
+        # fragments are block-ordered under the global sort, so any row
+        # past its fragment's first k has k same-group rows ahead of it
+        # and can never make the global top-k. Driver fixup is bounded
+        # at 2k rows/block even for a hot key spanning blocks
+        # (functions/topk.py documents the same argument).
+        keep = pos < k
         out = t.take(pa.array(np.flatnonzero(keep)))
         return out.append_column("edge", pa.array(is_edge_run[keep]))
 
