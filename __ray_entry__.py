@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": docops.decontaminate_docs,
         "docs_normalized": docops.docs_normalized,
         "mixture_sample_docs": docops.mixture_sample_docs,
+        "training_mix_docs": docops.training_mix_docs,
         "ssjoin_ngram_docs": docops.ssjoin_ngram_docs,
         # non-SQL-expressible (LSH / IVF / multimodal / flagship KG):
         # rows-only driver check; semantics pinned by tests/
@@ -711,6 +712,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mixture_sample_docs": """
             SELECT doc_id, source FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                       AS INTEGER)
+                  < 64 * (CAST(substr(source, 4) AS INTEGER) % 4 + 1)
+        """,
+        "training_mix_docs": r"""
+            WITH toks AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+                FROM documents),
+            grams AS (
+                SELECT doc_id, array_to_string(ts[i:i+3], ' ') AS g
+                FROM toks
+                CROSS JOIN unnest(generate_series(1, len(ts) - 3)) AS u(i)
+                WHERE len(ts) >= 4),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 101 = 0),
+            contaminated AS (
+                SELECT DISTINCT g.doc_id
+                FROM grams g JOIN bench b ON g.g = b.g
+                WHERE g.doc_id % 101 <> 0),
+            cand AS (
+                SELECT doc_id, source, text FROM documents
+                WHERE n_chars >= 100 AND doc_id % 101 <> 0
+                  AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+            kept AS (
+                SELECT doc_id, source FROM (
+                    SELECT doc_id, source, row_number() OVER (
+                        PARTITION BY md5(trim(regexp_replace(
+                            lower(text), '\s+', ' ', 'g')))
+                        ORDER BY doc_id) AS rn
+                    FROM cand)
+                WHERE rn = 1)
+            SELECT doc_id, source,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('c', 'd') THEN 'val'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('e', 'f') THEN 'test'
+                        ELSE 'train' END AS split
+            FROM kept
             WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
                        AS INTEGER)
                   < 64 * (CAST(substr(source, 4) AS INTEGER) % 4 + 1)

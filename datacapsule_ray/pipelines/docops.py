@@ -551,6 +551,90 @@ def mixture_sample_docs(sf_dir: str) -> Dataset:
         pick, batch_format="pyarrow")
 
 
+def training_mix_docs(sf_dir: str, num_partitions: int = 4) -> Dataset:
+    """The CAPSTONE hygiene pipeline — every stage composed end-to-end
+    the way a real pre-training mix build chains them, with a single
+    nested-CTE SQL oracle over the whole composition:
+
+      1. absolute quality gate (n_chars >= 100; pruned at the read),
+      2. benchmark decontamination (eval = doc_id % 101 == 0; drop the
+         eval docs AND every doc sharing a word 4-gram with them —
+         broadcast gram set, one streaming scan, then one distributed
+         LEFT ANTI join against the hit list),
+      3. exact dedup over NORMALIZED text (lower/collapse-ws/trim →
+         md5; keep the smallest doc_id) via ``per_group_topk(k=1)`` —
+         one sort exchange, the winner row keeps its source column so
+         no recovery join is needed,
+      4. weighted per-source mixture (id-hash byte < rate·256),
+      5. deterministic train/val/test split label.
+
+    Returns (doc_id, source, split). Two shuffles end to end (anti-join
+    + dedup sort); everything else is streaming maps over Arrow
+    batches. Stage order is load-bearing: dedup runs AFTER the
+    contamination drop so a contaminated copy can never shadow a clean
+    duplicate out of the mix."""
+    from ..functions.decontam import decontaminate
+    from ..functions.text import md5_hex_batch, normalize_batch
+    from ..functions.topk import per_group_topk
+    from ..traverse import drop_empty_blocks
+
+    docs = _docs(sf_dir, ["doc_id", "source", "text", "n_chars"])
+
+    def is_bench(batch: pa.Table) -> pa.Array:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.array(ids % 101 == 0)
+
+    # hit list from the UNGATED corpus (the eval set is external in
+    # reality — the gate applies to mix candidates, not to it).
+    # Laundered: most scan batches yield 0 hits, their 0-row outputs
+    # bypass the Project and reach the anti-join schema-less, poisoning
+    # its partitioner ("No match for key field doc_id").
+    hits = drop_empty_blocks(
+        decontaminate(docs, is_bench, n=4).select_columns(["doc_id"]),
+        pa.schema([("doc_id", pa.int64())]))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ok = pc.and_(pa.array(ids % 101 != 0),
+                     pc.greater_equal(batch.column("n_chars"), 100))
+        return batch.filter(ok).select(["doc_id", "source", "text"])
+
+    cand = docs.map_batches(gate, batch_format="pyarrow")
+    clean = drop_empty_blocks(cand.join(
+        hits, join_type="left_anti", num_partitions=num_partitions,
+        on=("doc_id",)))
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        nb = normalize_batch(batch)  # (doc_id, norm_fp, n_chars_norm)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "source": batch.column("source"),
+                         "norm_fp": nb.column("norm_fp")})
+
+    winners = per_group_topk(
+        clean.map_batches(add_fp, batch_format="pyarrow"),
+        group_col="norm_fp", order_cols=["doc_id"],
+        descending=[False], k=1)
+
+    def mix_and_split(batch: pa.Table) -> pa.Table:
+        hexes = md5_hex_batch(pa.compute.cast(
+            batch.column("doc_id"), pa.string()))
+        byte = np.array([int(h[:2], 16) for h in hexes], dtype=np.int64)
+        srcn = pa.compute.cast(pa.compute.utf8_slice_codeunits(
+            batch.column("source"), start=3),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        keep = byte < (srcn % 4 + 1) * 64
+        split = ["val" if h[0] in "cd" else "test" if h[0] in "ef"
+                 else "train" for h in hexes]
+        out = pa.table({"doc_id": batch.column("doc_id"),
+                        "source": batch.column("source"),
+                        "split": pa.array(split, type=pa.string())})
+        return out.filter(pa.array(keep))
+
+    return winners.map_batches(mix_and_split, batch_format="pyarrow")
+
+
 def doc_quality_percentile_filter(sf_dir: str, num: int = 1,
                                   den: int = 10) -> Dataset:
     """Global-percentile quality gate (two-pass broadcast-threshold

@@ -278,3 +278,50 @@ def test_mixture_sample_docs_matches_rule():
         merged["source"].str[3:].astype(int) % 4)["kept"].mean()
     assert rates[3] == 1.0          # (n % 4 == 3) → rate 4/4
     assert rates[0] < rates[3]      # (n % 4 == 0) → rate 1/4
+
+
+# ---------------------------------------------------------- capstone mix
+
+def test_training_mix_docs_matches_staged_reference():
+    """The composed pipeline equals running the stages sequentially in
+    plain Python over the same corpus (gate → decontam-drop → dedup on
+    normalized text keep-min-id → mixture → split)."""
+    import re
+
+    from datacapsule_ray.pipelines import docops
+
+    sf = "/root/testdata/sf0.01"
+    got = docops.training_mix_docs(sf).to_pandas()
+    df = rd.read_parquet(f"{sf}/documents.parquet").to_pandas()
+
+    bench_grams, doc_grams = set(), {}
+    for _, r in df.iterrows():
+        toks = r["text"].split()
+        grams = {" ".join(toks[i:i + 4]) for i in range(len(toks) - 3)}
+        if r["doc_id"] % 101 == 0:
+            bench_grams |= grams
+        else:
+            doc_grams[r["doc_id"]] = grams
+    keep = {}
+    for _, r in df.sort_values("doc_id").iterrows():
+        did = r["doc_id"]
+        if did % 101 == 0 or r["n_chars"] < 100:
+            continue
+        if doc_grams[did] & bench_grams:
+            continue
+        fp = hashlib.md5(re.sub(r"\s+", " ", r["text"].lower(),
+                                flags=re.ASCII).strip(" ").encode()
+                         ).hexdigest()
+        if fp in keep:
+            continue  # min doc_id wins (iterating in id order)
+        h = hashlib.md5(str(did).encode()).hexdigest()
+        if int(h[:2], 16) >= (int(r["source"][3:]) % 4 + 1) * 64:
+            continue
+        split = ("val" if h[0] in "cd" else
+                 "test" if h[0] in "ef" else "train")
+        keep[fp] = (did, r["source"], split)
+    want = pd.DataFrame(sorted(keep.values()),
+                        columns=["doc_id", "source", "split"])
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True), want,
+        check_dtype=False)
