@@ -121,7 +121,10 @@ def decontaminate(ds: Dataset, is_bench, *, n: int = 4,
         id_type = batch.column(id_col).type
         empty = pa.table({id_col: pa.array([], type=id_type),
                           "n_hits": pa.array([], type=pa.int64())})
-        if len(g) == 0 or len(bench) == 0:
+        # test b (the plasma-backed copy), NOT the driver-local bench:
+        # referencing `bench` here would capture the whole gram array
+        # in the pickled closure, duplicating the ray.put broadcast
+        if len(g) == 0 or len(b) == 0:
             return empty
         pos = np.searchsorted(b, g)
         pos[pos == len(b)] = 0

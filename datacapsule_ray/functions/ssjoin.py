@@ -63,7 +63,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from .dedup import _bucket_verify, _col_type, _dedup_pairs, _stable_u64
+from .dedup import _bucket_verify, _col_type, _dedup_pairs
 
 logger = logging.getLogger(__name__)
 
@@ -105,15 +105,13 @@ def _doc_token_sets(ds: Dataset, text_col: str, id_col: str,
     modulo hash collisions, the module-header stance."""
 
     def to_sets(batch: pa.Table) -> pa.Table:
-        from .decontam import flat_gram_hashes
+        # ONE tokenize-and-hash implementation shared with the
+        # decontamination pass (n=1 degenerates to plain token hashes),
+        # so the cross-module gram-hash equality stance can't drift
+        from .decontam import _batch_gram_hashes
 
         texts = batch.column(text_col).to_pylist()
-        tok_lists = [(t or "").split() for t in texts]
-        flat = [tok for toks in tok_lists for tok in toks]
-        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
-        hs0 = (_stable_u64(flat) if flat else np.zeros(0, dtype=np.uint64))
-        if ngram > 1:
-            hs0, lens = flat_gram_hashes(hs0, lens, ngram)
+        hs0, lens = _batch_gram_hashes(texts, ngram)
         # 63-bit token hashes: every downstream shuffle key (tok, ptok)
         # then fits int64, avoiding Arrow conversion fallbacks in the
         # groupby path; collision odds are unchanged in practice

@@ -458,22 +458,46 @@ def kmeans_clusters_embeddings(sf_dir: str, k: int = 8,
     return clustering.kmeans_assign(emb, fit["centroids"])
 
 
+def _id_hexes(batch: pa.Table, id_col: str = "doc_id") -> list[str]:
+    """md5 hex digests of the stringified id column — the shared key
+    the split, mixture and sampling rules all derive from."""
+    import pyarrow.compute as pc
+
+    from ..functions.text import md5_hex_batch
+
+    return md5_hex_batch(pc.cast(batch.column(id_col), pa.string()))
+
+
+def _split_of(hexes: list[str]) -> pa.Array:
+    """train/val/test by the id-hash's first hex digit (12/2/2
+    sixteenths) — ORACLE-PINNED: the 'cd'/'ef' digit sets appear
+    verbatim in every split oracle; change both together."""
+    return pa.array(["val" if h[0] in "cd" else "test" if h[0] in "ef"
+                     else "train" for h in hexes], type=pa.string())
+
+
+def _mix_keep(hexes: list[str], source_col) -> pa.Array:
+    """Weighted-mixture acceptance: id-hash byte < rate·256 with
+    rate = (src_number % 4 + 1)/4 — ORACLE-PINNED threshold (the
+    64·(n%4+1) constant appears verbatim in the mixture oracles)."""
+    import pyarrow.compute as pc
+
+    byte = np.array([int(h[:2], 16) for h in hexes], dtype=np.int64)
+    srcn = pc.cast(pc.utf8_slice_codeunits(source_col, start=3),
+                   pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.array(byte < (srcn % 4 + 1) * 64)
+
+
 def split_docs_hash(sf_dir: str) -> Dataset:
     """Deterministic train/val/test split (12/2/2 sixteenths) keyed on
     the id-hash's first hex digit — reproducible across engines and
     runs, embarrassingly parallel, no shuffle; the property a
     training-data split needs (re-running the pipeline puts every doc
     in the SAME split, and adding docs never reassigns old ones)."""
-    from ..functions.text import md5_hex_batch
 
     def assign(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        hexes = md5_hex_batch(pc.cast(batch.column("doc_id"), pa.string()))
-        split = ["val" if h[0] in "cd" else "test" if h[0] in "ef"
-                 else "train" for h in hexes]
         return pa.table({"doc_id": batch.column("doc_id"),
-                         "split": pa.array(split, type=pa.string())})
+                         "split": _split_of(_id_hexes(batch))})
 
     return _docs(sf_dir, ["doc_id"]).map_batches(assign,
                                                  batch_format="pyarrow")
@@ -534,18 +558,10 @@ def mixture_sample_docs(sf_dir: str) -> Dataset:
     never drifts between runs). At 100 TB this is one streaming filter;
     the weight table is a broadcast-sized dict by construction (one
     entry per source/domain)."""
-    import pyarrow.compute as pc
-
-    from ..functions.text import md5_hex_batch
 
     def pick(batch: pa.Table) -> pa.Table:
-        hexes = md5_hex_batch(pc.cast(batch.column("doc_id"), pa.string()))
-        byte = np.array([int(h[:2], 16) for h in hexes], dtype=np.int64)
-        srcn = pc.cast(pc.utf8_slice_codeunits(
-            batch.column("source"), start=3),
-            pa.int64()).to_numpy(zero_copy_only=False)
-        thresh = (srcn % 4 + 1) * 64
-        return batch.filter(pa.array(byte < thresh))
+        return batch.filter(
+            _mix_keep(_id_hexes(batch), batch.column("source")))
 
     return _docs(sf_dir, ["doc_id", "source"]).map_batches(
         pick, batch_format="pyarrow")
@@ -559,8 +575,9 @@ def training_mix_docs(sf_dir: str, num_partitions: int = 4) -> Dataset:
       1. absolute quality gate (n_chars >= 100; pruned at the read),
       2. benchmark decontamination (eval = doc_id % 101 == 0; drop the
          eval docs AND every doc sharing a word 4-gram with them —
-         broadcast gram set, one streaming scan, then one distributed
-         LEFT ANTI join against the hit list),
+         broadcast gram set, one streaming scan; the hit list is then
+         anti-applied as a broadcast filter while it fits 2M ids, and
+         as a distributed LEFT ANTI join past that),
       3. exact dedup over NORMALIZED text (lower/collapse-ws/trim →
          md5; keep the smallest doc_id) via ``per_group_topk(k=1)`` —
          one sort exchange, the winner row keeps its source column so
@@ -568,13 +585,14 @@ def training_mix_docs(sf_dir: str, num_partitions: int = 4) -> Dataset:
       4. weighted per-source mixture (id-hash byte < rate·256),
       5. deterministic train/val/test split label.
 
-    Returns (doc_id, source, split). Two shuffles end to end (anti-join
-    + dedup sort); everything else is streaming maps over Arrow
+    Returns (doc_id, source, split). ONE shuffle end to end in the
+    usual regime (the dedup sort; the contamination drop is a
+    broadcast filter); everything else is streaming maps over Arrow
     batches. Stage order is load-bearing: dedup runs AFTER the
     contamination drop so a contaminated copy can never shadow a clean
     duplicate out of the mix."""
     from ..functions.decontam import decontaminate
-    from ..functions.text import md5_hex_batch, normalize_batch
+    from ..functions.text import normalize_batch
     from ..functions.topk import per_group_topk
     from ..traverse import drop_empty_blocks
 
@@ -592,6 +610,7 @@ def training_mix_docs(sf_dir: str, num_partitions: int = 4) -> Dataset:
     hits = drop_empty_blocks(
         decontaminate(docs, is_bench, n=4).select_columns(["doc_id"]),
         pa.schema([("doc_id", pa.int64())]))
+    n_hits = hits.count()  # free: materialized by the laundering
 
     def gate(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -602,9 +621,31 @@ def training_mix_docs(sf_dir: str, num_partitions: int = 4) -> Dataset:
         return batch.filter(ok).select(["doc_id", "source", "text"])
 
     cand = docs.map_batches(gate, batch_format="pyarrow")
-    clean = drop_empty_blocks(cand.join(
-        hits, join_type="left_anti", num_partitions=num_partitions,
-        on=("doc_id",)))
+    if n_hits <= 2_000_000:
+        # the usual regime: contamination is rare, the hit list is a
+        # broadcast-sized int array — one streaming anti-filter beats a
+        # hash-join exchange (and a sparse/empty right side would leave
+        # Ray 2.49's per-partition join builds schema-less)
+        import ray as _ray
+
+        hit_ids = (np.sort(hits.to_pandas()["doc_id"].to_numpy())
+                   if n_hits else np.zeros(0, dtype=np.int64))
+        hit_ref = _ray.put(hit_ids)
+
+        def drop_hits(batch: pa.Table) -> pa.Table:
+            h = _ray.get(hit_ref)
+            if len(h) == 0:
+                return batch
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(h, ids)
+            pos[pos == len(h)] = 0
+            return batch.filter(pa.array(~(h[pos] == ids)))
+
+        clean = cand.map_batches(drop_hits, batch_format="pyarrow")
+    else:
+        clean = drop_empty_blocks(cand.join(
+            hits, join_type="left_anti", num_partitions=num_partitions,
+            on=("doc_id",)))
 
     def add_fp(batch: pa.Table) -> pa.Table:
         nb = normalize_batch(batch)  # (doc_id, norm_fp, n_chars_norm)
@@ -618,19 +659,11 @@ def training_mix_docs(sf_dir: str, num_partitions: int = 4) -> Dataset:
         descending=[False], k=1)
 
     def mix_and_split(batch: pa.Table) -> pa.Table:
-        hexes = md5_hex_batch(pa.compute.cast(
-            batch.column("doc_id"), pa.string()))
-        byte = np.array([int(h[:2], 16) for h in hexes], dtype=np.int64)
-        srcn = pa.compute.cast(pa.compute.utf8_slice_codeunits(
-            batch.column("source"), start=3),
-            pa.int64()).to_numpy(zero_copy_only=False)
-        keep = byte < (srcn % 4 + 1) * 64
-        split = ["val" if h[0] in "cd" else "test" if h[0] in "ef"
-                 else "train" for h in hexes]
+        hexes = _id_hexes(batch)
         out = pa.table({"doc_id": batch.column("doc_id"),
                         "source": batch.column("source"),
-                        "split": pa.array(split, type=pa.string())})
-        return out.filter(pa.array(keep))
+                        "split": _split_of(hexes)})
+        return out.filter(_mix_keep(hexes, batch.column("source")))
 
     return winners.map_batches(mix_and_split, batch_format="pyarrow")
 

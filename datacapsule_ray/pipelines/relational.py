@@ -396,13 +396,14 @@ def events_sliding_2h(sf_dir: str) -> Dataset:
 
 
 def top3_orders_per_customer(sf_dir: str, k: int = 3) -> Dataset:
-    """Per-group top-k without per-group Python: one global
-    ``sort(custkey asc, price desc, orderkey asc)``, then a vectorized
-    positional take of the first k rows of each custkey run per block.
-    Runs touching a block boundary ride their first-k prefix on a raw
-    channel and are re-topk'd driver-side (≤ 2k rows/block —
-    O(blocks·k), not O(customers) or O(hot-key rows))."""
-    import ray.data as rd
+    """Per-group top-k over orders (each customer's k priciest orders,
+    orderkey tiebreak) — delegates to the shared distributed kernel
+    ``functions/topk.py::per_group_topk`` (one global sort, per-block
+    first-k run take, O(blocks·k) driver fixup of edge-run prefixes).
+    This query is where that kernel was first built; the hand-rolled
+    copy it once carried is gone (two implementations of the same
+    subtle edge-prefix argument invited silent divergence)."""
+    from ..functions.topk import per_group_topk
 
     ds = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
@@ -411,49 +412,10 @@ def top3_orders_per_customer(sf_dir: str, k: int = 3) -> Dataset:
                          "o_orderkey": t.column("o_orderkey"),
                          "price_c": _cents(t.column("o_totalprice"))})
 
-    srt = ds.map_batches(prep, batch_format="pyarrow").sort(
-        ["o_custkey", "price_c", "o_orderkey"],
-        descending=[False, True, False])
-
-    def block_topk(t: pa.Table) -> pa.Table:
-        # Arrow in/out (one schema across interior + fixup channels)
-        n = t.num_rows
-        if n == 0:
-            return t.append_column("edge", pa.array([], type=pa.bool_()))
-        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
-        new_run = np.ones(n, dtype=bool)
-        new_run[1:] = ck[1:] != ck[:-1]
-        run_id = np.cumsum(new_run) - 1
-        starts = np.flatnonzero(new_run)
-        pos = np.arange(n) - starts[run_id]  # rank within run (price desc)
-        is_edge_run = (run_id == 0) | (run_id == run_id[-1])
-        # edge fragments keep only their first k rows too: a group's
-        # fragments are block-ordered under the global sort, so any row
-        # past its fragment's first k has k same-group rows ahead of it
-        # and can never make the global top-k. Driver fixup is bounded
-        # at 2k rows/block even for a hot key spanning blocks
-        # (functions/topk.py documents the same argument).
-        keep = pos < k
-        out = t.take(pa.array(np.flatnonzero(keep)))
-        return out.append_column("edge", pa.array(is_edge_run[keep]))
-
-    from ..traverse import drop_empty_blocks as _deb
-    from ..traverse import filter_select
-
-    # drop empty sorted partitions: they bypass kernels and ride
-    # downstream as schema-less blocks (dedup._bucket_verify note)
-    partial = _deb(srt.map_batches(block_topk, batch_format="pyarrow"))
-    interior = filter_select(partial, "edge", False, drop=["edge"])
-    edge_df = partial.filter(expr="edge == True").to_pandas()
-    if not len(edge_df):
-        return interior
-    fixed = (edge_df.drop(columns=["edge"])
-             .sort_values(["o_custkey", "price_c", "o_orderkey"],
-                          ascending=[True, False, True], kind="stable")
-             .groupby("o_custkey", group_keys=False).head(k))
-    return interior.union(rd.from_arrow(
-        pa.Table.from_pandas(fixed.reset_index(drop=True),
-                             preserve_index=False)))
+    return per_group_topk(ds.map_batches(prep, batch_format="pyarrow"),
+                          group_col="o_custkey",
+                          order_cols=["price_c", "o_orderkey"],
+                          descending=[True, False], k=k)
 
 
 def customers_without_orders(sf_dir: str,

@@ -282,17 +282,13 @@ def test_mixture_sample_docs_matches_rule():
 
 # ---------------------------------------------------------- capstone mix
 
-def test_training_mix_docs_matches_staged_reference():
-    """The composed pipeline equals running the stages sequentially in
-    plain Python over the same corpus (gate → decontam-drop → dedup on
-    normalized text keep-min-id → mixture → split)."""
+def _staged_mix_reference(df: pd.DataFrame) -> pd.DataFrame:
+    """Sequential reference for training_mix_docs with the ENGINE's
+    stage order: gate+eval+decontam -> dedup (register min-id winner
+    FIRST) -> mixture -> split. Registering before the mixture check
+    matters: a group whose min-id winner fails the mixture byte must
+    vanish entirely, not fall through to a later duplicate."""
     import re
-
-    from datacapsule_ray.pipelines import docops
-
-    sf = "/root/testdata/sf0.01"
-    got = docops.training_mix_docs(sf).to_pandas()
-    df = rd.read_parquet(f"{sf}/documents.parquet").to_pandas()
 
     bench_grams, doc_grams = set(), {}
     for _, r in df.iterrows():
@@ -302,7 +298,7 @@ def test_training_mix_docs_matches_staged_reference():
             bench_grams |= grams
         else:
             doc_grams[r["doc_id"]] = grams
-    keep = {}
+    out, seen = [], set()
     for _, r in df.sort_values("doc_id").iterrows():
         did = r["doc_id"]
         if did % 101 == 0 or r["n_chars"] < 100:
@@ -312,16 +308,73 @@ def test_training_mix_docs_matches_staged_reference():
         fp = hashlib.md5(re.sub(r"\s+", " ", r["text"].lower(),
                                 flags=re.ASCII).strip(" ").encode()
                          ).hexdigest()
-        if fp in keep:
-            continue  # min doc_id wins (iterating in id order)
+        if fp in seen:
+            continue
+        seen.add(fp)  # min-id winner registered BEFORE the mix check
         h = hashlib.md5(str(did).encode()).hexdigest()
         if int(h[:2], 16) >= (int(r["source"][3:]) % 4 + 1) * 64:
             continue
         split = ("val" if h[0] in "cd" else
                  "test" if h[0] in "ef" else "train")
-        keep[fp] = (did, r["source"], split)
-    want = pd.DataFrame(sorted(keep.values()),
-                        columns=["doc_id", "source", "split"])
+        out.append((did, r["source"], split))
+    return pd.DataFrame(sorted(out), columns=["doc_id", "source", "split"])
+
+
+def test_training_mix_docs_matches_staged_reference():
+    """The composed pipeline equals running the stages sequentially in
+    plain Python over the sf0.01 corpus."""
+    from datacapsule_ray.pipelines import docops
+
+    sf = "/root/testdata/sf0.01"
+    got = docops.training_mix_docs(sf).to_pandas()
+    df = rd.read_parquet(f"{sf}/documents.parquet").to_pandas()
+    want = _staged_mix_reference(df)
     pd.testing.assert_frame_equal(
         got.sort_values("doc_id").reset_index(drop=True), want,
         check_dtype=False)
+
+
+def test_training_mix_docs_dedup_winner_semantics(tmp_path):
+    """Planted normalized duplicates (absent from sf0.01, which has
+    zero) pin the dedup stage: the min-id member wins, and a group
+    whose winner fails the mixture byte vanishes entirely rather than
+    falling through to a later duplicate that would have passed."""
+    from datacapsule_ray.pipelines import docops
+
+    def byte(did: int) -> int:
+        return int(hashlib.md5(str(did).encode()).hexdigest()[:2], 16)
+
+    # source src0 -> acceptance byte < 64
+    fail_ids = [i for i in range(1, 400) if byte(i) >= 64 and i % 101]
+    pass_ids = [i for i in range(1, 400) if byte(i) < 64 and i % 101]
+    a_fail, b_pass = fail_ids[0], [i for i in pass_ids if i > fail_ids[0]][0]
+    c_pass, d_any = pass_ids[1], max(fail_ids[1], pass_ids[2])
+    base = "alpha beta gamma delta " * 8  # > 100 chars, bench-disjoint
+    dup1 = "  ALPHA beta   gamma delta " + base  # normalized-equal pair 1
+    dup1b = "alpha BETA gamma\tdelta " + base
+    dup2 = "epsilon zeta eta theta " * 8
+    rows = [
+        (0, "src0", "bench only words " * 10),        # eval doc (0 % 101)
+        (a_fail, "src0", dup1),   # group 1 winner: FAILS mixture byte
+        (b_pass, "src0", dup1b),  # group 1 later dup: would pass
+        (c_pass, "src0", dup2),   # group 2 winner: passes
+        (d_any, "src0", dup2),    # group 2 later dup
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    df["n_chars"] = df["text"].str.len()
+    df["lang"] = "en"
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "documents.parquet")
+    got = (docops.training_mix_docs(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # normalized equality sanity for the planted pair
+    import re
+
+    norm = lambda t: re.sub(r"\s+", " ", t.lower(), flags=re.ASCII).strip(" ")
+    assert norm(dup1) == norm(dup1b)
+    # group 1 vanished (winner a_fail filtered); group 2 kept c_pass only
+    assert got["doc_id"].tolist() == [c_pass]
+    want = _staged_mix_reference(df)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
