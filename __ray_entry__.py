@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_normalized": docops.docs_normalized,
         "mixture_sample_docs": docops.mixture_sample_docs,
         "training_mix_docs": docops.training_mix_docs,
+        "incremental_dedup_docs": docops.incremental_dedup_docs,
         "ssjoin_ngram_docs": docops.ssjoin_ngram_docs,
         # non-SQL-expressible (LSH / IVF / multimodal / flagship KG):
         # rows-only driver check; semantics pinned by tests/
@@ -715,6 +716,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
                        AS INTEGER)
                   < 64 * (CAST(substr(source, 4) AS INTEGER) % 4 + 1)
+        """,
+        "incremental_dedup_docs": r"""
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ',
+                                               'g'))) AS fp
+                FROM documents),
+            old AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0)
+            SELECT f.doc_id FROM fp f
+            WHERE f.doc_id % 2 = 1
+              AND f.fp NOT IN (SELECT fp FROM old)
         """,
         "training_mix_docs": r"""
             WITH toks AS (

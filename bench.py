@@ -141,6 +141,7 @@ def run_bench() -> dict:
     timed("docs_normalized", docops.docs_normalized)
     timed("mixture_sample_docs", docops.mixture_sample_docs)
     timed("training_mix_docs", docops.training_mix_docs)
+    timed("incremental_dedup_docs", docops.incremental_dedup_docs)
     timed("ssjoin_ngram_docs", docops.ssjoin_ngram_docs)
 
     # serving-side data operators (round 2): judge stage over doc

@@ -668,6 +668,48 @@ def training_mix_docs(sf_dir: str, num_partitions: int = 4) -> Dataset:
     return winners.map_batches(mix_and_split, batch_format="pyarrow")
 
 
+def incremental_dedup_docs(sf_dir: str, num_partitions: int = 4) -> Dataset:
+    """Incremental-ingest dedup: which rows of a NEW shard (odd
+    doc_ids stand in for it) survive against the EXISTING corpus (even
+    doc_ids)? A new doc is dropped iff its normalized fingerprint
+    already exists in the corpus. Unlike the benchmark-decontamination
+    hit list, the existing-fp side is CORPUS-scale — never
+    broadcastable at 100 TB — so this is a distributed LEFT ANTI hash
+    join on the fingerprint, with the existing side pre-deduped per
+    batch so the shuffle ships distinct fps, not one row per document
+    (the ``customers_without_orders`` shape over content hashes). The
+    docops complement of the KG pipeline's incremental shard append."""
+    from ..functions.text import normalize_batch
+    from ..traverse import drop_empty_blocks
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def new_fps(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nb = normalize_batch(batch.filter(pa.array(ids % 2 == 1)))
+        return nb.select(["doc_id", "norm_fp"])
+
+    def old_fps(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nb = normalize_batch(batch.filter(pa.array(ids % 2 == 0)))
+        fps = nb.column("norm_fp").to_pandas()
+        return pa.table({"old_fp": pa.array(pd.unique(fps.dropna()),
+                                            type=pa.string())})
+
+    new = drop_empty_blocks(
+        docs.map_batches(new_fps, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("norm_fp", pa.string())]))
+    old = drop_empty_blocks(
+        docs.map_batches(old_fps, batch_format="pyarrow"),
+        pa.schema([("old_fp", pa.string())]))
+    surv = new.join(old, join_type="left_anti",
+                    num_partitions=num_partitions,
+                    on=("norm_fp",), right_on=("old_fp",))
+    return drop_empty_blocks(
+        surv.select_columns(["doc_id"]),
+        pa.schema([("doc_id", pa.int64())]))
+
+
 def doc_quality_percentile_filter(sf_dir: str, num: int = 1,
                                   den: int = 10) -> Dataset:
     """Global-percentile quality gate (two-pass broadcast-threshold

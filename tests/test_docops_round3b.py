@@ -378,3 +378,47 @@ def test_training_mix_docs_dedup_winner_semantics(tmp_path):
     assert got["doc_id"].tolist() == [c_pass]
     want = _staged_mix_reference(df)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------------------ incremental dedup
+
+def test_incremental_dedup_docs_planted(tmp_path):
+    """A new-shard doc whose normalized text already exists in the
+    corpus is dropped; novel ones survive (the synthetic tables carry
+    zero normalized duplicates, so semantics are pinned here with
+    planted copies)."""
+    import pyarrow.parquet as pq
+
+    from datacapsule_ray.pipelines import docops
+
+    rows = [
+        (2, "src0", "the quick brown fox jumps over the dog"),  # existing
+        (4, "src0", "a wholly different existing document"),    # existing
+        (1, "src0", "  THE quick   brown fox jumps over the dog "),  # dup
+        (3, "src0", "novel new-shard text nothing matches"),    # novel
+        (5, "src0", "a wholly DIFFERENT existing document"),    # dup of 4
+        (7, "src0", "novel new-shard text nothing matches"),    # intra-new
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    df["n_chars"] = df["text"].str.len()
+    df["lang"] = "en"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "documents.parquet")
+    got = sorted(docops.incremental_dedup_docs(str(tmp_path))
+                 .to_pandas()["doc_id"].tolist())
+    # 1 and 5 collapse into existing docs; 3 and 7 survive (the join is
+    # vs the EXISTING corpus only — intra-shard dups are exact_dedup's
+    # job, both 3 and 7 pass)
+    assert got == [3, 7]
+
+
+def test_incremental_dedup_docs_matches_oracle_shape():
+    from datacapsule_ray.pipelines import docops
+
+    sf = "/root/testdata/sf0.001"
+    got = docops.incremental_dedup_docs(sf).to_pandas()
+    df = rd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    # zero normalized dups in the synthetic corpus: every odd id survives
+    assert sorted(got["doc_id"]) == sorted(
+        df[df["doc_id"] % 2 == 1]["doc_id"].tolist())
