@@ -100,12 +100,20 @@ def run_bench() -> dict:
     def timed(name, fn):
         if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
             return  # scaling trials time only the KG job (the metric)
-        t = time.monotonic()
-        res = fn(SF_DIR)
-        # consume lazily-built datasets
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        results[name] = round(time.monotonic() - t, 3)
+        # min of 2 trials, same convention as the KG headline: this
+        # host's co-tenant noise spans ±50% on single samples (a query
+        # measured 3.3s and 11.7s in back-to-back sessions) and min is
+        # the standard estimator for the noise-free cost
+        trials = []
+        for _ in range(int(os.environ.get("GRAFT_BENCH_QUERY_TRIALS",
+                                          "2"))):
+            t = time.monotonic()
+            res = fn(SF_DIR)
+            # consume lazily-built datasets
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            trials.append(time.monotonic() - t)
+        results[name] = round(min(trials), 3)
 
     timed("q1_pricing_summary", r.q1_pricing_summary)
     timed("revenue_by_nation", r.revenue_by_nation)
@@ -166,6 +174,8 @@ def run_bench() -> dict:
         "triples_per_s": round(emissions_rows / kg_sec, 1),
         "distinct_edges": int(n_triples),
         "kg_trials": kg_trials,
+        "query_trials": int(os.environ.get("GRAFT_BENCH_QUERY_TRIALS",
+                                           "2")),
     }
 
 
