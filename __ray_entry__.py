@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_purchase": r.events_asof_purchase,
         "events_asof_purchase_left": r.events_asof_purchase_left,
         "events_value_quantiles": r.events_value_quantiles,
+        "user_rolling_value": r.user_rolling_value,
         "events_mode_value": r.events_mode_value,
         "user_event_paths": r.user_event_paths,
         "events_in_windows": r.events_in_windows,
@@ -389,6 +390,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 GROUP BY event_type, CAST(ROUND(value*100) AS BIGINT))
             WHERE rn = 1
+        """,
+        "user_rolling_value": """
+            SELECT event_id,
+                   SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS roll_value_cents
+            FROM events
         """,
         "events_value_quantiles": """
             SELECT event_type,

@@ -135,6 +135,7 @@ def run_bench() -> dict:
     timed("user_event_paths", r.user_event_paths)
     timed("events_asof_purchase", r.events_asof_purchase)
     timed("events_value_quantiles", r.events_value_quantiles)
+    timed("user_rolling_value", r.user_rolling_value)
     timed("sim_topk_embeddings", docops.sim_topk_embeddings)
     timed("doc_repetition_stats", docops.doc_repetition_stats)
     timed("docs_redacted", docops.docs_redacted)

@@ -668,6 +668,30 @@ def events_asof_purchase_left(sf_dir: str) -> Dataset:
                      join_type="left")
 
 
+def user_rolling_value(sf_dir: str, w: int = 3) -> Dataset:
+    """Per-user rolling sum of the last w event values (ROWS frame,
+    ts+event_id order) — the streaming-window aggregate, via the
+    distributed kernel ``functions/window.py::rolling_sum`` (global
+    sort + vectorized per-run cumsum windows; only 2(w-1) rows per
+    block ride to the driver fixup). Integer cents for hash parity."""
+    from ..functions.window import rolling_sum
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "value_c": _cents(t.column("value")),
+        })
+
+    return rolling_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                       group_col="user_id", order_cols=["ts", "event_id"],
+                       value_col="value_c", w=w, id_col="event_id",
+                       out_col="roll_value_cents")
+
+
 def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-event-type median and p90 of value (in cents) via the
     distributed value-histogram aggregate (functions/quantiles.py) —
