@@ -393,10 +393,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "user_rolling_value": """
             SELECT event_id,
-                   SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                   -- outer CAST: DuckDB's windowed SUM(BIGINT) yields
+                   -- HUGEINT, which pandas materializes as float64 and
+                   -- the driver's representation-sensitive hash then
+                   -- distinguishes from the engine's int64 (123.0 vs 123)
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                       AS roll_value_cents
+                       AS BIGINT) AS roll_value_cents
             FROM events
         """,
         "events_value_quantiles": """

@@ -654,10 +654,18 @@ def connected_components(pairs: Dataset, ids: Dataset, *, id_col: str = "doc_id"
 
     Converges in O(cluster diameter) rounds; near-dup clusters are tiny
     so a handful suffices. Small pair sets (the common case — candidates
-    are orders of magnitude rarer than docs) run the loop driver-side in
-    pandas; larger ones switch to the distributed variant (hash-join
-    rounds over Datasets). Returns every input id with its component
-    label (= min id in its cluster)."""
+    are orders of magnitude rarer than docs) run the label loop
+    driver-side over ONLY the edge-touched ids (bounded by 2·n_pairs —
+    never the corpus id column, which may be 10^11 rows), then overlay
+    the resulting small mapping onto the distributed id stream: isolated
+    ids are their own component, a pure streaming map. Larger pair sets
+    switch to the distributed variant (hash-join rounds over Datasets).
+    Returns every input id with its component label (= min id in its
+    cluster)."""
+    import ray
+
+    import ray.data as rd  # noqa: F401 — parity with distributed path
+
     # materialized once: count() below plus the edge pull (or the
     # distributed variant's per-round joins) would otherwise re-execute
     # the candidate-pair plan — an LSH pipeline — multiple times
@@ -666,42 +674,62 @@ def connected_components(pairs: Dataset, ids: Dataset, *, id_col: str = "doc_id"
     if n_pairs > driver_limit:
         return connected_components_distributed(
             pairs, ids, id_col=id_col, max_rounds=max_rounds)
-    edges = pairs.select_columns(["id_a", "id_b"]).to_pandas()
-    labels = ids.select_columns([id_col]).to_pandas().rename(
-        columns={id_col: "id"})
-    labels["comp"] = labels["id"]
-    if len(edges):
-        both = pd.concat([
-            edges.rename(columns={"id_a": "u", "id_b": "v"}),
-            edges.rename(columns={"id_a": "v", "id_b": "u"})[["u", "v"]],
-        ])
-        comp = pd.Series(labels["comp"].to_numpy(),
-                         index=labels["id"].to_numpy())
-        changed = False
-        for _ in range(max_rounds):
-            # vectorized min-label pull: neighbor labels → per-node min
-            # → elementwise minimum update (no per-node Python loop).
-            # Stays int64 throughout: a reindex over ALL ids would
-            # introduce NaN → float64, which corrupts 63-bit ids above
-            # 2^53 — so the update is restricted to nodes that have
-            # edges (upd's own index)
-            upd = both["v"].map(comp).groupby(both["u"].to_numpy()).min()
-            cur = comp.loc[upd.index]
-            better_idx = upd.index[upd.to_numpy() < cur.to_numpy()]
-            changed = len(better_idx) > 0
-            if not changed:
-                break
-            comp.loc[better_idx] = upd.loc[better_idx]
-        if changed:
-            logger.warning(
-                "connected_components did not converge within %d rounds: a "
-                "duplicate chain's diameter exceeds the round budget, so "
-                "component labels (keep/drop decisions) may be split — "
-                "raise max_rounds", max_rounds)
-        labels["comp"] = labels["id"].map(comp)
-    import ray.data as rd
 
-    return rd.from_pandas(labels)
+    def identity_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t.column(id_col), "comp": t.column(id_col)})
+
+    ids = ids.select_columns([id_col])
+    if n_pairs == 0:
+        return ids.map_batches(identity_labels, batch_format="pyarrow")
+    edges = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+    # label propagation restricted to edge-touched nodes (≤ 2·n_pairs)
+    touched = np.unique(np.concatenate(
+        [edges["id_a"].to_numpy(), edges["id_b"].to_numpy()]))
+    both = pd.concat([
+        edges.rename(columns={"id_a": "u", "id_b": "v"}),
+        edges.rename(columns={"id_a": "v", "id_b": "u"})[["u", "v"]],
+    ])
+    # Stays int64 throughout: a reindex with misses would introduce
+    # NaN → float64, which corrupts 63-bit ids above 2^53 — every node
+    # in `both` is in `touched` by construction, so no miss can occur.
+    # values must be a COPY: pandas would otherwise share one buffer
+    # between values and index, and the in-place .loc writes below
+    # would silently corrupt the index labels
+    comp = pd.Series(touched.copy(), index=touched)
+    changed = False
+    for _ in range(max_rounds):
+        # vectorized min-label pull: neighbor labels → per-node min
+        # → elementwise minimum update (no per-node Python loop)
+        upd = both["v"].map(comp).groupby(both["u"].to_numpy()).min()
+        cur = comp.loc[upd.index]
+        better_idx = upd.index[upd.to_numpy() < cur.to_numpy()]
+        changed = len(better_idx) > 0
+        if not changed:
+            break
+        comp.loc[better_idx] = upd.loc[better_idx]
+    if changed:
+        logger.warning(
+            "connected_components did not converge within %d rounds: a "
+            "duplicate chain's diameter exceeds the round budget, so "
+            "component labels (keep/drop decisions) may be split — "
+            "raise max_rounds", max_rounds)
+    # broadcast the small touched→comp mapping once; each batch does a
+    # vectorized sorted-array lookup, untouched ids label themselves
+    mapping_ref = ray.put((touched, comp.to_numpy()))
+
+    def overlay(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(mapping_ref)
+        idv = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(idv) == 0:
+            return pa.table({"id": t.column(id_col),
+                             "comp": t.column(id_col)})
+        pos = np.clip(np.searchsorted(keys, idv), 0, len(keys) - 1)
+        hit = keys[pos] == idv
+        out = np.where(hit, vals[pos], idv)
+        return pa.table({"id": t.column(id_col),
+                         "comp": pa.array(out, type=t.column(id_col).type)})
+
+    return ids.map_batches(overlay, batch_format="pyarrow")
 
 
 def connected_components_distributed(pairs: Dataset, ids: Dataset, *,

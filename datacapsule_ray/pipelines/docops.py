@@ -126,21 +126,24 @@ def doc_rolling_fingerprints(sf_dir: str) -> Dataset:
         text.rolling_fingerprints_batch, batch_format="pyarrow")
 
 
-def _typed_pairs(ds: Dataset, value_col: str, value_dtype: str) -> pd.DataFrame:
-    """Materialize a (small) pair result with a stable schema even when
-    zero pairs survive (an empty Dataset loses its schema)."""
-    df = ds.to_pandas()
-    if df.empty and len(df.columns) == 0:
-        df = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                           "id_b": pd.Series(dtype="int64"),
-                           value_col: pd.Series(dtype=value_dtype)})
-    return df
+def _typed_pairs(ds: Dataset, value_col: str,
+                 value_type: "pa.DataType") -> Dataset:
+    """Launder a pair result into a Dataset with a stable schema even
+    when zero pairs survive (an empty Dataset loses its schema). Stays
+    distributed: at 100× a dup-heavy corpus the pair output is
+    unbounded, so the caller decides whether to collect it (VERDICT r3
+    item 4 — mirrors ``ssjoin_jaccard_docs``)."""
+    from ..traverse import drop_empty_blocks
+
+    empty = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                       (value_col, value_type)])
+    return drop_empty_blocks(ds, empty)
 
 
-def dedup_minhash_docs(sf_dir: str) -> pd.DataFrame:
+def dedup_minhash_docs(sf_dir: str) -> Dataset:
     return _typed_pairs(
         dedup.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7),
-        "est_jaccard", "float64")
+        "est_jaccard", pa.float64())
 
 
 def dedup_minhash_components(sf_dir: str) -> Dataset:
@@ -196,23 +199,23 @@ def dedup_minhash_components(sf_dir: str) -> Dataset:
     return drop_empty_blocks(out, out_schema)
 
 
-def dedup_simhash_docs(sf_dir: str) -> pd.DataFrame:
+def dedup_simhash_docs(sf_dir: str) -> Dataset:
     return _typed_pairs(dedup.simhash_pairs(_docs(sf_dir, ["doc_id", "text"])),
-                        "hamming", "int64")
+                        "hamming", pa.int64())
 
 
-def neardup_embeddings(sf_dir: str) -> pd.DataFrame:
+def neardup_embeddings(sf_dir: str) -> Dataset:
     return _typed_pairs(
         dedup.embedding_neardup_pairs(_emb(sf_dir), dim=64, threshold=0.95),
-        "cosine", "float64")
+        "cosine", pa.float64())
 
 
-def neardup_embeddings_kmeans(sf_dir: str) -> pd.DataFrame:
+def neardup_embeddings_kmeans(sf_dir: str) -> Dataset:
     """k-means-bucketed variant of the embedding near-dup (IVF-style
     scale path; rows-only — recall/bucketing pinned by pytest)."""
     return _typed_pairs(
         dedup.embedding_neardup_kmeans_pairs(_emb(sf_dir), threshold=0.95),
-        "cosine", "float64")
+        "cosine", pa.float64())
 
 
 def _query_vec(sf_dir: str) -> np.ndarray:

@@ -61,6 +61,28 @@ def main() -> None:
         return df.sort_values(list(df.columns),
                               kind="stable").reset_index(drop=True)
 
+    def frame_hash(df):
+        """Representation-sensitive value hash, mirroring the driver's
+        gate: int64 123 and float64 123.0 must hash DIFFERENTLY (that
+        skew passed the value compare but failed the driver in round 3
+        — user_rolling_value, HUGEINT→float64). Floats are rounded to
+        9 decimals first so distributed-summation ulp noise does not
+        produce spurious mismatches."""
+        import hashlib
+
+        import numpy as np
+
+        h = hashlib.md5()
+        for c in df.columns:
+            col = df[c]
+            if col.dtype.kind == "f":
+                vals = np.round(col.to_numpy(), 9)
+                rep = "|".join(f"{v:.9f}" for v in vals)
+            else:
+                rep = "|".join(str(v) for v in col.tolist())
+            h.update(f"{c}#{rep}\n".encode())
+        return h.hexdigest()
+
     qs, osql = em.queries(), em.oracle_sql()
     report: dict[str, object] = {}
     bad: list[str] = []
@@ -77,18 +99,26 @@ def main() -> None:
             a, b = canon(rdf), canon(odf)
             ok = (len(a) == len(b)
                   and list(a.columns) == list(b.columns))
-            if ok:
+            values_ok = ok
+            if values_ok:
                 try:
                     pd.testing.assert_frame_equal(
                         a, b, check_dtype=False, check_exact=False,
                         rtol=1e-6, atol=1e-9)
                 except AssertionError:
-                    ok = False
-            report[name] = bool(ok)
-            if not ok:
+                    values_ok = False
+            hash_ok = values_ok and frame_hash(a) == frame_hash(b)
+            report[name] = bool(hash_ok)
+            if not hash_ok:
                 bad.append(name)
-                print(f"FAIL {name}: rows {len(a)} vs {len(b)}, "
-                      f"cols {list(a.columns)} vs {list(b.columns)}")
+                if values_ok:
+                    print(f"FAIL {name}: DTYPE-SKEW — values match but "
+                          f"representation hash differs "
+                          f"(ray {dict(a.dtypes.astype(str))} vs "
+                          f"oracle {dict(b.dtypes.astype(str))})")
+                else:
+                    print(f"FAIL {name}: rows {len(a)} vs {len(b)}, "
+                          f"cols {list(a.columns)} vs {list(b.columns)}")
             else:
                 print(f"ok   {name}: {len(a)} rows match "
                       f"({time.time() - t0:.1f}s)")
