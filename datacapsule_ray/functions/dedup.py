@@ -163,7 +163,7 @@ def _col_type(ds: Dataset, col: str) -> pa.DataType:
     return pa.from_numpy_dtype(np.dtype(t))
 
 
-def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
+def _bucket_verify(banded: Dataset, key_cols: list[str], verify_tbl,
                    pair_value_col: str, stats: dict | None = None,
                    presorted: bool = False,
                    id_type: pa.DataType | None = None,
@@ -178,7 +178,7 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
     each block boundary driver-side (their raw rows ride a second
     channel) — exact, no missed cross-block pairs.
 
-    ``verify_pdf(sub_df) -> (id_a list, id_b list, value list,
+    ``verify_tbl(sub: pa.Table) -> (id_a list, id_b list, value list,
     n_dropped)`` where ``n_dropped`` counts rows the kernel truncated
     from a pathological hot bucket. The total dropped-row count is
     LOGGED (warning) and written into ``stats['dropped_rows']`` when a
@@ -200,22 +200,13 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
     Per-fragment drop counts feed the same ``dropped_rows`` total, so
     fragment-drops + kernel-drops == the uncapped count. Pass the SAME
     column the kernel sorts by before its head()."""
+    import ray
+
+    import pyarrow.compute as pc
+
     import ray.data as rd
 
     id_type = id_type or pa.int64()
-    str_ids = pa.types.is_string(id_type)
-    uns_ids = pa.types.is_unsigned_integer(id_type)
-
-    def _id_series(vals) -> pd.Series:
-        # nullable Int64/UInt64 (not plain int64) for the int paths —
-        # see the mixed-channel comment below; UInt64 when the declared
-        # id type is unsigned (Int64 would raise on hashed ids >= 2^63,
-        # exactly the ids the raw channel's UInt64 branch supports);
-        # object for string ids (strings coexist with the raw channel's
-        # NaNs without promotion)
-        if str_ids:
-            return pd.Series(vals, dtype="object")
-        return pd.Series(vals, dtype="UInt64" if uns_ids else "Int64")
 
     # ``presorted``: the caller guarantees rows with equal keys are
     # contiguous within every block and a key spanning blocks appears
@@ -236,13 +227,40 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
                    (pair_value_col, pa.float64()), ("kind", pa.string())]
                   + [(n, t) for n, t in zip(base.names, base.types)
                      if n not in _reserved])
+    out_names = [n for n, _ in out_fields]
 
-    def process_block(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        # accumulate per-bucket RESULT ARRAYS and concatenate once —
-        # .extend() of ndarrays boxes every element into a Python
-        # object, which dominated wall time on clique-dense buckets
-        # emitting millions of pairs
+    def channel_table(n: int, present: dict) -> pa.Table:
+        """One emitted channel against the ONE explicit schema: absent
+        columns are typed nulls (Arrow holds nulls natively — no
+        nullable-Int64 pandas promotion dance needed)."""
+        return pa.Table.from_arrays(
+            [present.get(name, pa.nulls(n, type=typ))
+             for name, typ in out_fields], names=out_names)
+
+    def pair_table(parts_a, parts_b, parts_v) -> pa.Table:
+        npairs = sum(len(x) for x in parts_a)
+        ids_a = np.concatenate(parts_a) if parts_a else []
+        ids_b = np.concatenate(parts_b) if parts_b else []
+        vals = (np.concatenate(parts_v) if parts_v
+                else np.zeros(0, dtype=np.float64))
+        return channel_table(npairs, {
+            # from_pandas=True maps the object/str path's None to null;
+            # uint64 ids >= 2^63 survive because id_type is uint64 then
+            "id_a": pa.array(ids_a, type=id_type, from_pandas=True),
+            "id_b": pa.array(ids_b, type=id_type, from_pandas=True),
+            pair_value_col: pa.array(vals, type=pa.float64()),
+            "kind": pa.array(["pair"] * npairs, type=pa.string()),
+        })
+
+    def process_block(t: pa.Table) -> pa.Table:
+        # Arrow in, Arrow out (r3 verdict item 5): the pandas input
+        # conversion boxed every signature/embedding list cell into a
+        # Python object on the hottest shuffle combine. Accumulate
+        # per-bucket RESULT ARRAYS and concatenate once — .extend() of
+        # ndarrays boxes every element, which dominated wall time on
+        # clique-dense buckets emitting millions of pairs.
+        n = t.num_rows
+        t = t.combine_chunks()
         parts_a: list[np.ndarray] = []
         parts_b: list[np.ndarray] = []
         parts_v: list[np.ndarray] = []
@@ -250,7 +268,8 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
         raw_idx: list[np.ndarray] = []
         if n:
             change = _run_change_mask(
-                *(df[kc].to_numpy() for kc in key_cols))
+                *(t.column(kc).to_numpy(zero_copy_only=False)
+                  for kc in key_cols))
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], n)
             for i, (s, e) in enumerate(zip(starts, ends)):
@@ -259,8 +278,8 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
                     # worker-side (see docstring — exact under the
                     # kernel's own sort(raw_cap_col) + head(raw_cap))
                     if raw_cap is not None and e - s > raw_cap:
-                        vals = df[raw_cap_col].to_numpy()[s:e]
-                        keep = np.argsort(vals, kind="stable")[:raw_cap]
+                        frag = t.column(raw_cap_col).slice(s, e - s)
+                        keep = pc.sort_indices(frag).to_numpy()[:raw_cap]
                         raw_idx.append(s + np.sort(keep))
                         dropped += (e - s) - raw_cap
                     else:
@@ -268,58 +287,29 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
                     continue
                 if e - s < 2:
                     continue
-                a, b, v, d = verify_pdf(df.iloc[s:e])
+                a, b, v, d = verify_tbl(t.slice(s, e - s))
                 # preserve the kernel's id dtype: forcing int64 here
-                # would silently WRAP uint64 ids >= 2^63 negative; the
-                # Int64 Series construction below raises loudly instead
+                # would silently WRAP uint64 ids >= 2^63 negative
                 parts_a.append(np.asarray(a))
                 parts_b.append(np.asarray(b))
                 parts_v.append(np.asarray(v, dtype=np.float64))
                 dropped += d
-        empty_ids = np.array([], dtype=object if str_ids
-                             else (np.uint64 if uns_ids else np.int64))
-        out_a = np.concatenate(parts_a) if parts_a else empty_ids
-        out_b = np.concatenate(parts_b) if parts_b else empty_ids
-        out_v = (np.concatenate(parts_v) if parts_v
-                 else np.zeros(0, dtype=np.float64))
-        # nullable Int64 everywhere an integer column meets the mixed
-        # pair/raw channel: plain int64 + NaN fill would promote to
-        # float64 and CORRUPT ids above 2^53 (real for hashed ids)
-        pairs = pd.DataFrame({
-            "id_a": _id_series(out_a),
-            "id_b": _id_series(out_b),
-            pair_value_col: pd.Series(out_v, dtype="float64"),
-        })
-        pairs["kind"] = "pair"
+        out = [pair_table(parts_a, parts_b, parts_v)]
         if dropped:
             # the drop count rides the VALUE column (ids stay typed —
             # a count stuffed into a string id column would not survive)
-            drow = pd.DataFrame({"id_a": _id_series([None]),
-                                 "id_b": _id_series([None]),
-                                 pair_value_col: pd.Series([float(dropped)]),
-                                 "kind": ["drop"]})
-            pairs = pd.concat([pairs, drow], ignore_index=True)
+            out.append(channel_table(1, {
+                pair_value_col: pa.array([float(dropped)]),
+                "kind": pa.array(["drop"], type=pa.string())}))
         if raw_idx:
-            raw = df.iloc[np.concatenate(raw_idx)].copy()
-            for c in raw.columns:
-                # nullable ints BEFORE the concat: plain int64 columns
-                # would promote to float64 under the pair rows' NaN
-                # fill and corrupt ids above 2^53
-                if raw[c].dtype.kind == "i":
-                    raw[c] = raw[c].astype("Int64")
-                elif raw[c].dtype.kind == "u":
-                    raw[c] = raw[c].astype("UInt64")
-            raw["kind"] = "raw"
-            pairs = pd.concat([pairs, raw], ignore_index=True)
-        # build against the ONE explicit schema (see out_fields above)
-        cols = []
-        for name, typ in out_fields:
-            if name in pairs.columns:
-                cols.append(pa.array(pairs[name], type=typ,
-                                     from_pandas=True))
-            else:
-                cols.append(pa.nulls(len(pairs), type=typ))
-        return pa.Table.from_arrays(cols, names=[n for n, _ in out_fields])
+            ridx = np.concatenate(raw_idx)
+            rt = t.take(pa.array(ridx))
+            present = {name: rt.column(name).combine_chunks()
+                       for name in data_cols if name not in _reserved}
+            present["kind"] = pa.array(["raw"] * len(ridx),
+                                       type=pa.string())
+            out.append(channel_table(len(ridx), present))
+        return pa.concat_tables(out)
 
     from ..traverse import drop_empty_blocks
 
@@ -327,15 +317,13 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
     # kernels and ride through every downstream stage as schema-less
     # 0-column blocks (free here — the dataset is materialized anyway)
     mixed = drop_empty_blocks(
-        srt.map_batches(process_block, batch_format="pandas"),
+        srt.map_batches(process_block, batch_format="pyarrow"),
         pa.schema([pa.field(n, t) for n, t in out_fields]))
 
     def pick_pairs(t: pa.Table) -> pa.Table:
         # filter + project + cast in ONE kernel (a chained
         # .filter().select_columns() leaves empty filter results
         # unprojected — see traverse.filter_select)
-        import pyarrow.compute as pc
-
         t = t.filter(pc.equal(t.column("kind"), "pair"))
         return pa.table({
             "id_a": pc.cast(t.column("id_a"), id_type),
@@ -344,31 +332,34 @@ def _bucket_verify(banded: Dataset, key_cols: list[str], verify_pdf,
         })
 
     pairs = mixed.map_batches(pick_pairs, batch_format="pyarrow")
-    drop_df = mixed.filter(expr="kind == 'drop'").to_pandas()
-    total_dropped = int(drop_df[pair_value_col].sum()) if len(drop_df) else 0
-    raw_df = mixed.filter(expr="kind == 'raw'").to_pandas()
-    if len(raw_df):
-        out_a, out_b, out_v = [], [], []
-        for _, sub in raw_df.groupby(key_cols, sort=False):
-            if len(sub) >= 2:
-                a, b, v, d = verify_pdf(sub[data_cols])
-                out_a.extend(a); out_b.extend(b); out_v.extend(v)
+    total_dropped = 0
+    for tb in ray.get(mixed.filter(expr="kind == 'drop'")
+                      .select_columns([pair_value_col]).to_arrow_refs()):
+        if len(tb):
+            total_dropped += int(pc.sum(tb.column(pair_value_col)).as_py())
+    raw_tbls = [tb for tb in ray.get(
+        mixed.filter(expr="kind == 'raw'").to_arrow_refs()) if len(tb)]
+    if raw_tbls:
+        # boundary buckets re-verified driver-side over Arrow slices —
+        # bounded by blocks x raw_cap rows, never by data size
+        rt = pa.concat_tables([tb.select(data_cols) for tb in raw_tbls])
+        rt = rt.sort_by([(k, "ascending") for k in key_cols])
+        change = _run_change_mask(
+            *(rt.column(k).to_numpy(zero_copy_only=False)
+              for k in key_cols))
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], rt.num_rows)
+        parts_a, parts_b, parts_v = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s >= 2:
+                a, b, v, d = verify_tbl(rt.slice(s, e - s))
+                parts_a.append(np.asarray(a))
+                parts_b.append(np.asarray(b))
+                parts_v.append(np.asarray(v, dtype=np.float64))
                 total_dropped += d
-        id_dtype = ("object" if str_ids
-                    else ("uint64" if uns_ids else "int64"))
-        fixed = pd.DataFrame({
-            "id_a": pd.Series(out_a, dtype=id_dtype),
-            "id_b": pd.Series(out_b, dtype=id_dtype),
-            pair_value_col: pd.Series(out_v, dtype="float64")})
-        if len(fixed):
-            # cast to the declared id/value types so the union's blocks
-            # agree with cast_pairs' output schema exactly
-            ft = pa.Table.from_pandas(fixed, preserve_index=False)
-            ft = pa.table({
-                "id_a": ft.column("id_a").cast(id_type),
-                "id_b": ft.column("id_b").cast(id_type),
-                pair_value_col: ft.column(pair_value_col).cast(pa.float64()),
-            })
+        if any(len(x) for x in parts_a):
+            ft = pair_table(parts_a, parts_b, parts_v).select(
+                ["id_a", "id_b", pair_value_col])
             pairs = pairs.union(rd.from_arrow(ft))
     if total_dropped:
         logger.warning(
@@ -395,61 +386,71 @@ def _dedup_pairs(pairs: Dataset, value_col: str) -> Dataset:
     by data size)."""
     import ray.data as rd
 
+    import ray
+
+    import pyarrow.compute as pc
+
     srt = pairs.sort(["id_a", "id_b"])
 
-    def _as_arrow(df: pd.DataFrame) -> pa.Table:
-        # emit Arrow so every downstream block has one type (the
-        # _bucket_verify pattern); 0-row object columns decay to Arrow
-        # null type, which would schema-clash with string-typed blocks
-        # — pin them back to string
-        from ..traverse import pin_empty_null_columns
-
-        return pin_empty_null_columns(
-            pa.Table.from_pandas(df, preserve_index=False))
-
-    def block(df: pd.DataFrame) -> pa.Table:
-        # empty frame derives dtypes from the INPUT block so every block
-        # emits one schema (ids may be strings, value may be integer)
-        n = len(df)
+    def block(t: pa.Table) -> pa.Table:
+        # Arrow in, Arrow out: empty blocks keep the input's typed
+        # schema for free (ids may be strings, value may be integer —
+        # the pandas version needed null-column pinning), and string id
+        # columns never box into Python objects
+        n = len(t)
+        t = t.select(["id_a", "id_b", value_col]).combine_chunks()
         if not n:
-            empty = df[["id_a", "id_b", value_col]].copy()
-            empty["kind"] = pd.Series(dtype="object")
-            return _as_arrow(empty)
-        a = df["id_a"].to_numpy()
-        b = df["id_b"].to_numpy()
-        vals = df[value_col].to_numpy()
-        v = vals.astype(np.float64)  # exact for hamming/iu_code < 2^52
-        change = _run_change_mask(a, b)
+            return t.append_column("kind", pa.array([], pa.string()))
+        a, b = t.column("id_a"), t.column("id_b")
+        # run-change detection via shifted Arrow compares — works for
+        # string ids without boxing
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        if n > 1:
+            ne_a = pc.not_equal(a.slice(1), a.slice(0, n - 1))
+            ne_b = pc.not_equal(b.slice(1), b.slice(0, n - 1))
+            change[1:] = pc.or_(ne_a, ne_b).to_numpy(zero_copy_only=False)
         gid = np.cumsum(change) - 1
         ngroups = int(gid[-1]) + 1
+        v = pc.cast(t.column(value_col),
+                    pa.float64()).to_numpy(zero_copy_only=False)
         mins = np.full(ngroups, np.inf)
-        np.minimum.at(mins, gid, v)
+        np.minimum.at(mins, gid, v)  # exact for hamming/iu_code < 2^52
         first = np.flatnonzero(change)
         # interior groups are complete within this block; the first and
         # last group may straddle a block boundary → raw channel
-        out = pd.DataFrame({"id_a": a[first][1:ngroups - 1],
-                            "id_b": b[first][1:ngroups - 1],
-                            value_col: mins[1:ngroups - 1].astype(vals.dtype)})
-        out["kind"] = "pair"
+        interior_idx = pa.array(first[1:ngroups - 1])
+        out = pa.table({
+            "id_a": a.take(interior_idx),
+            "id_b": b.take(interior_idx),
+            value_col: pa.array(mins[1:ngroups - 1]).cast(
+                t.column(value_col).type),
+            "kind": pa.array(["pair"] * max(0, ngroups - 2),
+                             type=pa.string()),
+        })
         raw_mask = (gid == 0) | (gid == ngroups - 1)
-        raw = pd.DataFrame({"id_a": a[raw_mask], "id_b": b[raw_mask],
-                            value_col: vals[raw_mask]})
-        raw["kind"] = "raw"
-        return _as_arrow(pd.concat([out, raw], ignore_index=True))
+        raw = t.filter(pa.array(raw_mask)).append_column(
+            "kind", pa.array(["raw"] * int(raw_mask.sum()),
+                             type=pa.string()))
+        return pa.concat_tables([out, raw])
 
     from ..traverse import drop_empty_blocks, filter_select
 
     # drop empty sorted partitions — they bypass kernels and surface as
     # schema-less blocks downstream (see _bucket_verify)
-    mixed = drop_empty_blocks(srt.map_batches(block, batch_format="pandas"))
+    mixed = drop_empty_blocks(srt.map_batches(block, batch_format="pyarrow"))
     deduped = filter_select(mixed, "kind", "pair",
                             columns=["id_a", "id_b", value_col])
-    raw_df = mixed.filter(expr="kind == 'raw'").to_pandas()
-    if len(raw_df):
-        fixed = (raw_df.groupby(["id_a", "id_b"], sort=False, as_index=False)
-                 [value_col].min())
-        deduped = deduped.union(
-            rd.from_arrow(pa.Table.from_pandas(fixed, preserve_index=False)))
+    raw_tbls = [tb for tb in ray.get(
+        mixed.filter(expr="kind == 'raw'")
+        .select_columns(["id_a", "id_b", value_col])
+        .to_arrow_refs()) if len(tb)]
+    if raw_tbls:
+        fixed = (pa.TableGroupBy(pa.concat_tables(raw_tbls),
+                                 ["id_a", "id_b"], use_threads=False)
+                 .aggregate([(value_col, "min")])
+                 .rename_columns(["id_a", "id_b", value_col]))
+        deduped = deduped.union(rd.from_arrow(fixed))
     return deduped
 
 
@@ -629,16 +630,22 @@ def minhash_lsh_pairs(ds: Dataset, *, num_perm: int = 64, bands: int = 16,
         lambda t: _band_rows(t, bands, rows_per_band, id_col),
         batch_format="pyarrow")
 
-    def verify(group: pd.DataFrame):
-        g = group.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].to_numpy()
-        mat = np.stack(g["sig"].to_numpy())
+    def verify(group: pa.Table):
+        g = group.sort_by(id_col).slice(0, max_bucket)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        sig = g.column("sig")
+        if isinstance(sig, pa.ChunkedArray):
+            sig = sig.combine_chunks()
+        # fixed_size_list → contiguous (m, num_perm) view, zero-copy
+        # (the pandas path boxed every signature into an object cell)
+        mat = sig.flatten().to_numpy(zero_copy_only=False).reshape(
+            g.num_rows, -1)
         eq = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
         iu = np.triu_indices(len(ids), 1)
         jac = eq[iu]
         keep = jac >= threshold
         return (ids[iu[0][keep]], ids[iu[1][keep]], jac[keep],
-                max(0, len(group) - max_bucket))
+                max(0, group.num_rows - max_bucket))
 
     pairs = _bucket_verify(banded, ["band", "bucket"], verify, "est_jaccard",
                            stats=stats,
@@ -890,10 +897,11 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
 
     banded = sigs.map_batches(explode, batch_format="pyarrow")
 
-    def verify(group: pd.DataFrame):
-        g = group.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
+    def verify(group: pa.Table):
+        g = group.sort_by(id_col).slice(0, max_bucket)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        sh = g.column("simhash").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
         x = sh[:, None] ^ sh[None, :]
         ham = np.zeros(x.shape, dtype=np.int64)
         for b in range(64):
@@ -901,7 +909,7 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
         iu = np.triu_indices(len(ids), 1)
         keep = ham[iu] <= max_hamming
         return (ids[iu[0][keep]], ids[iu[1][keep]], ham[iu][keep],
-                max(0, len(group) - max_bucket))
+                max(0, group.num_rows - max_bucket))
 
     pairs = _bucket_verify(banded, ["band", "bucket"], verify, "hamming",
                            stats=stats,
@@ -963,10 +971,12 @@ def _cosine_verify(threshold: float, id_col: str, emb_col: str,
     hyperplane-LSH and k-means-bucketed near-dup paths (one kernel so
     the two bucketings can never disagree on the similarity math)."""
 
-    def verify(group: pd.DataFrame):
-        g = group.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].to_numpy()
-        mat = np.stack(g[emb_col].to_numpy()).astype(np.float64)
+    def verify(group: pa.Table):
+        from .clustering import _emb_matrix
+
+        g = group.sort_by(id_col).slice(0, max_bucket)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _emb_matrix(g, emb_col)  # list<float> → (m, dim) float64
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         mat = mat / norms[:, None]
@@ -974,7 +984,7 @@ def _cosine_verify(threshold: float, id_col: str, emb_col: str,
         iu = np.triu_indices(len(ids), 1)
         keep = sims[iu] >= threshold
         return (ids[iu[0][keep]], ids[iu[1][keep]], sims[iu][keep],
-                max(0, len(group) - max_bucket))
+                max(0, group.num_rows - max_bucket))
 
     return verify
 

@@ -30,32 +30,41 @@ def _value_histogram(ds: Dataset, key_col: str,
                      value_col: str) -> pd.DataFrame:
     """(key, value, cnt) histogram: partial per batch, then a
     second-level combine over LARGE batches of partial rows (a tree
-    combine, all vectorized pandas — Ray's groupby().aggregate executes
-    per-row Python and was measured ~10x slower here). The driver merge
-    sees at most (#final-batches x keys x values) rows — domain-sized."""
+    combine, all Arrow-native ``Table.group_by`` — Ray's
+    groupby().aggregate executes per-row Python and was measured ~10x
+    slower here; the earlier pandas combine boxed string keys). The
+    driver merge sees at most (#final-batches x keys x values) rows —
+    domain-sized."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    # SQL GROUP BY parity: a NULL key is a real group (dropna=False —
-    # pandas' default silently discards those rows), while NULL values
-    # are ignored like any SQL aggregate ignores them. One divergence
-    # remains by construction: a key whose values are ALL null gets no
-    # histogram rows and so no output row, where SQL would emit the key
-    # with a NULL aggregate.
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df[value_col].notna()]
-        out = (df.groupby([key_col, value_col], sort=False, dropna=False)
-               .size().reset_index(name="cnt"))
-        out["cnt"] = out["cnt"].astype("int64")
-        return out
+    import ray
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby([key_col, value_col], sort=False,
-                           dropna=False)["cnt"].sum().reset_index())
+    # SQL GROUP BY parity: a NULL key is a real group (Arrow group_by
+    # keeps null keys), while NULL values are ignored like any SQL
+    # aggregate ignores them. One divergence remains by construction: a
+    # key whose values are ALL null gets no histogram rows and so no
+    # output row, where SQL would emit the key with a NULL aggregate.
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, value_col])
+        t = t.filter(pc.is_valid(t.column(value_col)))
+        return (t.group_by([key_col, value_col], use_threads=False)
+                 .aggregate([([], "count_all")])
+                 .rename_columns([key_col, value_col, "cnt"]))
 
-    return combine(
-        ds.select_columns([key_col, value_col])
-        .map_batches(partial, batch_format="pandas")
-        .map_batches(combine, batch_format="pandas", batch_size=1 << 20)
-        .to_pandas())
+    def combine(t: pa.Table) -> pa.Table:
+        return (t.group_by([key_col, value_col], use_threads=False)
+                 .aggregate([("cnt", "sum")])
+                 .rename_columns([key_col, value_col, "cnt"]))
+
+    hist = (ds.select_columns([key_col, value_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .map_batches(combine, batch_format="pyarrow",
+                         batch_size=1 << 20))
+    tbls = [tb for tb in ray.get(hist.to_arrow_refs()) if len(tb)]
+    if not tbls:
+        return pd.DataFrame(columns=[key_col, value_col, "cnt"])
+    return combine(pa.concat_tables(tbls)).to_pandas()
 
 
 def grouped_exact_quantiles(ds: Dataset, key_col: str, value_col: str,

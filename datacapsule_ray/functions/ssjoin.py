@@ -207,14 +207,14 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
     # ---- identical-set groups: reps + direct J=1 pair enumeration ----
     members = docsets.select_columns(["set_hash", id_col])
 
-    def ident_verify(group: pd.DataFrame):
-        g = group.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].to_numpy()
-        size = int(g["size"].iloc[0])
+    def ident_verify(group: pa.Table):
+        g = group.sort_by(id_col).slice(0, max_bucket)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        size = g.column("size")[0].as_py()
         iu = np.triu_indices(len(ids), 1)
         code = float(size) * _IU_BASE + float(size)
         return (ids[iu[0]], ids[iu[1]], np.full(len(iu[0]), code),
-                max(0, len(group) - max_bucket))
+                max(0, group.num_rows - max_bucket))
 
     ident_stats: dict = {}
     ident_pairs = _bucket_verify(
@@ -289,24 +289,34 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
 
     banded = reps.map_batches(emit_prefixes, batch_format="pyarrow")
 
-    def cross_verify(group: pd.DataFrame):
+    def cross_verify(group: pa.Table):
         """ALL pairwise intersection sizes for the bucket at once: build
         a bucket-local (set x vocab) incidence matrix and take M @ M.T
         (near-dup buckets share most tokens, so vocab ~ set size, and
         the matmul replaces C(m,2) merge-intersections — measured ~50x
         on 1000-set cliques). float32 accumulates exactly (< 2^24);
         vocab is chunked so the incidence slab stays < ~64 MB."""
-        g = group.sort_values("set_hash").head(max_bucket)
-        m = len(g)
-        dropped = max(0, len(group) - max_bucket)
+        g = group.sort_by("set_hash").slice(0, max_bucket)
+        m = g.num_rows
+        dropped = max(0, group.num_rows - max_bucket)
         if m < 2:
             return [], [], [], dropped
-        hs = g["set_hash"].to_numpy()
-        sizes = g["size"].to_numpy().astype(np.int64)
-        sets = [np.frombuffer(t, dtype=np.uint64) for t in g["toks"]]
-        allt = np.concatenate(sets)
+        hs = g.column("set_hash").to_numpy(zero_copy_only=False)
+        sizes = g.column("size").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # zero-copy concatenated token-hash stream straight off the
+        # binary column's offsets/data buffers (the pandas path boxed
+        # every toks cell into a Python bytes object)
+        toks = g.column("toks")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
+            toks.offset: toks.offset + m + 1].astype(np.int64)
+        allt = np.frombuffer(toks.buffers()[2], dtype=np.uint64,
+                             count=(off[-1] - off[0]) // 8,
+                             offset=int(off[0]))
         vocab, inv = np.unique(allt, return_inverse=True)
-        rows = np.repeat(np.arange(m), sizes)
+        rows = np.repeat(np.arange(m), np.diff(off) // 8)
         inter = np.zeros((m, m), dtype=np.float32)
         chunk = max(1, (16 << 20) // max(m, 1))  # ~64 MB float32 slab
         for lo in range(0, len(vocab), chunk):

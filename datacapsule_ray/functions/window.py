@@ -1,31 +1,47 @@
-"""Distributed rolling-window aggregate (SQL ``SUM(v) OVER (PARTITION
-BY g ORDER BY ... ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)``) — the
-streaming-window operator of the training/events family.
+"""Distributed rolling-window aggregates — the streaming-window
+operators of the training/events family.
 
-One global range-partitioning sort by ``[group] + order_cols``, then a
-fully vectorized in-block pass: per-run cumulative sums with window
-clamping at run starts (``roll[i] = cs0[i+1] - cs0[max(start, i-w+1)]``,
-no Python per row). Only rows whose window can cross a block boundary
-ride a raw channel to the driver:
+Two frame shapes, one boundary protocol:
 
-  * HEAD rows — the first ``min(w-1, run_len)`` rows of each block's
-    FIRST run (their window may reach into the previous block's
-    fragment of the same group);
-  * TAIL context — the last ``min(w-1, run_len)`` rows of each block's
-    LAST run (the values a following fragment's heads may need).
+* ROWS frame (``rolling_agg`` / ``rolling_sum``): SQL ``AGG(v) OVER
+  (PARTITION BY g ORDER BY ... ROWS BETWEEN w-1 PRECEDING AND CURRENT
+  ROW)`` for AGG in SUM / AVG / MIN / MAX / COUNT.
+* RANGE frame (``rolling_range_agg``): SQL ``AGG(v) OVER (PARTITION BY
+  g ORDER BY ts RANGE BETWEEN <delta> PRECEDING AND CURRENT ROW)`` for
+  AGG in SUM / COUNT — the time-window shape (rate limits, windowed
+  stats). RANGE's CURRENT ROW bound includes ORDER-BY PEERS (rows with
+  equal ts), matching SQL exactly.
 
-Driver residency is therefore bounded by ``2·(w-1)`` rows per block —
-O(blocks·w), never O(groups) or O(hot-group rows). The driver re-sorts
-that mini-table by the same keys; for every head row the true ``w-1``
-preceding rows of its group are PRESENT in the mini-table (in-block
+One global range-partitioning sort by ``[group] + order``, then a fully
+vectorized in-block pass (per-run cumulative sums with window clamping
+at run starts; per-run ``searchsorted`` for the time frame; C-speed
+pandas rolling for MIN/MAX). Only rows whose window can cross a block
+boundary ride a raw channel to the driver:
+
+  * HEAD rows — rows of each block's FIRST run whose window may reach
+    into the previous block's fragment of the same group (first
+    ``w-1`` rows for ROWS; rows with ``ts <= first_ts + delta`` for
+    RANGE, plus last-run rows with ``ts == last_ts`` whose PEERS may
+    continue into the next block);
+  * TAIL context — the last run's window-reachable suffix (last
+    ``w-1`` rows for ROWS; rows with ``ts >= last_ts - delta`` for
+    RANGE), duplicated for the driver only.
+
+Driver residency is bounded by ``2·(w-1)`` rows per block for ROWS
+(O(blocks·w)) and by the rows inside one ``delta`` of each block edge
+for RANGE (time-bounded — never O(groups) or O(hot-group rows)). The
+driver re-sorts that mini-table by the same keys; for every head row
+the true preceding window of its group is PRESENT (in-block
 predecessors of a head row are heads themselves; cross-block
 predecessors are in the previous fragments' tails, chained suffixes
-covering any fragment shorter than ``w-1``), so a plain per-group
-pandas rolling over it recomputes the exact sums.
+covering any fragment shorter than the window), so one re-run of the
+same kernel over the mini-table recomputes the exact aggregates.
 
 Values are aggregated as int64 (callers pass integer cents — the
 repo-wide convention that keeps Ray/DuckDB hash-identical; float sums
-would differ by association order)."""
+would differ by association order). AVG divides the exact int64 sum by
+the exact count once, matching DuckDB's integer-AVG semantics
+bit-for-bit."""
 
 from __future__ import annotations
 
@@ -36,41 +52,121 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data import Dataset
 
+_ROWS_AGGS = ("sum", "mean", "min", "max", "count")
+_RANGE_AGGS = ("sum", "count")
 
-def rolling_sum(ds: Dataset, *, group_col: str, order_cols: list[str],
-                value_col: str, w: int, id_col: str,
-                out_col: str = "roll_sum") -> Dataset:
-    """``(id_col, out_col)`` — per-group rolling sum of the current row
-    and the ``w-1`` preceding rows under ``ORDER BY order_cols`` (ROWS
-    frame; the final order column must make rows unique per group, as
-    in the SQL contract). ``value_col`` must be integer-typed."""
+
+def _runs(gv: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(run_id, run starts, position-in-run) for a group column that is
+    contiguous per key (true after the global sort)."""
+    n = len(gv)
+    new_run = np.ones(n, dtype=bool)
+    new_run[1:] = gv[1:] != gv[:-1]
+    run_id = np.cumsum(new_run) - 1
+    starts = np.flatnonzero(new_run)
+    pos = np.arange(n) - starts[run_id]
+    return run_id, starts, pos
+
+
+def _rows_kernel(gv: np.ndarray, v: np.ndarray | None, w: int,
+                 agg: str) -> np.ndarray:
+    """Exact per-row ROWS-frame aggregate over one sorted block."""
+    n = len(gv)
+    run_id, starts, pos = _runs(gv)
+    idx = np.arange(n)
+    lo = np.maximum(starts[run_id], idx - w + 1)
+    cnt = idx - lo + 1
+    if agg == "count":
+        return cnt.astype(np.int64)
+    if agg in ("sum", "mean"):
+        cs0 = np.concatenate(([0], np.cumsum(v.astype(np.int64))))
+        s = cs0[idx + 1] - cs0[lo]
+        if agg == "sum":
+            return s
+        return s / cnt  # one exact-int division → float64, DuckDB AVG parity
+    # min/max: pandas' C rolling kernel over plain numeric arrays (no
+    # object boxing); run_id is ascending so group order == row order
+    r = (pd.DataFrame({"g": run_id, "v": v.astype(np.int64)})
+         .groupby("g", sort=False)["v"]
+         .rolling(w, min_periods=1))
+    out = (r.min() if agg == "min" else r.max()).to_numpy()
+    return out.astype(np.int64)
+
+
+def _range_kernel(gv: np.ndarray, ts: np.ndarray, v: np.ndarray | None,
+                  delta: int, agg: str) -> np.ndarray:
+    """Exact per-row RANGE-frame aggregate (ts in [ts_i - delta, ts_i],
+    PEERS included) over one sorted block. Python loops runs, not rows —
+    each run is two vectorized searchsorteds."""
+    n = len(gv)
+    run_id, starts, _ = _runs(gv)
+    ends = np.append(starts[1:], n)
+    lo = np.empty(n, dtype=np.int64)
+    hi = np.empty(n, dtype=np.int64)
+    for s, e in zip(starts, ends):
+        t_run = ts[s:e]
+        lo[s:e] = s + np.searchsorted(t_run, t_run - delta, side="left")
+        hi[s:e] = s + np.searchsorted(t_run, t_run, side="right")
+    if agg == "count":
+        return hi - lo
+    cs0 = np.concatenate(([0], np.cumsum(v.astype(np.int64))))
+    return cs0[hi] - cs0[lo]
+
+
+def _out_type(agg: str) -> pa.DataType:
+    return pa.float64() if agg == "mean" else pa.int64()
+
+
+def _ts_np_us(a: np.ndarray) -> np.ndarray:
+    """datetime64[any unit] → int64 MICROSECONDS (ns floored); integer
+    arrays pass through in their own units. One normalizer for worker
+    and driver so a pandas datetime64[ns] mini-table can never disagree
+    with the Arrow timestamp[us] blocks on scale."""
+    if a.dtype.kind == "M":
+        unit = np.datetime_data(a.dtype)[0]
+        i = a.view(np.int64)
+        scale = {"s": 1_000_000, "ms": 1_000, "us": 1}.get(unit)
+        if scale is None:  # ns
+            return i // 1_000
+        return i * scale
+    return a.astype(np.int64)
+
+
+def rolling_agg(ds: Dataset, *, group_col: str, order_cols: list[str],
+                value_col: str | None, w: int, id_col: str,
+                agg: str = "sum", out_col: str = "roll") -> Dataset:
+    """``(id_col, out_col)`` — per-group ROWS-frame aggregate of the
+    current row and the ``w-1`` preceding rows under ``ORDER BY
+    order_cols`` (the final order column must make rows unique per
+    group, as in the SQL contract). ``value_col`` must be integer-typed
+    (ignored for ``agg="count"``)."""
     if w < 1:
         raise ValueError("w must be >= 1")
+    if agg not in _ROWS_AGGS:
+        raise ValueError(f"agg must be one of {_ROWS_AGGS}")
+    value_col = value_col if agg != "count" else None
     keys = [group_col] + list(order_cols)
     srt = ds.sort(keys)
     # columns the raw channel carries BESIDES the id (which may itself
     # be an order column — e.g. event_id as the uniqueness tiebreak)
-    carry = [c for c in dict.fromkeys([group_col, *order_cols, value_col])
-             if c != id_col]
+    carry = [c for c in dict.fromkeys(
+        [group_col, *order_cols] + ([value_col] if value_col else []))
+        if c != id_col]
+    otype = _out_type(agg)
 
     def block_roll(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        base = pa.table({
-            id_col: t.column(id_col), out_col: t.column(value_col),
-            **{c: t.column(c) for c in carry},
-        })
         if n == 0:
-            return base.append_column("ch", pa.array([], type=pa.int8()))
+            return pa.table({
+                id_col: t.column(id_col),
+                out_col: pa.array([], type=otype),
+                **{c: t.column(c) for c in carry},
+            }).append_column("ch", pa.array([], type=pa.int8()))
         gv = t.column(group_col).to_numpy(zero_copy_only=False)
-        v = t.column(value_col).to_numpy(zero_copy_only=False)
-        new_run = np.ones(n, dtype=bool)
-        new_run[1:] = gv[1:] != gv[:-1]
-        run_id = np.cumsum(new_run) - 1
-        starts = np.flatnonzero(new_run)
-        pos = np.arange(n) - starts[run_id]
-        cs0 = np.concatenate(([0], np.cumsum(v.astype(np.int64))))
-        lo = np.maximum(starts[run_id], np.arange(n) - w + 1)
-        roll = cs0[np.arange(1, n + 1)] - cs0[lo]
+        v = (t.column(value_col).to_numpy(zero_copy_only=False)
+             if value_col else None)
+        run_id, starts, pos = _runs(gv)
+        roll = _rows_kernel(gv, v, w, agg)
         # channels: 0 = exact in-block result (emitted as-is), 1 =
         # head (window may cross into the previous block — driver
         # recomputes), 2 = DUPLICATED context copies of the last run's
@@ -87,17 +183,113 @@ def rolling_sum(ds: Dataset, *, group_col: str, order_cols: list[str],
         out = pa.table({
             id_col: sub.column(id_col),
             out_col: pa.array(
+                np.concatenate((roll, roll[tail_idx])), type=otype),
+            **{c: sub.column(c) for c in carry},
+        })
+        return out.append_column("ch", pa.array(ch_all))
+
+    def fixup(mini: pd.DataFrame) -> pd.DataFrame:
+        gv = mini[group_col].to_numpy()
+        v = (mini[value_col].to_numpy() if value_col
+             else None)
+        return mini.assign(**{out_col: _rows_kernel(gv, v, w, agg)})
+
+    return _assemble(srt, block_roll, fixup, keys=keys, id_col=id_col,
+                     out_col=out_col, carry=carry)
+
+
+def rolling_sum(ds: Dataset, *, group_col: str, order_cols: list[str],
+                value_col: str, w: int, id_col: str,
+                out_col: str = "roll_sum") -> Dataset:
+    """Back-compat wrapper: ROWS-frame rolling SUM."""
+    return rolling_agg(ds, group_col=group_col, order_cols=order_cols,
+                       value_col=value_col, w=w, id_col=id_col,
+                       agg="sum", out_col=out_col)
+
+
+def rolling_range_agg(ds: Dataset, *, group_col: str, ts_col: str,
+                      value_col: str | None, delta: int, id_col: str,
+                      agg: str = "sum", out_col: str = "roll") -> Dataset:
+    """``(id_col, out_col)`` — per-group RANGE-frame aggregate: all rows
+    of the group with ``ts`` in ``[ts_i - delta, ts_i]`` (SQL ``RANGE
+    BETWEEN delta PRECEDING AND CURRENT ROW``; ORDER-BY peers included,
+    exactly like SQL). ``ts_col`` may be any-unit timestamp (normalized
+    to MICROSECONDS — ``delta`` is always µs for timestamps; ns
+    sub-microsecond precision is floored) or an integer column
+    (``delta`` in the column's own units)."""
+    if delta < 0:
+        raise ValueError("delta must be >= 0")
+    if agg not in _RANGE_AGGS:
+        raise ValueError(f"agg must be one of {_RANGE_AGGS}")
+    value_col = value_col if agg != "count" else None
+    keys = [group_col, ts_col, id_col]
+    srt = ds.sort(keys)
+    carry = [c for c in dict.fromkeys(
+        [group_col, ts_col] + ([value_col] if value_col else []))
+        if c != id_col]
+
+    def _ts_i64(col) -> np.ndarray:
+        return _ts_np_us(col.to_numpy(zero_copy_only=False))
+
+    def block_roll(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                id_col: t.column(id_col),
+                out_col: pa.array([], type=pa.int64()),
+                **{c: t.column(c) for c in carry},
+            }).append_column("ch", pa.array([], type=pa.int8()))
+        gv = t.column(group_col).to_numpy(zero_copy_only=False)
+        ts = _ts_i64(t.column(ts_col))
+        v = (t.column(value_col).to_numpy(zero_copy_only=False)
+             if value_col else None)
+        run_id, starts, pos = _runs(gv)
+        roll = _range_kernel(gv, ts, v, delta, agg)
+        ch = np.zeros(n, dtype=np.int8)
+        # heads: first-run rows whose window may reach the previous
+        # fragment (ts - delta <= the fragment's first ts)
+        ch[(run_id == 0) & (ts <= ts[0] + delta)] = 1
+        # peer heads: last-run rows tied with the block's last ts — the
+        # RANGE frame includes PEERS, which may continue in the next
+        # block, so their in-block result may undercount
+        last_run = run_id == run_id[-1]
+        ch[last_run & (ts == ts[-1])] = 1
+        # tail context: the last run's delta-reachable suffix
+        tail_idx = np.flatnonzero(last_run & (ts >= ts[-1] - delta))
+        idx_all = np.concatenate((np.arange(n), tail_idx))
+        ch_all = np.concatenate(
+            (ch, np.full(len(tail_idx), 2, dtype=np.int8)))
+        sub = t.take(pa.array(idx_all))
+        out = pa.table({
+            id_col: sub.column(id_col),
+            out_col: pa.array(
                 np.concatenate((roll, roll[tail_idx])), type=pa.int64()),
             **{c: sub.column(c) for c in carry},
         })
         return out.append_column("ch", pa.array(ch_all))
 
+    def fixup(mini: pd.DataFrame) -> pd.DataFrame:
+        gv = mini[group_col].to_numpy()
+        ts = _ts_np_us(mini[ts_col].to_numpy())
+        v = mini[value_col].to_numpy() if value_col else None
+        return mini.assign(
+            **{out_col: _range_kernel(gv, ts, v, delta, agg)})
+
+    return _assemble(srt, block_roll, fixup, keys=keys, id_col=id_col,
+                     out_col=out_col, carry=carry)
+
+
+def _assemble(srt: Dataset, block_roll, fixup, *, keys: list[str],
+              id_col: str, out_col: str, carry: list[str]) -> Dataset:
+    """Shared boundary protocol: interior rows stream through; head +
+    context rows form the driver mini-table, the same kernel re-runs
+    over it (every window row of a head row is present — module
+    docstring), and the recomputed heads union back in."""
     from ..traverse import drop_empty_blocks, filter_select
 
     partial = drop_empty_blocks(
         srt.map_batches(block_roll, batch_format="pyarrow"))
-    interior = filter_select(partial, "ch", 0,
-                             drop=["ch", *carry])
+    interior = filter_select(partial, "ch", 0, drop=["ch", *carry])
     edge_df = (partial.filter(expr="ch != 0")
                .select_columns([id_col, "ch", *carry]).to_pandas())
     if not len(edge_df):
@@ -105,9 +297,7 @@ def rolling_sum(ds: Dataset, *, group_col: str, order_cols: list[str],
     # dedup rows shipped on both channels (head wins: ch asc keeps 1)
     mini = (edge_df.sort_values([*keys, "ch"], kind="stable")
             .drop_duplicates(subset=[id_col], keep="first"))
-    grp = mini.groupby(group_col, group_keys=False, sort=False)
-    mini = mini.assign(**{out_col: grp[value_col].apply(
-        lambda s: s.rolling(w, min_periods=1).sum()).astype(np.int64)})
+    mini = fixup(mini)
     fixed = mini[mini["ch"] == 1][[id_col, out_col]]
     return interior.union(rd.from_arrow(
         pa.Table.from_pandas(fixed.reset_index(drop=True),

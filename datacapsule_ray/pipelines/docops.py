@@ -137,7 +137,13 @@ def _typed_pairs(ds: Dataset, value_col: str,
 
     empty = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                        (value_col, value_type)])
-    return drop_empty_blocks(ds, empty)
+    out = drop_empty_blocks(ds, empty)
+    if out.count() == 0:
+        # Ray's to_pandas drops the columns of an all-empty dataset;
+        # a typed empty frame keeps the schema stable for the gate
+        # (count() is free here — drop_empty_blocks materialized)
+        return empty.empty_table().to_pandas()
+    return out
 
 
 def dedup_minhash_docs(sf_dir: str) -> Dataset:
@@ -488,6 +494,15 @@ def _mix_keep(hexes: list[str], source_col) -> pa.Array:
     byte = np.array([int(h[:2], 16) for h in hexes], dtype=np.int64)
     srcn = pc.cast(pc.utf8_slice_codeunits(source_col, start=3),
                    pa.int64()).to_numpy(zero_copy_only=False)
+    # numpy '%' is floor-mod (sign follows divisor) while the oracle's
+    # DuckDB '%' truncates (sign follows dividend): the two diverge on
+    # negative suffixes, so the 'srcN, N >= 0' naming contract is
+    # enforced rather than assumed
+    if len(srcn) and srcn.min() < 0:
+        raise ValueError(
+            "mixture_sample_docs requires non-negative 'srcN' source "
+            f"suffixes (got min {srcn.min()}): Python floor-mod and SQL "
+            "truncating-mod diverge below zero")
     return pa.array(byte < (srcn % 4 + 1) * 64)
 
 

@@ -162,11 +162,11 @@ def top10_customers(sf_dir: str, num_partitions: int = 8) -> pd.DataFrame:
     named = spend.join(names, join_type="inner", num_partitions=num_partitions,
                        on=("o_custkey",), right_on=("c_custkey",))
 
-    def block_top(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["spend_cents", "o_custkey"],
-                              ascending=[False, True], kind="stable").head(10)
+    def block_top(t: pa.Table) -> pa.Table:
+        return t.sort_by([("spend_cents", "descending"),
+                          ("o_custkey", "ascending")]).slice(0, 10)
 
-    df = named.map_batches(block_top, batch_format="pandas").to_pandas()
+    df = named.map_batches(block_top, batch_format="pyarrow").to_pandas()
     df = df.sort_values(["spend_cents", "o_custkey"], ascending=[False, True],
                         kind="stable").head(10)
     return df[["o_custkey", "c_name", "spend_cents", "n_orders"]].reset_index(drop=True)
@@ -348,10 +348,14 @@ def distinct_users_by_type(sf_dir: str) -> Dataset:
     groupby over the much smaller distinct pairs."""
     ds = _t(sf_dir, "events", ["event_type", "user_id"])
 
-    def local_distinct(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["event_type", "user_id"])
+    def local_distinct(t: pa.Table) -> pa.Table:
+        # Arrow-native distinct: group_by with no aggregates (no pandas
+        # string boxing on the hot event_type column)
+        return (t.select(["event_type", "user_id"])
+                 .group_by(["event_type", "user_id"], use_threads=False)
+                 .aggregate([]))
 
-    pairs = ds.map_batches(local_distinct, batch_format="pandas",
+    pairs = ds.map_batches(local_distinct, batch_format="pyarrow",
                            batch_size=65536)
     return pairs.groupby(["event_type", "user_id"]).count().map_batches(
         lambda t: t.select(["event_type", "user_id"]), batch_format="pyarrow"
@@ -692,6 +696,79 @@ def user_rolling_value(sf_dir: str, w: int = 3) -> Dataset:
                        out_col="roll_value_cents")
 
 
+def _rolling_events(sf_dir: str, agg: str, out_col: str,
+                    w: int = 3) -> Dataset:
+    """Shared prep for the ROWS-frame rolling family (mean/min/max):
+    same (user_id, ts, event_id) order and integer-cents values as
+    ``user_rolling_value``."""
+    from ..functions.window import rolling_agg
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "value_c": _cents(t.column("value")),
+        })
+
+    return rolling_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                       group_col="user_id", order_cols=["ts", "event_id"],
+                       value_col="value_c", w=w, id_col="event_id",
+                       agg=agg, out_col=out_col)
+
+
+def user_rolling_mean(sf_dir: str) -> Dataset:
+    """AVG over the same 3-row frame (exact int sum / exact count — one
+    float64 division, DuckDB integer-AVG parity)."""
+    return _rolling_events(sf_dir, "mean", "roll_avg_cents")
+
+
+def user_rolling_min(sf_dir: str) -> Dataset:
+    return _rolling_events(sf_dir, "min", "roll_min_cents")
+
+
+def user_rolling_max(sf_dir: str) -> Dataset:
+    return _rolling_events(sf_dir, "max", "roll_max_cents")
+
+
+def user_range_sum_30m(sf_dir: str) -> Dataset:
+    """RANGE-frame (time-window) rolling sum: all events of the user in
+    the 30 minutes up to and including each event's ts (SQL RANGE
+    BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW — ORDER-BY
+    peers included). The rate-limit / windowed-stats shape."""
+    from ..functions.window import rolling_range_agg
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "value_c": _cents(t.column("value")),
+        })
+
+    return rolling_range_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                             group_col="user_id", ts_col="ts",
+                             value_col="value_c", delta=30 * 60 * 1_000_000,
+                             id_col="event_id", agg="sum",
+                             out_col="range_sum_cents")
+
+
+def user_range_count_30m(sf_dir: str) -> Dataset:
+    """RANGE-frame event count in the trailing 30-minute window — the
+    canonical rate-limit counter."""
+    from ..functions.window import rolling_range_agg
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return rolling_range_agg(ds, group_col="user_id", ts_col="ts",
+                             value_col=None, delta=30 * 60 * 1_000_000,
+                             id_col="event_id", agg="count",
+                             out_col="range_n_events")
+
+
 def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-event-type median and p90 of value (in cents) via the
     distributed value-histogram aggregate (functions/quantiles.py) —
@@ -878,18 +955,27 @@ def events_daily_pivot(sf_dir: str) -> Dataset:
     types = ["click", "view", "purchase", "signup", "error"]
     ds = _t(sf_dir, "events", ["ts", "event_type"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
-        pv = (df.pivot_table(index="day", columns="event_type",
-                             aggfunc="size", fill_value=0)
-              .reindex(columns=types, fill_value=0).reset_index())
-        pv.columns = ["day"] + [f"n_{t}" for t in types]
-        for t in types:
-            pv[f"n_{t}"] = pv[f"n_{t}"].astype("int64")
-        return pv
+    def partial(t: pa.Table) -> pa.Table:
+        # vectorized pivot without pandas: dictionary-encode the day,
+        # then one bincount per event type over the day indices
+        import pyarrow.compute as pc
 
-    return (ds.map_batches(partial, batch_format="pandas")
+        day = pc.strftime(t.column("ts"), format="%Y-%m-%d")
+        if isinstance(day, pa.ChunkedArray):
+            day = day.combine_chunks()
+        denc = day.dictionary_encode()
+        idx = denc.indices.to_numpy(zero_copy_only=False)
+        udays = denc.dictionary
+        k = len(udays)
+        cols: dict[str, pa.Array] = {"day": udays}
+        et = t.column("event_type")
+        for ty in types:
+            m = pc.equal(et, ty).to_numpy(zero_copy_only=False)
+            cols[f"n_{ty}"] = pa.array(
+                np.bincount(idx[m], minlength=k).astype(np.int64))
+        return pa.table(cols)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("day")
             .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types]))
 

@@ -83,56 +83,85 @@ def _local_edge_dedup(batch: pa.Table,
     })
 
 
-def _combine_sorted(partial: Dataset, reduce_pdf) -> Dataset:
+def _reduce_runs(t: pa.Table, first_cols: list[str],
+                 sum_cols: list[str]) -> pa.Table:
+    """Reduce a table SORTED by (h1, h2[, rank]) one run per key pair:
+    ``first_cols`` take the run head (== per-run min when the column is
+    the sort tiebreaker), ``sum_cols`` get ``np.add.reduceat``. All
+    column access is zero-copy numpy views / Arrow ``take`` — no pandas
+    object boxing (r3 verdict item 5)."""
+    h1 = t.column("h1").to_numpy()
+    h2 = t.column("h2").to_numpy()
+    new = np.empty(len(h1), dtype=bool)
+    new[0] = True
+    np.logical_or(h1[1:] != h1[:-1], h2[1:] != h2[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    take_idx = pa.array(starts)
+    cols: dict[str, pa.Array] = {"h1": pa.array(h1[starts]),
+                                 "h2": pa.array(h2[starts])}
+    for c in first_cols:
+        cols[c] = t.column(c).take(take_idx).combine_chunks()
+    for c in sum_cols:
+        cols[c] = pa.array(np.add.reduceat(t.column(c).to_numpy(), starts))
+    return pa.table(cols)
+
+
+def _combine_sorted(partial: Dataset, first_cols: list[str],
+                    sum_cols: list[str] = (),
+                    rank_col: str | None = None) -> Dataset:
     """Global combine of key-reduced rows WITHOUT Ray's per-row-Python
     groupby.aggregate (measured ~190µs/row — it dominated the build).
 
     1. ``sort("h1")`` — Ray's sort is vectorized (pyarrow sort + range
        partition), unlike its aggregate.
-    2. One vectorized map over the sorted blocks reduces each (h1, h2)
-       run with numpy ``reduceat`` semantics (``reduce_pdf`` does the
-       actual column reduction on a pandas frame, vectorized).
+    2. One vectorized PURE-ARROW map over the sorted blocks reduces each
+       (h1, h2) run (``_reduce_runs``): run-head take for ``first_cols``,
+       ``reduceat`` for ``sum_cols``. A per-run string/ordinal MIN is a
+       run-head take after adding ``rank_col`` to the in-block sort key.
     3. Keys can straddle block boundaries; any row holding a block's min
        or max h1 is flagged an edge row. Edge rows (≤ 2·keys·blocks at
        the boundary — tiny) are re-reduced driver-side and unioned with
        the interior rows. Exact for any associative reduction.
     """
+    import ray
+
     import ray.data as rd
 
     srt = partial.sort("h1")
+    sort_keys = [("h1", "ascending"), ("h2", "ascending")]
+    if rank_col is not None:
+        sort_keys.append((rank_col, "ascending"))
+    first_cols = list(first_cols)
+    sum_cols = list(sum_cols)
 
-    def combine_block(df: pd.DataFrame) -> pa.Table:
-        # emit ARROW so the interior/fixup union carries one block
-        # schema (pandas partials emitted PandasBlockSchema blocks that
-        # tripped Ray's mixed-schema warning in every build)
-        if df.empty:
-            # 0-row object columns decay to Arrow null type, which
-            # schema-clashes with the string-typed non-empty blocks
-            # (hard ArrowInvalid on concat) — pin them back to string,
-            # the only object dtype the reduce_pdf contracts emit
-            from ..traverse import pin_empty_null_columns
-
-            df["edge"] = pd.Series(dtype=bool)
-            return pin_empty_null_columns(
-                pa.Table.from_pandas(df, preserve_index=False))
-        df = df.sort_values(["h1", "h2"], kind="stable")
-        out = reduce_pdf(df)
-        out["edge"] = (out["h1"] == df["h1"].iloc[0]) | (out["h1"] == df["h1"].iloc[-1])
-        return pa.Table.from_pandas(out, preserve_index=False)
+    def combine_block(t: pa.Table) -> pa.Table:
+        # Arrow in, Arrow out: empty blocks keep their typed schema for
+        # free (the pandas version needed null-column pinning), and
+        # string columns never box into Python objects
+        if len(t) == 0:
+            return t.append_column("edge", pa.array([], pa.bool_()))
+        t = t.sort_by(sort_keys)
+        out = _reduce_runs(t, first_cols, sum_cols)
+        h1o = out.column("h1").to_numpy()
+        h1s = t.column("h1")
+        edge = (h1o == h1s[0].as_py()) | (h1o == h1s[len(t) - 1].as_py())
+        return out.append_column("edge", pa.array(edge))
 
     from ..traverse import drop_empty_blocks, filter_select
 
     # drop empty sorted partitions — they bypass kernels and surface as
     # schema-less blocks downstream (dedup._bucket_verify note)
     reduced = drop_empty_blocks(
-        srt.map_batches(combine_block, batch_format="pandas"))
+        srt.map_batches(combine_block, batch_format="pyarrow"))
     interior = filter_select(reduced, "edge", False, drop=["edge"])
-    edge_df = reduced.filter(expr="edge == True").to_pandas()
-    if len(edge_df):
-        fixed = reduce_pdf(
-            edge_df.drop(columns=["edge"]).sort_values(["h1", "h2"], kind="stable"))
-        return interior.union(rd.from_arrow(
-            pa.Table.from_pandas(fixed, preserve_index=False)))
+    edge_tbls = [tb for tb in ray.get(
+        reduced.filter(expr="edge == True").drop_columns(["edge"])
+        .to_arrow_refs()) if len(tb)]
+    if edge_tbls:
+        fixed = _reduce_runs(
+            pa.concat_tables(edge_tbls).sort_by(sort_keys),
+            first_cols, sum_cols)
+        return interior.union(rd.from_arrow(fixed))
     return interior
 
 
@@ -153,16 +182,9 @@ def dedup_edges(triples: Dataset,
         batch_format="pyarrow", batch_size=65536
     )
 
-    def reduce_pdf(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["h1", "h2"], sort=False)
-        return pd.DataFrame({
-            "h1": g["h1"].first().to_numpy(),
-            "h2": g["h2"].first().to_numpy(),
-            "key": g["key"].first().to_numpy(),
-            "n_dups": g["n_dups"].sum().to_numpy(),
-        })
-
-    agg = _combine_sorted(partial, reduce_pdf)
+    # within an (h1, h2) run every 'key' is equal (h1/h2 = hash128(key)),
+    # so first-of-run == the key; n_dups sums
+    agg = _combine_sorted(partial, first_cols=["key"], sum_cols=["n_dups"])
 
     def unpack(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -248,15 +270,10 @@ def merge_nodes(node_candidates: Dataset,
         lambda t: _local_node_best(t, key_filter),
         batch_format="pyarrow", batch_size=65536)
 
-    def reduce_pdf(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["h1", "h2"], sort=False)
-        return pd.DataFrame({
-            "h1": g["h1"].first().to_numpy(),
-            "h2": g["h2"].first().to_numpy(),
-            "packed": g["packed"].min().to_numpy(),
-        })
-
-    best = _combine_sorted(partial, reduce_pdf)
+    # per-run MIN of the rank-prefixed packed string == run head once
+    # 'packed' joins the in-block sort key
+    best = _combine_sorted(partial, first_cols=["packed"],
+                           rank_col="packed")
     return best.map_batches(_unpack_nodes, batch_format="pyarrow")
 
 
@@ -298,18 +315,10 @@ def build_adjacency(edges: Dataset, chunk_size: int = 1024,
             "degree": g.size().to_numpy().astype(np.int64),
         }), preserve_index=False)
 
-    def reduce_pdf(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["h1", "h2"], sort=False)
-        return pd.DataFrame({
-            "h1": g["h1"].first().to_numpy(),
-            "h2": g["h2"].first().to_numpy(),
-            "src": g["src"].first().to_numpy(),
-            "degree": g["degree"].sum().to_numpy(),
-        })
-
     deg_partial = edges.select_columns(["src"]).map_batches(
         local_count, batch_format="pyarrow", batch_size=65536)
-    deg_ds = _combine_sorted(deg_partial, reduce_pdf)
+    deg_ds = _combine_sorted(deg_partial, first_cols=["src"],
+                             sum_cols=["degree"])
     if degree_strategy == "auto":
         deg_ds = deg_ds.materialize()
         degree_strategy = ("join" if deg_ds.count() > auto_join_threshold
