@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rolling_max": r.user_rolling_max,
         "user_range_sum_30m": r.user_range_sum_30m,
         "user_range_count_30m": r.user_range_count_30m,
+        "user_prev_value": r.user_prev_value,
+        "user_next_value": r.user_next_value,
+        "user_event_rownum": r.user_event_rownum,
         "events_mode_value": r.events_mode_value,
         "user_event_paths": r.user_event_paths,
         "events_in_windows": r.events_in_windows,
@@ -533,6 +536,27 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
                              AND CURRENT ROW)
                        AS BIGINT) AS range_n_events
+            FROM events
+        """,
+        "user_prev_value": """
+            SELECT event_id,
+                   COALESCE(LAG(CAST(ROUND(value*100) AS BIGINT), 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id),
+                       -1) AS prev_value_cents
+            FROM events
+        """,
+        "user_next_value": """
+            SELECT event_id,
+                   COALESCE(LEAD(CAST(ROUND(value*100) AS BIGINT), 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id),
+                       -1) AS next_value_cents
+            FROM events
+        """,
+        "user_event_rownum": """
+            SELECT event_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS BIGINT) AS rn
             FROM events
         """,
         "events_value_quantiles": """

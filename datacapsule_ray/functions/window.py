@@ -302,3 +302,177 @@ def _assemble(srt: Dataset, block_roll, fixup, *, keys: list[str],
     return interior.union(rd.from_arrow(
         pa.Table.from_pandas(fixed.reset_index(drop=True),
                              preserve_index=False)))
+
+
+# --- navigation / ranking windows --------------------------------------------
+
+def lag_lead(ds: Dataset, *, group_col: str, order_cols: list[str],
+             value_col: str, offset: int = 1, kind: str = "lag",
+             id_col: str, default: int | None = None,
+             out_col: str = "nav") -> Dataset:
+    """``(id_col, out_col)`` — SQL ``LAG(value, offset)`` / ``LEAD(value,
+    offset) OVER (PARTITION BY group ORDER BY order_cols)``. Rows with no
+    offset-th neighbor in their group get ``default`` (null when None —
+    pass an int to keep the output int64 for hash-stable oracles via
+    ``COALESCE``).
+
+    Same boundary protocol as the rolling family, mirrored for LEAD:
+    the ``offset`` rows adjacent to each block edge ride the driver
+    channel (heads recomputed there, the facing edge of the neighboring
+    block shipped as context), so driver residency is O(blocks·offset).
+    """
+    if offset < 1:
+        raise ValueError("offset must be >= 1")
+    if kind not in ("lag", "lead"):
+        raise ValueError("kind must be 'lag' or 'lead'")
+    keys = [group_col] + list(order_cols)
+    srt = ds.sort(keys)
+    carry = [c for c in dict.fromkeys([group_col, *order_cols, value_col])
+             if c != id_col]
+
+    def nav_values(gv: np.ndarray, v: np.ndarray) -> pa.Array:
+        n = len(gv)
+        run_id, starts, pos = _runs(gv)
+        idx = np.arange(n)
+        if kind == "lag":
+            src = idx - offset
+            valid = src >= starts[run_id]
+        else:
+            ends = np.append(starts[1:], n)
+            src = idx + offset
+            valid = src <= ends[run_id] - 1
+        out = np.where(valid, v[np.clip(src, 0, n - 1)],
+                       0 if default is None else default)
+        mask = None if default is not None else ~valid
+        return pa.array(out.astype(np.int64), type=pa.int64(),
+                        mask=mask)
+
+    def block_roll(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                id_col: t.column(id_col),
+                out_col: pa.array([], type=pa.int64()),
+                **{c: t.column(c) for c in carry},
+            }).append_column("ch", pa.array([], type=pa.int8()))
+        gv = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        run_id, starts, pos = _runs(gv)
+        nav = nav_values(gv, v)
+        ch = np.zeros(n, dtype=np.int8)
+        last_run = run_id == run_id[-1]
+        if kind == "lag":
+            # heads look BACK across the block edge; context is the
+            # facing tail of this block for the next one
+            ch[(run_id == 0) & (pos < offset)] = 1
+            ctx_idx = np.flatnonzero(last_run & (pos >= pos[-1] - offset + 1))
+        else:
+            # LEAD mirrors: heads look FORWARD, context is this block's
+            # leading rows for the previous block's heads
+            ch[last_run & (pos >= pos[-1] - offset + 1)] = 1
+            ctx_idx = np.flatnonzero((run_id == 0) & (pos < offset))
+        idx_all = np.concatenate((np.arange(n), ctx_idx))
+        ch_all = np.concatenate(
+            (ch, np.full(len(ctx_idx), 2, dtype=np.int8)))
+        sub = t.take(pa.array(idx_all))
+        out = pa.table({
+            id_col: sub.column(id_col),
+            out_col: pa.concat_arrays(
+                [nav, nav.take(pa.array(ctx_idx))]),
+            **{c: sub.column(c) for c in carry},
+        })
+        return out.append_column("ch", pa.array(ch_all))
+
+    def fixup(mini: pd.DataFrame) -> pd.DataFrame:
+        gv = mini[group_col].to_numpy()
+        v = mini[value_col].to_numpy()
+        nav = nav_values(gv, v)
+        if default is not None:  # no nulls possible → plain int64
+            return mini.assign(
+                **{out_col: nav.to_numpy(zero_copy_only=False)})
+        # ArrowDtype keeps null ints int64 through the pandas hop — a
+        # plain .to_numpy() would promote the default=None path to
+        # float64 and schema-clash with the interior int64 blocks
+        col = pd.Series(pd.arrays.ArrowExtensionArray(
+            pa.chunked_array([nav])), index=mini.index)
+        return mini.assign(**{out_col: col})
+
+    return _assemble(srt, block_roll, fixup, keys=keys, id_col=id_col,
+                     out_col=out_col, carry=carry)
+
+
+def _rn_probe(block: pa.Table, group_col: str):
+    """(first_group, first_run_len, last_group, last_run_len, n) — the
+    per-block metadata the ROW_NUMBER offset chain needs."""
+    gv = block.column(group_col).to_numpy(zero_copy_only=False)
+    n = len(gv)
+    _, starts, _ = _runs(gv)
+    first_run_len = int(starts[1]) if len(starts) > 1 else n
+    last_run_len = n - int(starts[-1])
+    return gv[0], first_run_len, gv[-1], last_run_len, n
+
+
+def _rn_emit(block: pa.Table, group_col: str, id_col: str, out_col: str,
+             first_run_offset: int) -> pa.Table:
+    gv = block.column(group_col).to_numpy(zero_copy_only=False)
+    run_id, starts, pos = _runs(gv)
+    rn = pos + 1
+    rn[run_id == 0] += first_run_offset
+    return pa.table({id_col: block.column(id_col),
+                     out_col: pa.array(rn.astype(np.int64))})
+
+
+def row_number(ds: Dataset, *, group_col: str, order_cols: list[str],
+               id_col: str, out_col: str = "rn") -> Dataset:
+    """``(id_col, out_col)`` — SQL ``ROW_NUMBER() OVER (PARTITION BY
+    group ORDER BY order_cols)`` (the final order column must make rows
+    unique per group, as in the SQL contract).
+
+    ROW_NUMBER's frame is UNBOUNDED PRECEDING, so the rolling family's
+    bounded boundary channel cannot express it. This is one of the rare
+    drop-to-raw-Ray operators: the sorted dataset's block refs are
+    walked IN DATASET ORDER (Ray's range-partitioning sort guarantees
+    inter-block order — the partitioning assumption this operator
+    documents and relies on); a tiny probe task per block returns
+    (first/last group, edge run lengths), the driver chains fragment
+    offsets across blocks in O(blocks), and one emit task per block
+    writes the numbered rows. Nothing but the O(blocks) probe rows ever
+    lands on the driver; blocks are never concatenated."""
+    import ray
+
+    srt = ds.sort([group_col] + list(order_cols)).materialize()
+    try:
+        refs = [block_ref
+                for bundle in srt.iter_internal_ref_bundles()
+                for block_ref, meta in zip(bundle.block_refs, bundle.metadata)
+                if (meta.num_rows or 0) > 0]
+    except Exception:  # pragma: no cover — internal API moved; degrade
+        # single-task fallback: one global pass (correct, not scalable)
+        refs = None
+    probe = ray.remote(num_cpus=0.25)(_rn_probe)
+    emit = ray.remote(num_cpus=0.5)(_rn_emit)
+    if refs is None:
+        one = srt.repartition(1)
+        tbl = pa.concat_tables(
+            [tb for tb in ray.get(one.to_arrow_refs()) if len(tb)])
+        return rd.from_arrow(
+            ray.get(emit.remote(tbl, group_col, id_col, out_col, 0)))
+    if not refs:
+        return srt.map_batches(
+            lambda t: pa.table({id_col: t.column(id_col),
+                                out_col: pa.array([], type=pa.int64())}),
+            batch_format="pyarrow")
+    metas = ray.get([probe.remote(r, group_col) for r in refs])
+    offsets: list[int] = []
+    carry_g: object = object()  # matches no group value
+    carry_n = 0
+    for fg, frl, lg, lrl, n in metas:
+        off = carry_n if fg == carry_g else 0
+        offsets.append(off)
+        if fg == lg and frl == n:  # single-run block: run keeps growing
+            carry_g, carry_n = lg, off + n
+        else:
+            carry_g, carry_n = lg, lrl
+    out_refs = [emit.remote(r, group_col, id_col, out_col, off)
+                for r, off in zip(refs, offsets)]
+    return rd.from_arrow_refs(out_refs)

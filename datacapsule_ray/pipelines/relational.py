@@ -757,6 +757,62 @@ def user_range_sum_30m(sf_dir: str) -> Dataset:
                              out_col="range_sum_cents")
 
 
+def user_prev_value(sf_dir: str) -> Dataset:
+    """SQL LAG(value_cents, 1) per user (ts+event_id order), -1 where no
+    predecessor exists (COALESCE keeps the oracle hash int64-stable)."""
+    from ..functions.window import lag_lead
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "value_c": _cents(t.column("value")),
+        })
+
+    return lag_lead(ds.map_batches(prep, batch_format="pyarrow"),
+                    group_col="user_id", order_cols=["ts", "event_id"],
+                    value_col="value_c", offset=1, kind="lag",
+                    id_col="event_id", default=-1,
+                    out_col="prev_value_cents")
+
+
+def user_next_value(sf_dir: str) -> Dataset:
+    """SQL LEAD(value_cents, 1) per user — the forward-looking mirror
+    (the boundary channel flips direction)."""
+    from ..functions.window import lag_lead
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "value_c": _cents(t.column("value")),
+        })
+
+    return lag_lead(ds.map_batches(prep, batch_format="pyarrow"),
+                    group_col="user_id", order_cols=["ts", "event_id"],
+                    value_col="value_c", offset=1, kind="lead",
+                    id_col="event_id", default=-1,
+                    out_col="next_value_cents")
+
+
+def user_event_rownum(sf_dir: str) -> Dataset:
+    """SQL ROW_NUMBER() per user over (ts, event_id) — the unbounded-
+    frame ranking window (block-offset-chain operator; see
+    functions/window.py::row_number for the partitioning assumption)."""
+    from ..functions.window import row_number
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return row_number(ds, group_col="user_id",
+                      order_cols=["ts", "event_id"], id_col="event_id",
+                      out_col="rn")
+
+
 def user_range_count_30m(sf_dir: str) -> Dataset:
     """RANGE-frame event count in the trailing 30-minute window — the
     canonical rate-limit counter."""

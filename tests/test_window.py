@@ -151,3 +151,93 @@ def test_rolling_range_single_giant_group_timestamps():
     ref = (pd.Series(np.arange(n, dtype=np.int64))
            .rolling(4, min_periods=1).sum().astype(np.int64))
     assert got["s"].tolist() == ref.tolist()
+
+
+# --- navigation / ranking windows --------------------------------------------
+
+@pytest.mark.parametrize("kind", ["lag", "lead"])
+@pytest.mark.parametrize("n_blocks,offset", [(1, 1), (8, 1), (8, 3)])
+def test_lag_lead_matches_pandas(kind, n_blocks, offset):
+    from datacapsule_ray.functions.window import lag_lead
+
+    rng = np.random.default_rng(61)
+    n = 300
+    df = pd.DataFrame({
+        "g": rng.integers(0, 8, size=n),
+        "ts": rng.integers(0, 40, size=n),
+        "id": np.arange(n),
+        "v": rng.integers(-100, 100, size=n).astype(np.int64),
+    })
+    srt = df.sort_values(["g", "ts", "id"], kind="stable")
+    shift = offset if kind == "lag" else -offset
+    ref = (srt.groupby("g", sort=False)["v"].shift(shift)
+           .fillna(-1).astype(np.int64))
+    ref = (pd.DataFrame({"id": srt["id"], "nav": ref})
+           .sort_values("id").reset_index(drop=True))
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)).repartition(n_blocks)
+    got = lag_lead(ds, group_col="g", order_cols=["ts", "id"],
+                   value_col="v", offset=offset, kind=kind, id_col="id",
+                   default=-1).to_pandas().sort_values("id")
+    assert got["nav"].tolist() == ref["nav"].tolist()
+
+
+def test_lag_null_default_stays_int64():
+    """default=None: missing predecessors are NULLS in an int64 column —
+    never a float64 promotion (ids/cents above 2^53 would corrupt)."""
+    from datacapsule_ray.functions.window import lag_lead
+
+    n = 64
+    df = pd.DataFrame({"g": np.repeat([1, 2], n // 2),
+                       "ts": np.tile(np.arange(n // 2), 2),
+                       "id": np.arange(n),
+                       "v": np.arange(n, dtype=np.int64)})
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)).repartition(6)
+    out = lag_lead(ds, group_col="g", order_cols=["ts", "id"],
+                   value_col="v", offset=1, kind="lag", id_col="id",
+                   default=None)
+    sch = dict(zip(out.schema().names, out.schema().types))
+    assert str(sch["nav"]) == "int64"
+    got = out.to_pandas().sort_values("id").reset_index(drop=True)
+    assert got["nav"].isna().sum() == 2  # one per group head
+    assert got.loc[1, "nav"] == 0  # second row of group 1 sees the first
+
+
+@pytest.mark.parametrize("n_blocks", [1, 7, 16])
+def test_row_number_matches_pandas(n_blocks):
+    from datacapsule_ray.functions.window import row_number
+
+    rng = np.random.default_rng(71)
+    n = 400
+    df = pd.DataFrame({
+        "g": rng.integers(0, 5, size=n),  # few groups → runs span blocks
+        "ts": rng.integers(0, 50, size=n),
+        "id": np.arange(n),
+    })
+    srt = df.sort_values(["g", "ts", "id"], kind="stable")
+    ref = srt.groupby("g", sort=False).cumcount() + 1
+    ref = (pd.DataFrame({"id": srt["id"], "rn": ref})
+           .sort_values("id").reset_index(drop=True))
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)).repartition(n_blocks)
+    got = (row_number(ds, group_col="g", order_cols=["ts", "id"],
+                      id_col="id").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert got["rn"].tolist() == ref["rn"].tolist()
+
+
+def test_row_number_single_giant_group():
+    """One group across every block exercises the offset chain's
+    single-run carry accumulation."""
+    from datacapsule_ray.functions.window import row_number
+
+    n = 333
+    df = pd.DataFrame({"g": np.zeros(n, dtype=np.int64),
+                       "ts": np.arange(n), "id": np.arange(n)})
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)).repartition(11)
+    got = (row_number(ds, group_col="g", order_cols=["ts", "id"],
+                      id_col="id").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert got["rn"].tolist() == list(range(1, n + 1))
