@@ -136,6 +136,10 @@ def run_bench() -> dict:
     timed("events_asof_purchase", r.events_asof_purchase)
     timed("events_value_quantiles", r.events_value_quantiles)
     timed("user_rolling_value", r.user_rolling_value)
+    # round-4 window family: RANGE time frame, LAG/LEAD, ROW_NUMBER
+    timed("user_range_sum_30m", r.user_range_sum_30m)
+    timed("user_prev_value", r.user_prev_value)
+    timed("user_event_rownum", r.user_event_rownum)
     timed("sim_topk_embeddings", docops.sim_topk_embeddings)
     timed("doc_repetition_stats", docops.doc_repetition_stats)
     timed("docs_redacted", docops.docs_redacted)
