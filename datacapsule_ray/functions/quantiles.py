@@ -38,8 +38,6 @@ def _value_histogram(ds: Dataset, key_col: str,
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    import ray
-
     # SQL GROUP BY parity: a NULL key is a real group (Arrow group_by
     # keeps null keys), while NULL values are ignored like any SQL
     # aggregate ignores them. One divergence remains by construction: a
@@ -61,10 +59,14 @@ def _value_histogram(ds: Dataset, key_col: str,
             .map_batches(partial, batch_format="pyarrow")
             .map_batches(combine, batch_format="pyarrow",
                          batch_size=1 << 20))
-    tbls = [tb for tb in ray.get(hist.to_arrow_refs()) if len(tb)]
-    if not tbls:
+    # streaming to_pandas tail: to_arrow_refs() would materialize the
+    # dataset first (measured +0.2 s on a 0.25 s query); the collected
+    # partials are domain-sized, so the pandas hop is negligible
+    df = hist.to_pandas()
+    if not len(df):
         return pd.DataFrame(columns=[key_col, value_col, "cnt"])
-    return combine(pa.concat_tables(tbls)).to_pandas()
+    return combine(
+        pa.Table.from_pandas(df, preserve_index=False)).to_pandas()
 
 
 def grouped_exact_quantiles(ds: Dataset, key_col: str, value_col: str,
