@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_prev_value": r.user_prev_value,
         "user_next_value": r.user_next_value,
         "user_event_rownum": r.user_event_rownum,
+        "user_value_rank": r.user_value_rank,
+        "user_value_dense_rank": r.user_value_dense_rank,
         "events_mode_value": r.events_mode_value,
         "user_event_paths": r.user_event_paths,
         "events_in_windows": r.events_in_windows,
@@ -557,6 +559,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (
                        PARTITION BY user_id ORDER BY ts, event_id)
                        AS BIGINT) AS rn
+            FROM events
+        """,
+        "user_value_rank": """
+            SELECT event_id,
+                   CAST(RANK() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ROUND(value*100) AS BIGINT))
+                       AS BIGINT) AS value_rank
+            FROM events
+        """,
+        "user_value_dense_rank": """
+            SELECT event_id,
+                   CAST(DENSE_RANK() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ROUND(value*100) AS BIGINT))
+                       AS BIGINT) AS value_dense_rank
             FROM events
         """,
         "events_value_quantiles": """

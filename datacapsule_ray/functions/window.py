@@ -52,6 +52,8 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data import Dataset
 
+from .dedup import _run_change_mask  # the shared sorted-run kernel
+
 _ROWS_AGGS = ("sum", "mean", "min", "max", "count")
 _RANGE_AGGS = ("sum", "count")
 
@@ -475,4 +477,123 @@ def row_number(ds: Dataset, *, group_col: str, order_cols: list[str],
             carry_g, carry_n = lg, lrl
     out_refs = [emit.remote(r, group_col, id_col, out_col, off)
                 for r, off in zip(refs, offsets)]
+    return rd.from_arrow_refs(out_refs)
+
+
+def _rank_probe(block: pa.Table, group_col: str, order_cols: list[str]):
+    """Per-block metadata for the RANK/DENSE_RANK offset chain:
+    (first_group, first_key, first_run_len, first_run_ndistinct,
+     last_group, last_key, last_run_len, last_run_ndistinct,
+     last_tie_start_in_last_run, n)."""
+    gv = block.column(group_col).to_numpy(zero_copy_only=False)
+    n = len(gv)
+    ocols = [block.column(c).to_numpy(zero_copy_only=False)
+             for c in order_cols]
+    run_change = _run_change_mask(gv)
+    tie_change = _run_change_mask(gv, *ocols)
+    starts = np.flatnonzero(run_change)
+    first_run_len = int(starts[1]) if len(starts) > 1 else n
+    last_start = int(starts[-1])
+    f_ndist = int(tie_change[:first_run_len].sum())
+    l_ndist = int(tie_change[last_start:].sum())
+    l_tie_start = int(np.flatnonzero(tie_change)[-1]) - last_start
+    fkey = tuple(o[0] for o in ocols)
+    lkey = tuple(o[-1] for o in ocols)
+    return (gv[0], fkey, first_run_len, f_ndist,
+            gv[-1], lkey, n - last_start, l_ndist, l_tie_start, n)
+
+
+def _rank_emit(block: pa.Table, group_col: str, order_cols: list[str],
+               id_col: str, out_col: str, dense: bool,
+               cn: int, cd: int, merged: bool, crank: int) -> pa.Table:
+    gv = block.column(group_col).to_numpy(zero_copy_only=False)
+    ocols = [block.column(c).to_numpy(zero_copy_only=False)
+             for c in order_cols]
+    run_change = _run_change_mask(gv)
+    tie_change = _run_change_mask(gv, *ocols)
+    run_id = np.cumsum(run_change) - 1
+    starts = np.flatnonzero(run_change)
+    tie_id = np.cumsum(tie_change) - 1
+    tie_starts = np.flatnonzero(tie_change)
+    run_start = starts[run_id]
+    first = run_id == 0
+    if dense:
+        # dense index of the row's tie sub-run within its group run
+        out = tie_id - tie_id[run_start] + 1
+        # when the first sub-run continues the previous block's last
+        # key, the carried dense count already includes it
+        out[first] += cd - (1 if merged else 0)
+    else:
+        out = tie_starts[tie_id] - run_start + 1
+        out[first] += cn
+        if merged:
+            # the merged sub-run's rank was fixed where the tie STARTED
+            # (an earlier block) — not derivable in-block
+            out[first & (tie_id == 0)] = crank
+    return pa.table({id_col: block.column(id_col),
+                     out_col: pa.array(out.astype(np.int64))})
+
+
+def rank_window(ds: Dataset, *, group_col: str, order_cols: list[str],
+                id_col: str, method: str = "rank",
+                out_col: str = "rnk") -> Dataset:
+    """``(id_col, out_col)`` — SQL ``RANK()`` / ``DENSE_RANK() OVER
+    (PARTITION BY group ORDER BY order_cols)`` with exact SQL tie
+    semantics (ties share a rank; RANK leaves gaps, DENSE_RANK does
+    not). Order-key ties MAY recur across rows and span blocks.
+
+    Same block-offset-chain shape as ``row_number`` (and the same
+    range-partitioned-sort ordering assumption), with the carry extended
+    to (rows, distinct keys, last key, last key's global rank) so a tie
+    group straddling any number of block boundaries keeps one rank."""
+    import ray
+
+    if method not in ("rank", "dense_rank"):
+        raise ValueError("method must be 'rank' or 'dense_rank'")
+    dense = method == "dense_rank"
+    srt = ds.sort([group_col] + list(order_cols)).materialize()
+    try:
+        refs = [block_ref
+                for bundle in srt.iter_internal_ref_bundles()
+                for block_ref, meta in zip(bundle.block_refs, bundle.metadata)
+                if (meta.num_rows or 0) > 0]
+    except Exception:  # pragma: no cover — internal API moved; degrade
+        refs = None
+    probe = ray.remote(num_cpus=0.25)(_rank_probe)
+    emit = ray.remote(num_cpus=0.5)(_rank_emit)
+    if refs is None:
+        one = srt.repartition(1)
+        tbl = pa.concat_tables(
+            [tb for tb in ray.get(one.to_arrow_refs()) if len(tb)])
+        return rd.from_arrow(ray.get(emit.remote(
+            tbl, group_col, list(order_cols), id_col, out_col, dense,
+            0, 0, False, 0)))
+    if not refs:
+        return srt.map_batches(
+            lambda t: pa.table({id_col: t.column(id_col),
+                                out_col: pa.array([], type=pa.int64())}),
+            batch_format="pyarrow")
+    metas = ray.get([probe.remote(r, group_col, list(order_cols))
+                     for r in refs])
+    params: list[tuple[int, int, bool, int]] = []
+    carry_g: object = object()  # matches no group value
+    cn = cd = crank = 0
+    ckey: object = object()
+    for fg, fkey, frl, fnd, lg, lkey, lrl, lnd, lts, n in metas:
+        cont = fg == carry_g
+        in_n, in_d = (cn, cd) if cont else (0, 0)
+        merged = cont and fkey == ckey
+        params.append((in_n, in_d, merged, crank))
+        if fg == lg and frl == n:  # single-run block: run keeps growing
+            out_d = in_d + fnd - (1 if merged else 0)
+            if fnd == 1 and merged:
+                out_rank = crank  # whole block extends one tie group
+            else:
+                out_rank = in_n + lts + 1
+            carry_g, cn, cd, ckey, crank = lg, in_n + n, out_d, lkey, out_rank
+        else:
+            carry_g, cn, cd, ckey, crank = lg, lrl, lnd, lkey, lts + 1
+    out_refs = [emit.remote(r, group_col, list(order_cols), id_col,
+                            out_col, dense, p_cn, p_cd, p_m, p_r)
+                for r, (p_cn, p_cd, p_m, p_r) in zip(refs, params)]
     return rd.from_arrow_refs(out_refs)

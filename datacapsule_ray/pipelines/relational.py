@@ -813,6 +813,34 @@ def user_event_rownum(sf_dir: str) -> Dataset:
                       out_col="rn")
 
 
+def _ranked_events(sf_dir: str, method: str, out_col: str) -> Dataset:
+    """RANK/DENSE_RANK per user over value cents — ORDER BY a repeating
+    value column so SQL tie semantics (shared ranks, gaps) are actually
+    exercised, including ties spanning block boundaries."""
+    from ..functions.window import rank_window
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "value_c": _cents(t.column("value")),
+        })
+
+    return rank_window(ds.map_batches(prep, batch_format="pyarrow"),
+                       group_col="user_id", order_cols=["value_c"],
+                       id_col="event_id", method=method, out_col=out_col)
+
+
+def user_value_rank(sf_dir: str) -> Dataset:
+    return _ranked_events(sf_dir, "rank", "value_rank")
+
+
+def user_value_dense_rank(sf_dir: str) -> Dataset:
+    return _ranked_events(sf_dir, "dense_rank", "value_dense_rank")
+
+
 def user_range_count_30m(sf_dir: str) -> Dataset:
     """RANGE-frame event count in the trailing 30-minute window — the
     canonical rate-limit counter."""

@@ -241,3 +241,46 @@ def test_row_number_single_giant_group():
                       id_col="id").to_pandas()
            .sort_values("id").reset_index(drop=True))
     assert got["rn"].tolist() == list(range(1, n + 1))
+
+
+@pytest.mark.parametrize("method,pd_method", [("rank", "min"),
+                                              ("dense_rank", "dense")])
+@pytest.mark.parametrize("n_blocks", [1, 9])
+def test_rank_window_matches_pandas(method, pd_method, n_blocks):
+    """Heavy value ties (few distinct values, few groups) so tie groups
+    recur and span block boundaries — the carry's merge path."""
+    from datacapsule_ray.functions.window import rank_window
+
+    rng = np.random.default_rng(83)
+    n = 400
+    df = pd.DataFrame({
+        "g": rng.integers(0, 4, size=n),
+        "id": np.arange(n),
+        "v": rng.integers(0, 7, size=n).astype(np.int64),  # massive ties
+    })
+    ref = (df.groupby("g")["v"].rank(method=pd_method).astype(np.int64))
+    ref = (pd.DataFrame({"id": df["id"], "rnk": ref})
+           .sort_values("id").reset_index(drop=True))
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)).repartition(n_blocks)
+    got = (rank_window(ds, group_col="g", order_cols=["v"], id_col="id",
+                       method=method).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert got["rnk"].tolist() == ref["rnk"].tolist()
+
+
+def test_rank_window_single_value_giant_group():
+    """One group, ONE value everywhere: a single tie group spanning every
+    block — rank must stay 1 for all rows (the fnd==1 merged carry)."""
+    from datacapsule_ray.functions.window import rank_window
+
+    n = 200
+    df = pd.DataFrame({"g": np.zeros(n, dtype=np.int64),
+                       "id": np.arange(n),
+                       "v": np.full(n, 42, dtype=np.int64)})
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)).repartition(8)
+    for method in ("rank", "dense_rank"):
+        got = rank_window(ds, group_col="g", order_cols=["v"], id_col="id",
+                          method=method).to_pandas()
+        assert got["rnk"].tolist() == [1] * n
