@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_prev_value": r.user_prev_value,
         "user_next_value": r.user_next_value,
         "user_event_rownum": r.user_event_rownum,
+        "user_running_value": r.user_running_value,
         "user_value_rank": r.user_value_rank,
         "user_value_dense_rank": r.user_value_dense_rank,
         "events_mode_value": r.events_mode_value,
@@ -559,6 +560,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (
                        PARTITION BY user_id ORDER BY ts, event_id)
                        AS BIGINT) AS rn
+            FROM events
+        """,
+        "user_running_value": """
+            SELECT event_id,
+                   -- outer CAST: windowed SUM(BIGINT) → HUGEINT →
+                   -- float64 in pandas (see user_rolling_value)
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS running_value_cents
             FROM events
         """,
         "user_value_rank": """

@@ -597,3 +597,83 @@ def rank_window(ds: Dataset, *, group_col: str, order_cols: list[str],
                             out_col, dense, p_cn, p_cd, p_m, p_r)
                 for r, (p_cn, p_cd, p_m, p_r) in zip(refs, params)]
     return rd.from_arrow_refs(out_refs)
+
+
+def _cum_probe(block: pa.Table, group_col: str, value_col: str):
+    """(first_group, first_run_len, first_run_sum, last_group,
+    last_run_len, last_run_sum, n) for the running-sum offset chain."""
+    gv = block.column(group_col).to_numpy(zero_copy_only=False)
+    v = block.column(value_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n = len(gv)
+    _, starts, _ = _runs(gv)
+    first_run_len = int(starts[1]) if len(starts) > 1 else n
+    last_start = int(starts[-1])
+    return (gv[0], first_run_len, int(v[:first_run_len].sum()),
+            gv[-1], n - last_start, int(v[last_start:].sum()), n)
+
+
+def _cum_emit(block: pa.Table, group_col: str, value_col: str,
+              id_col: str, out_col: str, first_run_offset: int) -> pa.Table:
+    gv = block.column(group_col).to_numpy(zero_copy_only=False)
+    v = block.column(value_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    run_id, starts, pos = _runs(gv)
+    cs = np.cumsum(v)
+    # per-run cumulative: subtract the sum before each run's start
+    run_base = np.concatenate(([0], cs))[starts[run_id]]
+    out = cs - run_base
+    out[run_id == 0] += first_run_offset
+    return pa.table({id_col: block.column(id_col),
+                     out_col: pa.array(out.astype(np.int64))})
+
+
+def running_sum(ds: Dataset, *, group_col: str, order_cols: list[str],
+                value_col: str, id_col: str,
+                out_col: str = "running_sum") -> Dataset:
+    """``(id_col, out_col)`` — SQL ``SUM(value) OVER (PARTITION BY group
+    ORDER BY order_cols ROWS UNBOUNDED PRECEDING)``: the running total.
+
+    Completes the frame family: bounded ROWS (``rolling_agg``), time
+    RANGE (``rolling_range_agg``), and now UNBOUNDED PRECEDING — whose
+    boundary state is a single int per group fragment, so it uses the
+    ``row_number`` block-offset chain (same range-partitioned-sort
+    ordering assumption) with the carry holding the group's running sum
+    instead of its row count. ``value_col`` must be integer-typed."""
+    import ray
+
+    srt = ds.sort([group_col] + list(order_cols)).materialize()
+    try:
+        refs = [block_ref
+                for bundle in srt.iter_internal_ref_bundles()
+                for block_ref, meta in zip(bundle.block_refs, bundle.metadata)
+                if (meta.num_rows or 0) > 0]
+    except Exception:  # pragma: no cover — internal API moved; degrade
+        refs = None
+    probe = ray.remote(num_cpus=0.25)(_cum_probe)
+    emit = ray.remote(num_cpus=0.5)(_cum_emit)
+    if refs is None:
+        one = srt.repartition(1)
+        tbl = pa.concat_tables(
+            [tb for tb in ray.get(one.to_arrow_refs()) if len(tb)])
+        return rd.from_arrow(ray.get(emit.remote(
+            tbl, group_col, value_col, id_col, out_col, 0)))
+    if not refs:
+        return srt.map_batches(
+            lambda t: pa.table({id_col: t.column(id_col),
+                                out_col: pa.array([], type=pa.int64())}),
+            batch_format="pyarrow")
+    metas = ray.get([probe.remote(r, group_col, value_col) for r in refs])
+    offsets: list[int] = []
+    carry_g: object = object()
+    carry_s = 0
+    for fg, frl, frs, lg, lrl, lrs, n in metas:
+        off = carry_s if fg == carry_g else 0
+        offsets.append(off)
+        if fg == lg and frl == n:  # single-run block: sum keeps growing
+            carry_g, carry_s = lg, off + frs
+        else:
+            carry_g, carry_s = lg, lrs
+    out_refs = [emit.remote(r, group_col, value_col, id_col, out_col, off)
+                for r, off in zip(refs, offsets)]
+    return rd.from_arrow_refs(out_refs)

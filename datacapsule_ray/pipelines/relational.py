@@ -833,6 +833,28 @@ def _ranked_events(sf_dir: str, method: str, out_col: str) -> Dataset:
                        id_col="event_id", method=method, out_col=out_col)
 
 
+def user_running_value(sf_dir: str) -> Dataset:
+    """Per-user running total of value cents (SQL SUM ... ROWS UNBOUNDED
+    PRECEDING) — the cumulative companion of user_rolling_value, via the
+    block-offset-chain running_sum."""
+    from ..functions.window import running_sum
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "value_c": _cents(t.column("value")),
+        })
+
+    return running_sum(ds.map_batches(prep, batch_format="pyarrow"),
+                       group_col="user_id", order_cols=["ts", "event_id"],
+                       value_col="value_c", id_col="event_id",
+                       out_col="running_value_cents")
+
+
 def user_value_rank(sf_dir: str) -> Dataset:
     return _ranked_events(sf_dir, "rank", "value_rank")
 

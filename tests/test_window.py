@@ -284,3 +284,42 @@ def test_rank_window_single_value_giant_group():
         got = rank_window(ds, group_col="g", order_cols=["v"], id_col="id",
                           method=method).to_pandas()
         assert got["rnk"].tolist() == [1] * n
+
+
+@pytest.mark.parametrize("n_blocks", [1, 9])
+def test_running_sum_matches_pandas(n_blocks):
+    from datacapsule_ray.functions.window import running_sum
+
+    rng = np.random.default_rng(97)
+    n = 350
+    df = pd.DataFrame({
+        "g": rng.integers(0, 4, size=n),
+        "ts": rng.integers(0, 50, size=n),
+        "id": np.arange(n),
+        "v": rng.integers(-100, 100, size=n).astype(np.int64),
+    })
+    srt = df.sort_values(["g", "ts", "id"], kind="stable")
+    ref = srt.groupby("g", sort=False)["v"].cumsum()
+    ref = (pd.DataFrame({"id": srt["id"], "rs": ref})
+           .sort_values("id").reset_index(drop=True))
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)).repartition(n_blocks)
+    got = (running_sum(ds, group_col="g", order_cols=["ts", "id"],
+                       value_col="v", id_col="id", out_col="rs")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert got["rs"].tolist() == ref["rs"].tolist()
+
+
+def test_running_sum_single_giant_group():
+    from datacapsule_ray.functions.window import running_sum
+
+    n = 300
+    df = pd.DataFrame({"g": np.zeros(n, dtype=np.int64),
+                       "ts": np.arange(n), "id": np.arange(n),
+                       "v": np.ones(n, dtype=np.int64)})
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)).repartition(12)
+    got = (running_sum(ds, group_col="g", order_cols=["ts", "id"],
+                       value_col="v", id_col="id", out_col="rs")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert got["rs"].tolist() == list(range(1, n + 1))
