@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_next_value": r.user_next_value,
         "user_event_rownum": r.user_event_rownum,
         "user_running_value": r.user_running_value,
+        "user_event_ntile4": r.user_event_ntile4,
+        "user_value_percent_rank": r.user_value_percent_rank,
         "user_value_rank": r.user_value_rank,
         "user_value_dense_rank": r.user_value_dense_rank,
         "events_mode_value": r.events_mode_value,
@@ -570,6 +572,21 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING)
                        AS BIGINT) AS running_value_cents
+            FROM events
+        """,
+        "user_event_ntile4": """
+            SELECT event_id,
+                   CAST(NTILE(4) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS BIGINT) AS quartile
+            FROM events
+        """,
+        "user_value_percent_rank": """
+            SELECT event_id,
+                   PERCENT_RANK() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ROUND(value*100) AS BIGINT))
+                       AS value_pct_rank
             FROM events
         """,
         "user_value_rank": """

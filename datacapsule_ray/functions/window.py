@@ -415,17 +415,21 @@ def _rn_probe(block: pa.Table, group_col: str):
 
 
 def _rn_emit(block: pa.Table, group_col: str, id_col: str, out_col: str,
-             first_run_offset: int) -> pa.Table:
+             first_run_offset: int, keep_group: bool = False) -> pa.Table:
     gv = block.column(group_col).to_numpy(zero_copy_only=False)
     run_id, starts, pos = _runs(gv)
     rn = pos + 1
     rn[run_id == 0] += first_run_offset
-    return pa.table({id_col: block.column(id_col),
-                     out_col: pa.array(rn.astype(np.int64))})
+    cols = {id_col: block.column(id_col),
+            out_col: pa.array(rn.astype(np.int64))}
+    if keep_group:
+        cols[group_col] = block.column(group_col)
+    return pa.table(cols)
 
 
 def row_number(ds: Dataset, *, group_col: str, order_cols: list[str],
-               id_col: str, out_col: str = "rn") -> Dataset:
+               id_col: str, out_col: str = "rn",
+               keep_group: bool = False) -> Dataset:
     """``(id_col, out_col)`` — SQL ``ROW_NUMBER() OVER (PARTITION BY
     group ORDER BY order_cols)`` (the final order column must make rows
     unique per group, as in the SQL contract).
@@ -458,7 +462,8 @@ def row_number(ds: Dataset, *, group_col: str, order_cols: list[str],
         tbl = pa.concat_tables(
             [tb for tb in ray.get(one.to_arrow_refs()) if len(tb)])
         return rd.from_arrow(
-            ray.get(emit.remote(tbl, group_col, id_col, out_col, 0)))
+            ray.get(emit.remote(tbl, group_col, id_col, out_col, 0,
+                                keep_group)))
     if not refs:
         return srt.map_batches(
             lambda t: pa.table({id_col: t.column(id_col),
@@ -475,7 +480,7 @@ def row_number(ds: Dataset, *, group_col: str, order_cols: list[str],
             carry_g, carry_n = lg, off + n
         else:
             carry_g, carry_n = lg, lrl
-    out_refs = [emit.remote(r, group_col, id_col, out_col, off)
+    out_refs = [emit.remote(r, group_col, id_col, out_col, off, keep_group)
                 for r, off in zip(refs, offsets)]
     return rd.from_arrow_refs(out_refs)
 
@@ -505,7 +510,8 @@ def _rank_probe(block: pa.Table, group_col: str, order_cols: list[str]):
 
 def _rank_emit(block: pa.Table, group_col: str, order_cols: list[str],
                id_col: str, out_col: str, dense: bool,
-               cn: int, cd: int, merged: bool, crank: int) -> pa.Table:
+               cn: int, cd: int, merged: bool, crank: int,
+               keep_group: bool = False) -> pa.Table:
     gv = block.column(group_col).to_numpy(zero_copy_only=False)
     ocols = [block.column(c).to_numpy(zero_copy_only=False)
              for c in order_cols]
@@ -530,13 +536,17 @@ def _rank_emit(block: pa.Table, group_col: str, order_cols: list[str],
             # the merged sub-run's rank was fixed where the tie STARTED
             # (an earlier block) — not derivable in-block
             out[first & (tie_id == 0)] = crank
-    return pa.table({id_col: block.column(id_col),
-                     out_col: pa.array(out.astype(np.int64))})
+    cols = {id_col: block.column(id_col),
+            out_col: pa.array(out.astype(np.int64))}
+    if keep_group:
+        cols[group_col] = block.column(group_col)
+    return pa.table(cols)
 
 
 def rank_window(ds: Dataset, *, group_col: str, order_cols: list[str],
                 id_col: str, method: str = "rank",
-                out_col: str = "rnk") -> Dataset:
+                out_col: str = "rnk",
+                keep_group: bool = False) -> Dataset:
     """``(id_col, out_col)`` — SQL ``RANK()`` / ``DENSE_RANK() OVER
     (PARTITION BY group ORDER BY order_cols)`` with exact SQL tie
     semantics (ties share a rank; RANK leaves gaps, DENSE_RANK does
@@ -567,7 +577,7 @@ def rank_window(ds: Dataset, *, group_col: str, order_cols: list[str],
             [tb for tb in ray.get(one.to_arrow_refs()) if len(tb)])
         return rd.from_arrow(ray.get(emit.remote(
             tbl, group_col, list(order_cols), id_col, out_col, dense,
-            0, 0, False, 0)))
+            0, 0, False, 0, keep_group)))
     if not refs:
         return srt.map_batches(
             lambda t: pa.table({id_col: t.column(id_col),
@@ -594,7 +604,8 @@ def rank_window(ds: Dataset, *, group_col: str, order_cols: list[str],
         else:
             carry_g, cn, cd, ckey, crank = lg, lrl, lnd, lkey, lts + 1
     out_refs = [emit.remote(r, group_col, list(order_cols), id_col,
-                            out_col, dense, p_cn, p_cd, p_m, p_r)
+                            out_col, dense, p_cn, p_cd, p_m, p_r,
+                            keep_group)
                 for r, (p_cn, p_cd, p_m, p_r) in zip(refs, params)]
     return rd.from_arrow_refs(out_refs)
 
@@ -677,3 +688,75 @@ def running_sum(ds: Dataset, *, group_col: str, order_cols: list[str],
     out_refs = [emit.remote(r, group_col, value_col, id_col, out_col, off)
                 for r, off in zip(refs, offsets)]
     return rd.from_arrow_refs(out_refs)
+
+
+def _with_group_sizes(ranked: Dataset, ds: Dataset, group_col: str,
+                      num_partitions: int = 4) -> Dataset:
+    """Attach each group's total row count to a ranked (id, value,
+    group) dataset: one distributed groupby-count (|groups| rows) and
+    one hash join — both group-keyed, nothing driver-side."""
+    from ray.data.aggregate import Count
+
+    from ..traverse import drop_empty_blocks
+
+    counts = (ds.select_columns([group_col]).groupby(group_col)
+              .aggregate(Count(alias_name="_gn")))
+    # launder BOTH join inputs: schema-less empty blocks (groupby over
+    # an empty range partition) poison the hash-join partitioner with
+    # "No match for key field" (traverse.drop_empty_blocks note)
+    return drop_empty_blocks(ranked).join(
+        drop_empty_blocks(counts), join_type="inner",
+        num_partitions=num_partitions, on=(group_col,))
+
+
+def ntile(ds: Dataset, *, group_col: str, order_cols: list[str],
+          id_col: str, k: int, out_col: str = "tile",
+          num_partitions: int = 4) -> Dataset:
+    """``(id_col, out_col)`` — SQL ``NTILE(k) OVER (PARTITION BY group
+    ORDER BY order_cols)``: rows split into k buckets per group, sizes
+    differing by at most one, earlier buckets larger (exact SQL rule:
+    with n = |group|, q = n//k, r = n%k, the first r buckets hold q+1
+    rows). Composition: ``row_number`` + a group-size join + one map."""
+    import pyarrow.compute as pc  # noqa: F401 — keep import surface
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    rn = row_number(ds, group_col=group_col, order_cols=order_cols,
+                    id_col=id_col, out_col="_rn", keep_group=True)
+    sized = _with_group_sizes(rn, ds, group_col, num_partitions)
+
+    def assign(t: pa.Table) -> pa.Table:
+        i = t.column("_rn").to_numpy(zero_copy_only=False)
+        n = t.column("_gn").to_numpy(zero_copy_only=False)
+        q, r = n // k, n % k
+        big = r * (q + 1)  # rows covered by the q+1-sized buckets
+        in_big = i <= big
+        tile = np.where(in_big,
+                        (i - 1) // np.maximum(q + 1, 1) + 1,
+                        r + (i - big - 1) // np.maximum(q, 1) + 1)
+        return pa.table({id_col: t.column(id_col),
+                         out_col: pa.array(tile.astype(np.int64))})
+
+    return sized.map_batches(assign, batch_format="pyarrow")
+
+
+def percent_rank(ds: Dataset, *, group_col: str, order_cols: list[str],
+                 id_col: str, out_col: str = "pct_rank",
+                 num_partitions: int = 4) -> Dataset:
+    """``(id_col, out_col)`` — SQL ``PERCENT_RANK() OVER (PARTITION BY
+    group ORDER BY order_cols)`` = (rank - 1) / (n - 1), 0.0 for
+    single-row groups. One exact-int division → float64, bit-identical
+    to the SQL double division."""
+    rnk = rank_window(ds, group_col=group_col, order_cols=order_cols,
+                      id_col=id_col, method="rank", out_col="_rnk",
+                      keep_group=True)
+    sized = _with_group_sizes(rnk, ds, group_col, num_partitions)
+
+    def assign(t: pa.Table) -> pa.Table:
+        r = t.column("_rnk").to_numpy(zero_copy_only=False)
+        n = t.column("_gn").to_numpy(zero_copy_only=False)
+        out = (r - 1) / np.maximum(n - 1, 1)
+        return pa.table({id_col: t.column(id_col),
+                         out_col: pa.array(out.astype(np.float64))})
+
+    return sized.map_batches(assign, batch_format="pyarrow")

@@ -863,6 +863,35 @@ def user_value_dense_rank(sf_dir: str) -> Dataset:
     return _ranked_events(sf_dir, "dense_rank", "value_dense_rank")
 
 
+def user_event_ntile4(sf_dir: str) -> Dataset:
+    """SQL NTILE(4) per user over (ts, event_id) — quartile bucketing,
+    composed from row_number + a group-size join."""
+    from ..functions.window import ntile
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return ntile(ds, group_col="user_id", order_cols=["ts", "event_id"],
+                 id_col="event_id", k=4, out_col="quartile")
+
+
+def user_value_percent_rank(sf_dir: str) -> Dataset:
+    """SQL PERCENT_RANK() per user over value cents (tie-heavy order
+    key — exercises shared ranks in the numerator)."""
+    from ..functions.window import percent_rank
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "value_c": _cents(t.column("value")),
+        })
+
+    return percent_rank(ds.map_batches(prep, batch_format="pyarrow"),
+                        group_col="user_id", order_cols=["value_c"],
+                        id_col="event_id", out_col="value_pct_rank")
+
+
 def user_range_count_30m(sf_dir: str) -> Dataset:
     """RANGE-frame event count in the trailing 30-minute window — the
     canonical rate-limit counter."""

@@ -323,3 +323,54 @@ def test_running_sum_single_giant_group():
                        value_col="v", id_col="id", out_col="rs")
            .to_pandas().sort_values("id").reset_index(drop=True))
     assert got["rs"].tolist() == list(range(1, n + 1))
+
+
+@pytest.mark.parametrize("n_blocks", [1, 8])
+@pytest.mark.parametrize("k", [1, 3, 4])
+def test_ntile_matches_sql_rule(n_blocks, k):
+    from datacapsule_ray.functions.window import ntile
+
+    rng = np.random.default_rng(101)
+    n = 230  # group sizes NOT divisible by k → the r remainder path
+    df = pd.DataFrame({
+        "g": rng.integers(0, 5, size=n),
+        "ts": rng.integers(0, 60, size=n),
+        "id": np.arange(n),
+    })
+    srt = df.sort_values(["g", "ts", "id"], kind="stable")
+    rn = srt.groupby("g", sort=False).cumcount().to_numpy() + 1
+    gn = srt.groupby("g", sort=False)["g"].transform("size").to_numpy()
+    q, r = gn // k, gn % k
+    big = r * (q + 1)
+    ref = np.where(rn <= big, (rn - 1) // np.maximum(q + 1, 1) + 1,
+                   r + (rn - big - 1) // np.maximum(q, 1) + 1)
+    ref = (pd.DataFrame({"id": srt["id"], "tile": ref.astype(np.int64)})
+           .sort_values("id").reset_index(drop=True))
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)).repartition(n_blocks)
+    got = (ntile(ds, group_col="g", order_cols=["ts", "id"], id_col="id",
+                 k=k).to_pandas().sort_values("id").reset_index(drop=True))
+    assert got["tile"].tolist() == ref["tile"].tolist()
+
+
+def test_percent_rank_matches_pandas():
+    from datacapsule_ray.functions.window import percent_rank
+
+    rng = np.random.default_rng(103)
+    n = 260
+    df = pd.DataFrame({
+        "g": rng.integers(0, 5, size=n),
+        "id": np.arange(n),
+        "v": rng.integers(0, 9, size=n).astype(np.int64),  # heavy ties
+    })
+    gn = df.groupby("g")["g"].transform("size")
+    rnk = df.groupby("g")["v"].rank(method="min")
+    ref = ((rnk - 1) / (gn - 1).clip(lower=1)).to_numpy()
+    ref = (pd.DataFrame({"id": df["id"], "p": ref})
+           .sort_values("id").reset_index(drop=True))
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)).repartition(7)
+    got = (percent_rank(ds, group_col="g", order_cols=["v"], id_col="id",
+                        out_col="p").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert np.allclose(got["p"].to_numpy(), ref["p"].to_numpy(), atol=0)
