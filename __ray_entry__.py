@@ -147,6 +147,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_rank": r.user_value_rank,
         "user_value_dense_rank": r.user_value_dense_rank,
         "events_mode_value": r.events_mode_value,
+        # round 4b: partition-frame window edges, exact grouped moments,
+        # ROLLUP — all with full SQL oracles
+        "user_first_last_value": r.user_first_last_value,
+        "events_value_stats": r.events_value_stats,
+        "revenue_rollup": r.revenue_rollup,
         "user_event_paths": r.user_event_paths,
         "events_in_windows": r.events_in_windows,
         "events_daily_pivot": r.events_daily_pivot,
@@ -604,6 +609,53 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY CAST(ROUND(value*100) AS BIGINT))
                        AS BIGINT) AS value_dense_rank
             FROM events
+        """,
+        "user_first_last_value": """
+            SELECT DISTINCT user_id,
+                   FIRST_VALUE(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS first_value_cents,
+                   LAST_VALUE(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING)
+                       AS last_value_cents
+            FROM events
+        """,
+        "events_value_stats": """
+            -- exact integer partial sums; the float stats are computed
+            -- from them with the SAME IEEE expression tree the engine
+            -- uses, so the result is bit-identical (a native
+            -- STDDEV/CORR would accumulate doubles in a different
+            -- order and flunk the hash gate legitimately)
+            WITH s AS (
+              SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(SUM(c) AS DOUBLE) AS sx,
+                     CAST(SUM(c*c) AS DOUBLE) AS sxx,
+                     CAST(SUM(h) AS DOUBLE) AS sh,
+                     CAST(SUM(h*h) AS DOUBLE) AS shh,
+                     CAST(SUM(c*h) AS DOUBLE) AS sxh
+              FROM (SELECT event_type,
+                           CAST(ROUND(value*100) AS BIGINT) AS c,
+                           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h
+                    FROM events)
+              GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n_events,
+                   CAST(sx AS BIGINT) AS sum_value_cents,
+                   sqrt((n*sxx - sx*sx) / (n*(n-1))) AS stddev_cents,
+                   (n*sxh - sx*sh)
+                     / sqrt((n*sxx - sx*sx) * (n*shh - sh*sh))
+                     AS corr_value_hour
+            FROM s
+        """,
+        "revenue_rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "events_value_quantiles": """
             SELECT event_type,

@@ -1128,3 +1128,183 @@ def events_mode_value(sf_dir: str) -> pd.DataFrame:
 
     return grouped_mode(ds.map_batches(to_cents, batch_format="pyarrow"),
                         "event_type", "cents")
+
+
+def user_first_last_value(sf_dir: str) -> Dataset:
+    """FIRST_VALUE / LAST_VALUE over the whole partition (SQL
+    ``FIRST_VALUE(v) OVER (PARTITION BY user_id ORDER BY ts, event_id)``
+    + the UNBOUNDED FOLLOWING LAST_VALUE), collapsed to one row per
+    user. Same sort + run-reduction shape as ``user_sessions``: one
+    global sort, per-block first/last per run, and the ≤2 edge runs per
+    block re-reduced driver-side (O(blocks) rows, never O(users))."""
+    import ray.data as rd
+
+    from ..traverse import drop_empty_blocks as _deb
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def to_sortable(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts": t.column("ts"),
+                         "event_id": t.column("event_id"),
+                         "cents": _cents(t.column("value"))})
+
+    srt = ds.map_batches(to_sortable, batch_format="pyarrow").sort(
+        ["user_id", "ts", "event_id"])
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()),
+        ("first_value_cents", pa.int64()),
+        ("last_value_cents", pa.int64()),
+        ("first_ts", pa.timestamp("us")),
+        ("first_eid", pa.int64()),
+        ("edge", pa.bool_()),
+    ])
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], n)
+        edge = np.zeros(len(starts), dtype=bool)
+        edge[0] = edge[-1] = True  # runs touching a block boundary
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "first_value_cents": pa.array(cents[starts]),
+            "last_value_cents": pa.array(cents[ends - 1]),
+            "first_ts": pa.array(ts[starts]),
+            "first_eid": pa.array(eid[starts]),
+            "edge": pa.array(edge),
+        }, schema=out_schema)
+
+    partial = _deb(srt.map_batches(block_partial, batch_format="pyarrow"))
+
+    def interior_fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("edge"), False))
+        return t.select(["user_id", "first_value_cents",
+                         "last_value_cents"])
+
+    interior = partial.map_batches(interior_fn, batch_format="pyarrow")
+    edge_df = partial.filter(expr="edge == True").to_pandas()
+    if not len(edge_df):
+        return interior
+    # blocks may arrive out of order (preserve_order is off): a user's
+    # partials cover disjoint contiguous slices of their sorted run, so
+    # ordering by the run's first (ts, event_id) restores global order —
+    # first = first partial's first, last = last partial's last
+    edge_df = edge_df.sort_values(["user_id", "first_ts", "first_eid"],
+                                  kind="stable")
+    g = edge_df.groupby("user_id", sort=False)
+    fixed = pa.table({
+        "user_id": pa.array(g["user_id"].first().to_numpy()),
+        "first_value_cents": pa.array(
+            g["first_value_cents"].first().to_numpy().astype(np.int64)),
+        "last_value_cents": pa.array(
+            g["last_value_cents"].last().to_numpy().astype(np.int64)),
+    })
+    return interior.union(rd.from_arrow(fixed))
+
+
+def events_value_stats(sf_dir: str) -> Dataset:
+    """Grouped second moments — STDDEV_SAMP(value) and CORR(value,
+    hour-of-day) per event_type — as ONE pass of exact integer partial
+    sums (n, Σc, Σc², Σh, Σh², Σch in int64 cents) combined with a
+    keys-sized groupby, the float stats derived at the END from the
+    exact sums. Summing doubles block-by-block is order-dependent (and
+    would flunk the hash gate); integer sums are associative, so the
+    result is bit-identical to the oracle's mirrored expression.
+
+    Overflow bound: Σc² ≤ rows·(10⁵)² — int64-safe to ~10¹⁴ rows per
+    group at TPC-H-ish value magnitudes; a 100-TB deployment with
+    larger values would widen the partials to float128/two-int64."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        h = pc.hour(t.column("ts")).to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        denc = et.dictionary_encode()
+        idx = denc.indices.to_numpy(zero_copy_only=False)
+        k = len(denc.dictionary)
+        def bsum(v):
+            return pa.array(np.bincount(idx, weights=v, minlength=k)
+                            .astype(np.int64))
+        return pa.table({
+            "event_type": denc.dictionary,
+            "n": pa.array(np.bincount(idx, minlength=k).astype(np.int64)),
+            "sx": bsum(c), "sxx": bsum(c * c),
+            "sh": bsum(h), "shh": bsum(h * h), "sxh": bsum(c * h),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type").aggregate(
+        *[Sum(c, alias_name=c) for c in ("n", "sx", "sxx", "sh", "shh", "sxh")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        # float expressions mirror the oracle SQL token-for-token: both
+        # sides evaluate the SAME IEEE tree over the SAME exact inputs
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False).astype(np.float64)
+        sh = t.column("sh").to_numpy(zero_copy_only=False).astype(np.float64)
+        shh = t.column("shh").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxh = t.column("sxh").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "n_events": pc.cast(t.column("n"), pa.int64()),
+            "sum_value_cents": pc.cast(t.column("sx"), pa.int64()),
+            "stddev_cents": pa.array(
+                np.sqrt((n * sxx - sx * sx) / (n * (n - 1)))),
+            "corr_value_hour": pa.array(
+                (n * sxh - sx * sh)
+                / np.sqrt((n * sxx - sx * sx) * (n * shh - sh * sh))),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): subtotal rows per
+    returnflag and a grand total, NULL levels rendered 'ALL'. ONE
+    shuffle at the finest grain (the only one whose cardinality scales
+    with data); the coarser levels re-aggregate the keys-sized finest
+    result driver-side — rollup over an aggregate is itself additive,
+    so no second pass over the fact table ever happens."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(1.0, t.column("l_discount")))
+        return pa.table({"l_returnflag": t.column("l_returnflag"),
+                         "l_linestatus": t.column("l_linestatus"),
+                         "rev_c": _cents(rev)})
+
+    finest = (ds.map_batches(prep, batch_format="pyarrow")
+              .groupby(["l_returnflag", "l_linestatus"])
+              .aggregate(Sum("rev_c", alias_name="revenue_cents"),
+                         Count(alias_name="n_rows"))
+              .to_pandas())  # keys-sized: |returnflag|×|linestatus| rows
+    lvl1 = (finest.groupby("l_returnflag", as_index=False)
+            [["revenue_cents", "n_rows"]].sum()
+            .assign(l_linestatus="ALL"))
+    lvl0 = pd.DataFrame({
+        "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+        "revenue_cents": [finest["revenue_cents"].sum()],
+        "n_rows": [finest["n_rows"].sum()],
+    })
+    out = pd.concat([finest, lvl1, lvl0], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "revenue_cents", "n_rows"]]
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out.sort_values(["l_returnflag", "l_linestatus"],
+                           ignore_index=True)

@@ -1,0 +1,150 @@
+"""Round-4b operators — partition-frame window edges (FIRST/LAST_VALUE),
+exact grouped moments, ROLLUP — pinned against pandas/DuckDB references
+under forced multi-file inputs so every block boundary is exercised
+(the generic oracle test at sf0.001 reads one block per table)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from datacapsule_ray.pipelines import relational as r
+
+
+def _write_events(tmp_path, n=600, n_files=8, seed=7) -> str:
+    """A synthetic sf_dir whose events table is split across n_files
+    parquet fragments with users deliberately spanning fragments."""
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        # few users + shuffled file assignment => every user spans files
+        "user_id": rng.integers(0, 7, size=n).astype(np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 72 * 3600, size=n), unit="s"),
+        "event_type": rng.choice(["click", "view", "purchase"], size=n),
+        "value": rng.integers(0, 10000, size=n).astype(np.float64) / 100.0,
+        "props": ["{}"] * n,
+    })
+    d = os.path.join(tmp_path, "events.parquet")
+    os.makedirs(d, exist_ok=True)
+    order = rng.permutation(n)
+    for i, part in enumerate(np.array_split(order, n_files)):
+        pq.write_table(pa.Table.from_pandas(df.iloc[part],
+                                            preserve_index=False),
+                       os.path.join(d, f"part-{i}.parquet"))
+    return str(tmp_path), df
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    return _write_events(tmp_path_factory.mktemp("r4b"))
+
+
+def test_first_last_value_multiblock(events_dir):
+    sf_dir, df = events_dir
+    got = (r.user_first_last_value(sf_dir).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    srt = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    cents = (srt["value"] * 100).round().astype(np.int64)
+    g = pd.DataFrame({"user_id": srt["user_id"], "cents": cents}).groupby(
+        "user_id", sort=True)
+    want = pd.DataFrame({
+        "user_id": np.array(sorted(df["user_id"].unique()), dtype=np.int64),
+        "first_value_cents": g["cents"].first().to_numpy(),
+        "last_value_cents": g["cents"].last().to_numpy(),
+    })
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_first_last_value_single_user_spanning_all_blocks(tmp_path):
+    """One user across every fragment: the whole result rides the
+    driver fixup channel and must still pick the global first/last."""
+    n, n_files = 200, 10
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.zeros(n, dtype=np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(np.arange(n), unit="min"),
+        "event_type": ["click"] * n,
+        "value": np.linspace(1.0, 3.0, n).round(2),
+        "props": ["{}"] * n,
+    })
+    d = os.path.join(tmp_path, "events.parquet")
+    os.makedirs(d)
+    rng = np.random.default_rng(3)
+    order = rng.permutation(n)
+    for i, part in enumerate(np.array_split(order, n_files)):
+        pq.write_table(pa.Table.from_pandas(df.iloc[part],
+                                            preserve_index=False),
+                       os.path.join(d, f"part-{i}.parquet"))
+    got = r.user_first_last_value(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    assert got["first_value_cents"].iloc[0] == 100
+    assert got["last_value_cents"].iloc[0] == 300
+
+
+def test_events_value_stats_multiblock_vs_duckdb(events_dir):
+    sf_dir, df = events_dir
+    got = (r.events_value_stats(sf_dir).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.sql("""
+        WITH s AS (
+          SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(c) AS DOUBLE) AS sx, CAST(SUM(c*c) AS DOUBLE) AS sxx,
+                 CAST(SUM(h) AS DOUBLE) AS sh, CAST(SUM(h*h) AS DOUBLE) AS shh,
+                 CAST(SUM(c*h) AS DOUBLE) AS sxh
+          FROM (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS c,
+                       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h FROM events)
+          GROUP BY event_type)
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               CAST(sx AS BIGINT) AS sum_value_cents,
+               sqrt((n*sxx - sx*sx) / (n*(n-1))) AS stddev_cents,
+               (n*sxh - sx*sh) / sqrt((n*sxx - sx*sx) * (n*shh - sh*sh))
+                   AS corr_value_hour
+        FROM s ORDER BY event_type
+    """).df()
+    # bit-identical floats: both sides evaluate the same IEEE tree over
+    # the same exact integer sums (the hash-gate requirement)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_events_value_stats_matches_pandas_definitions(events_dir):
+    """The mirrored-sum formulas really are STDDEV_SAMP / CORR (up to
+    float tolerance) — guards against a silently wrong derivation."""
+    sf_dir, df = events_dir
+    got = (r.events_value_stats(sf_dir).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    cents = (df["value"] * 100).round().astype(np.int64)
+    hour = df["ts"].dt.hour.astype(np.int64)
+    by = pd.DataFrame({"event_type": df["event_type"], "c": cents,
+                       "h": hour}).groupby("event_type", sort=True)
+    np.testing.assert_allclose(got["stddev_cents"],
+                               by["c"].std(ddof=1), rtol=1e-12)
+    np.testing.assert_allclose(
+        got["corr_value_hour"],
+        by[["c", "h"]].apply(lambda g: g["c"].corr(g["h"])), rtol=1e-9)
+
+
+def test_revenue_rollup_levels_consistent():
+    sf_dir = "/root/testdata/sf0.001"
+    out = r.revenue_rollup(sf_dir)
+    finest = out[(out["l_returnflag"] != "ALL")
+                 & (out["l_linestatus"] != "ALL")]
+    lvl1 = out[(out["l_returnflag"] != "ALL")
+               & (out["l_linestatus"] == "ALL")]
+    total = out[(out["l_returnflag"] == "ALL")
+                & (out["l_linestatus"] == "ALL")]
+    assert len(total) == 1
+    assert finest["revenue_cents"].sum() == total["revenue_cents"].iloc[0]
+    assert lvl1["revenue_cents"].sum() == total["revenue_cents"].iloc[0]
+    assert finest["n_rows"].sum() == total["n_rows"].iloc[0]
+    # each returnflag subtotal equals the sum of its finest rows
+    for rf, grp in finest.groupby("l_returnflag"):
+        assert (lvl1.loc[lvl1["l_returnflag"] == rf, "revenue_cents"].iloc[0]
+                == grp["revenue_cents"].sum())
