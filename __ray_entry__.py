@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_mix_docs": docops.training_mix_docs,
         "incremental_dedup_docs": docops.incremental_dedup_docs,
         "ssjoin_ngram_docs": docops.ssjoin_ngram_docs,
+        # round 4b: C4-style sub-document (chunk) dedup, full SQL oracle
+        "doc_chunk_dedup": docops.doc_chunk_dedup,
         # non-SQL-expressible (LSH / IVF / multimodal / flagship KG):
         # rows-only driver check; semantics pinned by tests/
         "doc_rolling_fingerprints": docops.doc_rolling_fingerprints,
@@ -969,6 +971,32 @@ def oracle_sql() -> dict[str, str]:
             FROM grams g JOIN bench b ON g.g = b.g
             WHERE g.doc_id % 101 <> 0
             GROUP BY g.doc_id
+        """,
+        "doc_chunk_dedup": """
+            -- C4-style chunk dedup: 3-word disjoint windows; a chunk
+            -- occurring in >= 4 distinct docs is boilerplate and is
+            -- removed everywhere; docs reassemble from the survivors
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            chunks AS (
+              SELECT doc_id, i AS ci,
+                     array_to_string(w[(i*3+1):(i*3+3)], ' ') AS chunk
+              FROM toks,
+                   UNNEST(range(CAST(ceil(len(w)/3.0) AS BIGINT))) AS t(i)),
+            hot AS (
+              SELECT chunk FROM chunks
+              GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 4),
+            marked AS (
+              SELECT c.doc_id, c.ci, c.chunk,
+                     CASE WHEN h.chunk IS NULL THEN 1 ELSE 0 END AS keep
+              FROM chunks c LEFT JOIN hot h USING (chunk))
+            SELECT doc_id,
+                   string_agg(chunk, ' ' ORDER BY ci)
+                       FILTER (WHERE keep = 1) AS text_clean,
+                   CAST(SUM(keep) AS BIGINT) AS n_kept,
+                   CAST(SUM(1 - keep) AS BIGINT) AS n_removed
+            FROM marked GROUP BY doc_id
+            HAVING SUM(keep) > 0
         """,
         "docs_normalized": r"""
             SELECT doc_id,

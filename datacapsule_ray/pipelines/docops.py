@@ -756,3 +756,14 @@ def doc_quality_percentile_filter(sf_dir: str, num: int = 1,
                 .select(["doc_id", "n_tokens"]))
 
     return stats.map_batches(gate, batch_format="pyarrow")
+
+
+def doc_chunk_dedup(sf_dir: str) -> Dataset:
+    """C4-style sub-document dedup: drop every 3-word chunk whose exact
+    text occurs in >= 4 distinct docs (boilerplate removal), reassemble
+    the survivors in order (functions/chunkdedup.py — one df shuffle +
+    one sort exchange, hot set broadcast with a join fallback)."""
+    from ..functions.chunkdedup import chunk_dedup
+
+    return chunk_dedup(_docs(sf_dir, ["doc_id", "text"]),
+                       width=3, min_df=4)

@@ -148,3 +148,109 @@ def test_revenue_rollup_levels_consistent():
     for rf, grp in finest.groupby("l_returnflag"):
         assert (lvl1.loc[lvl1["l_returnflag"] == rf, "revenue_cents"].iloc[0]
                 == grp["revenue_cents"].sum())
+
+
+# --- chunk-level (C4-style) cross-corpus dedup ------------------------------
+
+def _write_docs(tmp_path, texts, n_files=4, seed=11):
+    import ray.data as rd  # noqa: F401 - parity with other fixtures
+    n = len(texts)
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": texts,
+        "lang": ["en"] * n,
+        "source": ["src0"] * n,
+        "n_chars": [len(t) for t in texts],
+    })
+    d = os.path.join(tmp_path, "documents.parquet")
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n)
+    for i, part in enumerate(np.array_split(order, n_files)):
+        pq.write_table(pa.Table.from_pandas(df.iloc[part],
+                                            preserve_index=False),
+                       os.path.join(d, f"part-{i}.parquet"))
+    return str(tmp_path), df
+
+
+def _chunk_ref(df, width=3, min_df=2):
+    """Sequential reference: per-doc disjoint word windows, drop chunks
+    in >= min_df distinct docs, reassemble."""
+    rows = []
+    for _, r_ in df.iterrows():
+        w = r_["text"].split(" ")
+        for ci in range(-(-len(w) // width)):
+            rows.append((r_["doc_id"], ci,
+                         " ".join(w[ci * width:(ci + 1) * width])))
+    cdf = pd.DataFrame(rows, columns=["doc_id", "ci", "chunk"])
+    dfreq = cdf.groupby("chunk")["doc_id"].nunique()
+    hot = set(dfreq[dfreq >= min_df].index)
+    cdf["keep"] = (~cdf["chunk"].isin(hot)).astype(int)
+    out = []
+    for doc, g in cdf.groupby("doc_id"):
+        g = g.sort_values("ci")
+        kept = g[g["keep"] == 1]["chunk"].tolist()
+        if kept:
+            out.append((doc, " ".join(kept), len(kept),
+                        int((g["keep"] == 0).sum())))
+    return pd.DataFrame(out, columns=["doc_id", "text_clean", "n_kept",
+                                      "n_removed"]).reset_index(drop=True)
+
+
+_BOILER = "copyright acme corp all rights reserved"  # 2 chunks at width 3
+
+
+@pytest.fixture(scope="module")
+def chunk_docs(tmp_path_factory):
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    texts = []
+    for i in range(40):
+        body = " ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+        texts.append(f"{_BOILER} {body}" if i % 3 == 0 else body)
+    texts.append(_BOILER)          # doc that is ONLY boilerplate → dropped
+    return _write_docs(tmp_path_factory.mktemp("chunks"), texts)
+
+
+def test_chunk_dedup_matches_reference(chunk_docs):
+    from datacapsule_ray.functions.chunkdedup import chunk_dedup
+    import ray.data as rd
+    sf_dir, df = chunk_docs
+    got = (chunk_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                       columns=["doc_id", "text"]),
+                       width=3, min_df=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = _chunk_ref(df, width=3, min_df=2)
+    pd.testing.assert_frame_equal(got, want)
+    # the pure-boilerplate doc is gone, the boilerplate never survives
+    assert 40 not in set(got["doc_id"])
+    assert not got["text_clean"].str.contains("copyright").any()
+
+
+def test_chunk_dedup_join_fallback_parity(chunk_docs):
+    """broadcast_limit=0 forces the distributed LEFT ANTI path; output
+    must be identical to the broadcast path."""
+    from datacapsule_ray.functions.chunkdedup import chunk_dedup
+    import ray.data as rd
+    sf_dir, df = chunk_docs
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    a = (chunk_dedup(ds, width=3, min_df=2)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (chunk_dedup(ds, width=3, min_df=2, broadcast_limit=0)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_chunk_dedup_no_hot_chunks(tmp_path):
+    """min_df above every df: output reassembles every doc unchanged."""
+    from datacapsule_ray.functions.chunkdedup import chunk_dedup
+    import ray.data as rd
+    texts = ["one two three four five", "six seven eight", "nine ten"]
+    sf_dir, df = _write_docs(tmp_path, texts, n_files=2)
+    got = (chunk_dedup(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                       columns=["doc_id", "text"]),
+                       width=3, min_df=99)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["text_clean"].tolist() == texts
+    assert (got["n_removed"] == 0).all()
