@@ -152,6 +152,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last_value": r.user_first_last_value,
         "events_value_stats": r.events_value_stats,
         "revenue_rollup": r.revenue_rollup,
+        "revenue_cube": r.revenue_cube,
+        "events_value_zscore": r.events_value_zscore,
+        "user_weekly_retention": r.user_weekly_retention,
+        "customers_with_orders": lambda sf_dir: _gather(
+            r.customers_with_orders(sf_dir)),
         "user_event_paths": r.user_event_paths,
         "events_in_windows": r.events_in_windows,
         "events_daily_pivot": r.events_daily_pivot,
@@ -658,6 +663,52 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "revenue_cube": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "events_value_zscore": """
+            -- mirrored IEEE tree over exact integer sums (see
+            -- events_value_stats)
+            WITH s AS (
+              SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(SUM(c) AS DOUBLE) AS sx,
+                     CAST(SUM(c*c) AS DOUBLE) AS sxx
+              FROM (SELECT event_type,
+                           CAST(ROUND(value*100) AS BIGINT) AS c
+                    FROM events)
+              GROUP BY event_type)
+            SELECT e.event_id,
+                   (CAST(CAST(ROUND(e.value*100) AS BIGINT) AS DOUBLE)
+                      - s.sx/s.n)
+                   / sqrt((s.n*s.sxx - s.sx*s.sx) / (s.n*(s.n-1)))
+                       AS value_z
+            FROM events e JOIN s USING (event_type)
+        """,
+        "user_weekly_retention": """
+            -- epoch-week = floor(epoch_days/7): pure integer bucketing,
+            -- immune to week-start conventions on both sides
+            WITH ev AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)/86400) AS BIGINT) // 7 AS week
+              FROM events),
+            firsts AS (
+              SELECT user_id, MIN(week) AS cohort_week
+              FROM ev GROUP BY user_id)
+            SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+                   COUNT(DISTINCT e.user_id) AS n_users
+            FROM ev e JOIN firsts f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders)
         """,
         "events_value_quantiles": """
             SELECT event_type,

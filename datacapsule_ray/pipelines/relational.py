@@ -1308,3 +1308,180 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
     out["n_rows"] = out["n_rows"].astype(np.int64)
     return out.sort_values(["l_returnflag", "l_linestatus"],
                            ignore_index=True)
+
+
+def customers_with_orders(sf_dir: str, num_partitions: int = 4) -> Dataset:
+    """Distributed SEMI join (the anti-join's sibling): customers that
+    placed at least one order, orders pre-deduped per batch so the
+    shuffle ships distinct keys. Dataset out, laundered like
+    ``customers_without_orders``."""
+    from ..traverse import drop_empty_blocks
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        keys = pd.unique(t.column("o_custkey").to_numpy(zero_copy_only=False))
+        return pa.table({"o_custkey": pa.array(keys, type=pa.int64())})
+
+    okeys = _t(sf_dir, "orders", ["o_custkey"]).map_batches(
+        local_distinct, batch_format="pyarrow", batch_size=65536)
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = cust.join(okeys, join_type="left_semi",
+                    num_partitions=num_partitions,
+                    on=("c_custkey",), right_on=("o_custkey",))
+    out = out.map_batches(
+        lambda t: t.select(["c_custkey", "c_name"]), batch_format="pyarrow")
+    return drop_empty_blocks(out, pa.schema([("c_custkey", pa.int64()),
+                                             ("c_name", pa.string())]))
+
+
+def _epoch_week(ts_col) -> np.ndarray:
+    """Epoch-week index (floor(epoch_days / 7), Thursday-anchored) —
+    pure integer arithmetic so the SQL mirror (`epoch(ts)` division)
+    can never diverge on week-start conventions."""
+    days = ts_col.to_numpy(zero_copy_only=False).astype(
+        "datetime64[D]").astype(np.int64)
+    return days // 7
+
+
+def user_weekly_retention(sf_dir: str, num_partitions: int = 4) -> Dataset:
+    """Cohort retention: users grouped by their first-activity week,
+    counted per week offset — the classic analytics pipeline shape:
+
+    1. per-user cohort week: per-batch partial MIN(week), then a
+       users-sized groupby Min;
+    2. events ⋈ cohorts as a distributed hash join on user_id (the
+       cohort table is user-sized — broadcastable at bench scale but
+       user tables at 100 TB are fact-sized, so it stays a join);
+    3. COUNT(DISTINCT user) per (cohort_week, week_offset): local
+       distinct triples inside map_batches, then the two-stage
+       distinct-count groupby (``distinct_users_by_type`` pattern).
+    """
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def week_partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        wk = _epoch_week(t.column("ts"))
+        df = pd.DataFrame({"user_id": uid, "w": wk})
+        g = df.groupby("user_id", sort=False)["w"].min()
+        return pa.table({"user_id": pa.array(g.index.to_numpy()),
+                         "cohort_week": pa.array(g.to_numpy())})
+
+    cohorts = (ds.map_batches(week_partial, batch_format="pyarrow")
+               .groupby("user_id")
+               .aggregate(Min("cohort_week", alias_name="cohort_week")))
+
+    def to_weeks(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "week": pa.array(_epoch_week(t.column("ts")))})
+
+    from ..traverse import drop_empty_blocks as _deb
+
+    # launder: received-nothing join partitions are schema-less empty
+    # blocks that poison the downstream groupby partitioner
+    joined = _deb(ds.map_batches(to_weeks, batch_format="pyarrow").join(
+        cohorts, join_type="inner", num_partitions=num_partitions,
+        on=("user_id",)))
+
+    def local_triples(t: pa.Table) -> pa.Table:
+        off = pc.subtract(t.column("week"), t.column("cohort_week"))
+        trip = pa.table({"cohort_week": t.column("cohort_week"),
+                         "week_offset": off,
+                         "user_id": t.column("user_id")})
+        return trip.group_by(["cohort_week", "week_offset", "user_id"],
+                             use_threads=False).aggregate([])
+
+    triples = joined.map_batches(local_triples, batch_format="pyarrow")
+    return (triples.groupby(["cohort_week", "week_offset", "user_id"])
+            .count()
+            .map_batches(lambda t: t.select(
+                ["cohort_week", "week_offset", "user_id"]),
+                batch_format="pyarrow")
+            .groupby(["cohort_week", "week_offset"]).count()
+            .map_batches(lambda t: t.rename_columns(
+                ["cohort_week", "week_offset", "n_users"]),
+                batch_format="pyarrow"))
+
+
+def events_value_zscore(sf_dir: str) -> Dataset:
+    """Per-row feature normalization: z-score of value-in-cents within
+    its event_type — the training-data feature-scaling op. Two passes:
+    exact integer (n, Σc, Σc²) per type (keys-sized), broadcast to a
+    streaming map. Float math mirrors the oracle token-for-token over
+    the exact sums, so rows are bit-identical to SQL."""
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        denc = et.dictionary_encode()
+        idx = denc.indices.to_numpy(zero_copy_only=False)
+        k = len(denc.dictionary)
+        return pa.table({
+            "event_type": denc.dictionary,
+            "n": pa.array(np.bincount(idx, minlength=k).astype(np.int64)),
+            "sx": pa.array(np.bincount(idx, weights=c, minlength=k)
+                           .astype(np.int64)),
+            "sxx": pa.array(np.bincount(idx, weights=c * c, minlength=k)
+                            .astype(np.int64)),
+        })
+
+    stats = (ds.map_batches(moments, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sx", alias_name="sx"),
+                        Sum("sxx", alias_name="sxx"))
+             .to_pandas())  # keys-sized
+    lut = {row.event_type: (float(row.n), float(row.sx), float(row.sxx))
+           for row in stats.itertuples()}
+
+    def z(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        n = np.empty(len(c)); sx = np.empty(len(c)); sxx = np.empty(len(c))
+        for ty, (tn, tsx, tsxx) in lut.items():
+            m = et == ty
+            n[m], sx[m], sxx[m] = tn, tsx, tsxx
+        zs = ((c.astype(np.float64) - sx / n)
+              / np.sqrt((n * sxx - sx * sx) / (n * (n - 1))))
+        return pa.table({"event_id": t.column("event_id"),
+                         "value_z": pa.array(zs)})
+
+    return ds.map_batches(z, batch_format="pyarrow")
+
+
+def revenue_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(l_returnflag, l_linestatus): the full lattice —
+    finest + both one-dimension subtotals + grand total, all derived
+    from ONE finest-grain shuffle (cube over an additive aggregate
+    re-aggregates the keys-sized finest result)."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(1.0, t.column("l_discount")))
+        return pa.table({"l_returnflag": t.column("l_returnflag"),
+                         "l_linestatus": t.column("l_linestatus"),
+                         "rev_c": _cents(rev)})
+
+    finest = (ds.map_batches(prep, batch_format="pyarrow")
+              .groupby(["l_returnflag", "l_linestatus"])
+              .aggregate(Sum("rev_c", alias_name="revenue_cents"),
+                         Count(alias_name="n_rows"))
+              .to_pandas())
+    by_rf = (finest.groupby("l_returnflag", as_index=False)
+             [["revenue_cents", "n_rows"]].sum().assign(l_linestatus="ALL"))
+    by_ls = (finest.groupby("l_linestatus", as_index=False)
+             [["revenue_cents", "n_rows"]].sum().assign(l_returnflag="ALL"))
+    total = pd.DataFrame({
+        "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+        "revenue_cents": [finest["revenue_cents"].sum()],
+        "n_rows": [finest["n_rows"].sum()],
+    })
+    out = pd.concat([finest, by_rf, by_ls, total], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "revenue_cents", "n_rows"]]
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out.sort_values(["l_returnflag", "l_linestatus"],
+                           ignore_index=True)

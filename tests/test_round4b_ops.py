@@ -254,3 +254,79 @@ def test_chunk_dedup_no_hot_chunks(tmp_path):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert got["text_clean"].tolist() == texts
     assert (got["n_removed"] == 0).all()
+
+
+# --- cohort retention / z-score / CUBE / semi-join --------------------------
+
+def test_weekly_retention_multiblock(events_dir):
+    sf_dir, df = events_dir
+    got = (r.user_weekly_retention(sf_dir).to_pandas()
+           .sort_values(["cohort_week", "week_offset"])
+           .reset_index(drop=True))
+    week = (df["ts"].values.astype("datetime64[D]").astype(np.int64) // 7)
+    tmp = pd.DataFrame({"user_id": df["user_id"], "week": week})
+    firsts = tmp.groupby("user_id")["week"].min().rename("cohort_week")
+    j = tmp.join(firsts, on="user_id")
+    j["week_offset"] = j["week"] - j["cohort_week"]
+    want = (j.groupby(["cohort_week", "week_offset"])["user_id"].nunique()
+            .rename("n_users").reset_index()
+            .sort_values(["cohort_week", "week_offset"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # sanity: week-0 retention covers every user exactly once per cohort
+    assert (got.groupby("cohort_week").apply(
+        lambda g: g.loc[g["week_offset"] == g["week_offset"].min(),
+                        "n_users"].iloc[0] > 0,
+        include_groups=False)).all()
+
+
+def test_zscore_multiblock_bitexact(events_dir):
+    sf_dir, df = events_dir
+    got = (r.events_value_zscore(sf_dir).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.sql("""
+        WITH s AS (
+          SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(c) AS DOUBLE) AS sx, CAST(SUM(c*c) AS DOUBLE) AS sxx
+          FROM (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS c
+                FROM events) GROUP BY event_type)
+        SELECT e.event_id,
+               (CAST(CAST(ROUND(e.value*100) AS BIGINT) AS DOUBLE) - s.sx/s.n)
+               / sqrt((s.n*s.sxx - s.sx*s.sx) / (s.n*(s.n-1))) AS value_z
+        FROM events e JOIN s USING (event_type) ORDER BY e.event_id
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # and it really is a z-score: per-type mean ~0, sample std ~1
+    z = got.set_index("event_id")["value_z"]
+    by = df.set_index("event_id").loc[z.index, "event_type"]
+    for _, grp in z.groupby(by.values):
+        assert abs(grp.mean()) < 1e-9
+        assert abs(grp.std(ddof=1) - 1.0) < 1e-9
+
+
+def test_cube_is_rollup_plus_linestatus_level():
+    cube = r.revenue_cube("/root/testdata/sf0.001")
+    roll = r.revenue_rollup("/root/testdata/sf0.001")
+    # the rollup rows are a subset; the extra level is (ALL, linestatus)
+    merged = cube.merge(roll, how="outer", indicator=True,
+                        on=list(cube.columns))
+    extra = merged[merged["_merge"] == "left_only"]
+    assert (extra["l_returnflag"] == "ALL").all()
+    assert (extra["l_linestatus"] != "ALL").all()
+    total = cube[(cube["l_returnflag"] == "ALL")
+                 & (cube["l_linestatus"] == "ALL")]
+    assert extra["revenue_cents"].sum() == total["revenue_cents"].iloc[0]
+
+
+def test_semi_anti_partition_customers():
+    """semi ∪ anti = all customers, semi ∩ anti = ∅."""
+    from datacapsule_ray.traverse import gather_table
+    sf = "/root/testdata/sf0.001"
+    witho = gather_table(r.customers_with_orders(sf)).to_pandas()
+    without = gather_table(r.customers_without_orders(sf)).to_pandas()
+    import pyarrow.parquet as _pq
+    n_cust = _pq.read_metadata(f"{sf}/customer.parquet").num_rows
+    assert len(witho) + len(without) == n_cust
+    assert not set(witho["c_custkey"]) & set(without["c_custkey"])
