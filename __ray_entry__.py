@@ -200,6 +200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ssjoin_ngram_docs": docops.ssjoin_ngram_docs,
         # round 4b: C4-style sub-document (chunk) dedup, full SQL oracle
         "doc_chunk_dedup": docops.doc_chunk_dedup,
+        # Bloom membership pre-filter composed with the exact verify —
+        # output-identical to incremental_dedup_docs, same oracle
+        "incremental_dedup_bloom": docops.incremental_dedup_bloom,
         # non-SQL-expressible (LSH / IVF / multimodal / flagship KG):
         # rows-only driver check; semantics pinned by tests/
         "doc_rolling_fingerprints": docops.doc_rolling_fingerprints,
@@ -342,7 +345,7 @@ SELECT c_name, 'placed', 'order-' || CAST(o_orderkey AS VARCHAR)
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
@@ -1152,3 +1155,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
     }
+    # the bloom pre-filter variant is output-identical to the plain
+    # anti-join (false positives only cost verify work) — same oracle
+    out["incremental_dedup_bloom"] = out["incremental_dedup_docs"]
+    return out

@@ -330,3 +330,52 @@ def test_semi_anti_partition_customers():
     n_cust = _pq.read_metadata(f"{sf}/customer.parquet").num_rows
     assert len(witho) + len(without) == n_cust
     assert not set(witho["c_custkey"]) & set(without["c_custkey"])
+
+
+# --- Bloom membership sketch -------------------------------------------------
+
+def test_bloom_no_false_negatives_and_sane_fp_rate():
+    from datacapsule_ray.functions.bloom import (bloom_contains,
+                                                 _hash_pairs,
+                                                 _probe_positions)
+    import numpy as np
+    members = pa.array([f"member-{i}" for i in range(500)])
+    others = pa.array([f"other-{i}" for i in range(5000)])
+    n_bits, k = 1 << 12, 4  # deliberately tight: ~8 bits/key
+    bm = np.zeros(n_bits // 8, dtype=np.uint8)
+    pos = _probe_positions(_hash_pairs(members), n_bits, k).reshape(-1)
+    np.bitwise_or.at(bm, (pos >> np.uint64(3)).astype(np.int64),
+                     (1 << (pos & np.uint64(7))).astype(np.uint8))
+    assert bloom_contains(bm, members, k=k).all()          # never FN
+    fp = bloom_contains(bm, others, k=k).mean()
+    assert 0 < fp < 0.3  # tight filter DOES false-positive, but sanely
+
+
+def test_incremental_dedup_bloom_matches_plain_with_planted_dups(tmp_path):
+    """Planted cross-parity dups force the bloom-hit branch and the
+    exact verification join; output must equal the plain anti-join."""
+    from datacapsule_ray.pipelines.docops import (incremental_dedup_bloom,
+                                                  incremental_dedup_docs)
+    rng = np.random.default_rng(9)
+    vocab = ["red", "blue", "green", "gold"]
+    texts = [" ".join(rng.choice(vocab, size=6)) + f" u{i}"
+             for i in range(60)]
+    for odd in (1, 7, 21, 33):          # odd doc duplicates an even doc
+        texts[odd] = texts[odd - 1]
+    sf_dir, _ = _write_docs(tmp_path, texts, n_files=3)
+    a = (incremental_dedup_docs(sf_dir).to_pandas()["doc_id"]
+         .sort_values().tolist())
+    b = (incremental_dedup_bloom(sf_dir).to_pandas()["doc_id"]
+         .sort_values().tolist())
+    assert a == b
+    assert 1 not in b and 7 not in b and 21 not in b and 33 not in b
+    assert 3 in b  # a non-dup odd doc survives
+
+
+def test_bloom_build_merges_across_blocks():
+    from datacapsule_ray.functions.bloom import bloom_build, bloom_contains
+    import ray.data as rd
+    vals = [f"v{i}" for i in range(300)]
+    ds = rd.from_arrow(pa.table({"s": pa.array(vals)})).repartition(7)
+    bm = bloom_build(ds, "s")
+    assert bloom_contains(bm, pa.array(vals)).all()
