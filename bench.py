@@ -157,6 +157,14 @@ def run_bench() -> dict:
     timed("incremental_dedup_docs", docops.incremental_dedup_docs)
     timed("ssjoin_ngram_docs", docops.ssjoin_ngram_docs)
 
+    # round 4b: chunk-level sub-document dedup, bloom-prefiltered
+    # incremental dedup, cohort retention, z-score, window edges
+    timed("doc_chunk_dedup", docops.doc_chunk_dedup)
+    timed("incremental_dedup_bloom", docops.incremental_dedup_bloom)
+    timed("user_weekly_retention", r.user_weekly_retention)
+    timed("events_value_zscore", r.events_value_zscore)
+    timed("user_first_last_value", r.user_first_last_value)
+
     # serving-side data operators (round 2): judge stage over doc
     # pairs, agent batch inference over the relational KG, and the full
     # interaction-store lifecycle (ingest + tombstones + upsert + page)
