@@ -1,0 +1,140 @@
+"""Distributed PageRank in exact fixed-point integer arithmetic — the
+graph-centrality member of the graph-analytics family (degree G2,
+traversal J3, connected components in functions/dedup.py). Web-corpus
+pipelines weight documents by link centrality (harmonic/PageRank over
+the host graph); this is that operator over any (src, dst) edge table.
+
+Fixed-point spec (what makes a DISTRIBUTED PageRank oracle-checkable):
+
+    pr_0(v)    = unit                       (integer mass per node)
+    pr_k+1(v)  = floor(0.15 * unit)
+               + Σ_{u→v} floor(pr_k(u) * 85 // (100 * outdeg(u)))
+
+All arithmetic is int64: sums are order-independent, so the result is
+bit-identical however Ray partitions the shuffle — and expressible in
+SQL as ``//`` integer division, giving a FULL DuckDB oracle (floating
+PageRank sums contributions in nondeterministic order and could never
+hash-match). Floor division leaks ≤1/unit of mass per edge per
+iteration and dangling nodes leak their whole damped mass — both are
+part of the spec, identical on both sides.
+
+Plan shape per iteration (the Pregel-via-joins pattern):
+  edges⋈outdeg is joined ONCE (static); each iteration is one hash
+  join (pr on src) + one groupby-sum (contributions on dst) + one left
+  join back to the node set. O(iters) shuffles of edge-sized tables,
+  nothing driver-resident.
+
+Overflow bound: pr(v) ≤ N·unit; contribution products ≤ pr·85 —
+int64-safe to N·unit ≈ 10^17 (e.g. 10^8 nodes at unit=10^9)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+UNIT = 1_000_000_000
+
+
+def pagerank_fixed(edges: Dataset, *, src_col: str = "src",
+                   dst_col: str = "dst", iters: int = 3,
+                   unit: int = UNIT, num_partitions: int = 4) -> Dataset:
+    """(node, pr) after ``iters`` fixed-point iterations."""
+    import ray.data as rd
+
+    from ..traverse import drop_empty_blocks as _deb
+
+    base = (15 * unit) // 100
+
+    def pick(cols: dict[str, str]):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({new: t.column(old) for old, new in cols.items()})
+        return fn
+
+    # pin the working set: everything below reads the edge table 3+
+    # times (outdeg, node set, per-iteration contribution joins) and
+    # iterative reuse without materialize re-executes the upstream
+    # pipeline once per consumer per iteration (the functions/
+    # clustering.py projection convention)
+    e = edges.map_batches(pick({src_col: "src", dst_col: "dst"}),
+                          batch_format="pyarrow").materialize()
+
+    def local_distinct(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return (t.select([col]).group_by([col], use_threads=False)
+                    .aggregate([]))
+        return fn
+
+    nodes = _deb(
+        e.map_batches(local_distinct("src"), batch_format="pyarrow")
+        .map_batches(pick({"src": "node"}), batch_format="pyarrow")
+        .union(e.map_batches(local_distinct("dst"), batch_format="pyarrow")
+               .map_batches(pick({"dst": "node"}), batch_format="pyarrow"))
+        .groupby("node").count()
+        .map_batches(lambda t: t.select(["node"]), batch_format="pyarrow"),
+        pa.schema([("node", pa.string())]))
+
+    outdeg = e.groupby("src").count().map_batches(
+        lambda t: t.rename_columns(["src", "outdeg"]),
+        batch_format="pyarrow")
+    # static across iterations: join the degree onto the edges once
+    e_deg = _deb(e.join(outdeg, join_type="inner",
+                        num_partitions=num_partitions, on=("src",)))
+
+    def init_pr(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "pr": pa.array(np.full(t.num_rows, unit,
+                                                dtype=np.int64))})
+
+    pr = nodes.map_batches(init_pr, batch_format="pyarrow")
+    if iters <= 0:
+        return pr
+
+    # nodes with NO in-edges receive no contribution ever: their pr is
+    # the constant `base` after every iteration ≥ 1. Computing that set
+    # ONCE (anti-join against the distinct-dst side) replaces the
+    # per-iteration nodes-LEFT-JOIN-contributions exchange with a lazy
+    # union — one hash join per iteration instead of two.
+    dsts = _deb(e.map_batches(local_distinct("dst"), batch_format="pyarrow")
+                .groupby("dst").count()
+                .map_batches(lambda t: t.select(["dst"]),
+                             batch_format="pyarrow"),
+                pa.schema([("dst", pa.string())]))
+
+    def base_pr(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "pr": pa.array(np.full(t.num_rows, base,
+                                                dtype=np.int64))})
+
+    no_in = _deb(nodes.join(dsts, join_type="left_anti",
+                            num_partitions=num_partitions,
+                            on=("node",), right_on=("dst",))
+                 .map_batches(base_pr, batch_format="pyarrow"),
+                 pa.schema([("node", pa.string()), ("pr", pa.int64())]))
+
+    for _ in range(iters):
+        j = _deb(e_deg.join(pr, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=("src",), right_on=("node",)))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            p = t.column("pr").to_numpy(zero_copy_only=False)
+            d = t.column("outdeg").to_numpy(zero_copy_only=False)
+            return pa.table({"dst": t.column("dst"),
+                             "c": pa.array((p * 85) // (100 * d))})
+
+        def apply_base(t: pa.Table) -> pa.Table:
+            t = t.rename_columns(["node", "c"])
+            return pa.table({"node": t.column("node"),
+                             "pr": pc.add(pc.cast(t.column("c"), pa.int64()),
+                                          pa.scalar(base, type=pa.int64()))})
+
+        with_in = _deb(
+            j.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst").sum("c")
+            .map_batches(apply_base, batch_format="pyarrow"),
+            pa.schema([("node", pa.string()), ("pr", pa.int64())]))
+        pr = with_in.union(no_in)
+    return pr

@@ -1485,3 +1485,16 @@ def revenue_cube(sf_dir: str) -> pd.DataFrame:
     out["n_rows"] = out["n_rows"].astype(np.int64)
     return out.sort_values(["l_returnflag", "l_linestatus"],
                            ignore_index=True)
+
+
+def kg_rel_pagerank(sf_dir: str, iters: int = 3) -> Dataset:
+    """Fixed-point integer PageRank over the relational KG edge table
+    (the kg_rel_triples containment graph) — graph centrality as a
+    first-class distributed operator (functions/pagerank.py), with a
+    FULL unrolled-CTE SQL oracle because every step is int64."""
+    from ..functions.pagerank import pagerank_fixed
+
+    edges = kg_rel_triples(sf_dir).map_batches(
+        lambda t: t.select(["subj", "obj"]), batch_format="pyarrow")
+    return pagerank_fixed(edges, src_col="subj", dst_col="obj",
+                          iters=iters)

@@ -379,3 +379,62 @@ def test_bloom_build_merges_across_blocks():
     ds = rd.from_arrow(pa.table({"s": pa.array(vals)})).repartition(7)
     bm = bloom_build(ds, "s")
     assert bloom_contains(bm, pa.array(vals)).all()
+
+
+# --- fixed-point integer PageRank -------------------------------------------
+
+def _pagerank_ref(edges, iters=3, unit=10**9):
+    """Sequential reference of the fixed-point spec."""
+    from collections import defaultdict
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    base = (15 * unit) // 100
+    pr = {n: unit for n in nodes}
+    for _ in range(iters):
+        nxt = {n: base for n in nodes}
+        for s, d in edges:
+            nxt[d] += (pr[s] * 85) // (100 * outdeg[s])
+        pr = nxt
+    return pr
+
+
+@pytest.mark.parametrize("n_blocks", [1, 5])
+def test_pagerank_matches_sequential_reference(n_blocks):
+    from datacapsule_ray.functions.pagerank import pagerank_fixed
+    import ray.data as rd
+    rng = np.random.default_rng(17)
+    names = [f"n{i}" for i in range(40)]
+    edges = sorted({(names[a], names[b])
+                    for a, b in rng.integers(0, 40, size=(300, 2))
+                    if a != b})
+    # a dangling node (out-edges none, in-edges some) and a pure source
+    edges.append(("n0", "sink"))
+    edges.append(("source_only", "n1"))
+    ds = rd.from_arrow(pa.table({
+        "src": [s for s, _ in edges], "dst": [d for _, d in edges],
+    })).repartition(n_blocks)
+    got = (pagerank_fixed(ds, src_col="src", dst_col="dst", iters=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    ref = _pagerank_ref(edges)
+    want = (pd.DataFrame({"node": list(ref), "pr": list(ref.values())})
+            .sort_values("node").reset_index(drop=True))
+    want["pr"] = want["pr"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
+    # dangling sink keeps receiving; pure source settles at base
+    assert ref["source_only"] == 150000000
+
+
+def test_pagerank_mass_is_conserved_up_to_floor_loss():
+    """Total pr stays <= N*unit and > damped lower bound: floor loss
+    and dangling leakage only ever REMOVE mass (spec sanity)."""
+    from datacapsule_ray.functions.pagerank import pagerank_fixed
+    import ray.data as rd
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    ds = rd.from_arrow(pa.table({"src": [s for s, _ in edges],
+                                 "dst": [d for _, d in edges]}))
+    got = pagerank_fixed(ds, iters=3).to_pandas()
+    unit = 10**9
+    assert got["pr"].sum() <= 3 * unit
+    assert got["pr"].sum() > int(3 * unit * 0.5)
