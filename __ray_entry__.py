@@ -157,6 +157,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_weekly_retention": r.user_weekly_retention,
         "customers_with_orders": lambda sf_dir: _gather(
             r.customers_with_orders(sf_dir)),
+        # gate adapters: set differences can be EMPTY on the driver
+        # tables and Dataset.to_pandas() drops an empty result's schema
+        "users_click_and_purchase": lambda sf_dir: _gather(
+            r.users_click_and_purchase(sf_dir)),
+        "users_click_not_purchase": lambda sf_dir: _gather(
+            r.users_click_not_purchase(sf_dir)),
+        "events_value_mad": r.events_value_mad,
+        "events_in_windows_dist": r.events_in_windows_dist,
         "user_event_paths": r.user_event_paths,
         "events_in_windows": r.events_in_windows,
         "events_daily_pivot": r.events_daily_pivot,
@@ -1209,4 +1217,31 @@ def oracle_sql() -> dict[str, str]:
     # the bloom pre-filter variant is output-identical to the plain
     # anti-join (false positives only cost verify work) — same oracle
     out["incremental_dedup_bloom"] = out["incremental_dedup_docs"]
+    # the bucketed distributed range join is output-identical to the
+    # broadcast variant — same oracle
+    out["events_in_windows_dist"] = out["events_in_windows"]
+    out["users_click_and_purchase"] = """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """
+    out["users_click_not_purchase"] = """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """
+    out["events_value_mad"] = """
+        -- robust stats: median + median-absolute-deviation, both via
+        -- discrete (exact) quantiles over integer cents
+        WITH m AS (
+          SELECT event_type,
+                 quantile_disc(CAST(ROUND(value*100) AS BIGINT), 0.5)
+                     AS med
+          FROM events GROUP BY event_type)
+        SELECT e.event_type, m.med AS median_cents,
+               quantile_disc(abs(CAST(ROUND(e.value*100) AS BIGINT)
+                                 - m.med), 0.5) AS mad_cents
+        FROM events e JOIN m USING (event_type)
+        GROUP BY e.event_type, m.med
+    """
     return out

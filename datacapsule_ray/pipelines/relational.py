@@ -1498,3 +1498,139 @@ def kg_rel_pagerank(sf_dir: str, iters: int = 3) -> Dataset:
         lambda t: t.select(["subj", "obj"]), batch_format="pyarrow")
     return pagerank_fixed(edges, src_col="subj", dst_col="obj",
                           iters=iters)
+
+
+def _distinct_users_of(sf_dir: str, event_type: str) -> Dataset:
+    """Globally distinct user_ids having an event of the given type:
+    per-batch local dedup, then one keys-sized groupby."""
+    from ..traverse import drop_empty_blocks
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), event_type))
+        keys = pd.unique(t.column("user_id").to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": pa.array(keys, type=pa.int64())})
+
+    return drop_empty_blocks(
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("user_id").count()
+        .map_batches(lambda t: t.select(["user_id"]),
+                     batch_format="pyarrow"),
+        pa.schema([("user_id", pa.int64())]))
+
+
+def users_click_and_purchase(sf_dir: str, num_partitions: int = 2
+                             ) -> Dataset:
+    """Set INTERSECT as distributed distinct + SEMI join (both sides
+    pre-deduped, so the shuffle ships user sets, not event streams)."""
+    from ..traverse import drop_empty_blocks
+
+    clicks = _distinct_users_of(sf_dir, "click")
+    purch = _distinct_users_of(sf_dir, "purchase").map_batches(
+        lambda t: t.rename_columns(["p_user"]), batch_format="pyarrow")
+    out = clicks.join(purch, join_type="left_semi",
+                      num_partitions=num_partitions,
+                      on=("user_id",), right_on=("p_user",))
+    return drop_empty_blocks(out, pa.schema([("user_id", pa.int64())]))
+
+
+def users_click_not_purchase(sf_dir: str, num_partitions: int = 2
+                             ) -> Dataset:
+    """Set EXCEPT as distributed distinct + ANTI join."""
+    from ..traverse import drop_empty_blocks
+
+    clicks = _distinct_users_of(sf_dir, "click")
+    purch = _distinct_users_of(sf_dir, "purchase").map_batches(
+        lambda t: t.rename_columns(["p_user"]), batch_format="pyarrow")
+    out = clicks.join(purch, join_type="left_anti",
+                      num_partitions=num_partitions,
+                      on=("user_id",), right_on=("p_user",))
+    return drop_empty_blocks(out, pa.schema([("user_id", pa.int64())]))
+
+
+def events_value_mad(sf_dir: str) -> pd.DataFrame:
+    """Grouped robust statistics: median and median-absolute-deviation
+    of value-in-cents per event_type, composed from TWO passes of the
+    exact distributed value histogram (functions/quantiles.py): pass 1
+    finds the median, which broadcasts (keys-sized) into the absolute-
+    deviation map, pass 2 takes the median of |c - med|."""
+    from ..functions.quantiles import grouped_exact_quantiles
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": _cents(t.column("value"))})
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    med = grouped_exact_quantiles(cents, "event_type", "cents",
+                                  [(1, 2, "median_cents")])
+    lut = dict(zip(med["event_type"], med["median_cents"].astype(np.int64)))
+
+    def absdev(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        m = np.empty(len(c), dtype=np.int64)
+        for ty, tm in lut.items():
+            m[et == ty] = tm
+        return pa.table({"event_type": t.column("event_type"),
+                         "absdev": pa.array(np.abs(c - m))})
+
+    mad = grouped_exact_quantiles(cents.map_batches(absdev,
+                                                    batch_format="pyarrow"),
+                                  "event_type", "absdev",
+                                  [(1, 2, "mad_cents")])
+    out = med.merge(mad, on="event_type")
+    out["median_cents"] = out["median_cents"].astype(np.int64)
+    out["mad_cents"] = out["mad_cents"].astype(np.int64)
+    return out.sort_values("event_type", ignore_index=True)
+
+
+def events_in_windows_dist(sf_dir: str, num_partitions: int = 4) -> Dataset:
+    """The DISTRIBUTED range join (events_in_windows' scale path for
+    when the interval side outgrows a broadcast): both sides bucket by
+    day — intervals replicate into every bucket they overlap (factor 1
+    here; a flat-map in general) — then a bucket-hash join + residual
+    bound filter. Shares events_in_windows' oracle: same output."""
+    from ..traverse import drop_empty_blocks
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "event_type"])
+    bounds = _parquet_column_bounds(f"{sf_dir}/events.parquet", "ts")
+    if bounds is None:
+        bounds = (ev.min("ts"), ev.max("ts"))
+    lo = pd.Timestamp(bounds[0]).normalize()
+    hi = pd.Timestamp(bounds[1]).normalize()
+    days = pd.date_range(lo, hi, freq="D")
+    wtab = pa.table({
+        "bucket": pa.array(days.to_numpy().astype("datetime64[D]")
+                           .astype(np.int64)),
+        # timestamp[us]: match the events ts unit (and the oracle's)
+        "window_start": pa.array((days + pd.Timedelta(hours=2)).to_numpy()
+                                 .astype("datetime64[us]")),
+        "window_end": pa.array((days + pd.Timedelta(hours=3)).to_numpy()
+                               .astype("datetime64[us]")),
+    })
+    wds = rd.from_arrow(wtab)
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        b = (t.column("ts").to_numpy(zero_copy_only=False)
+             .astype("datetime64[D]").astype(np.int64))
+        return t.append_column("bucket", pa.array(b))
+
+    joined = ev.map_batches(with_bucket, batch_format="pyarrow").join(
+        wds, join_type="inner", num_partitions=num_partitions,
+        on=("bucket",))
+
+    def in_bounds(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        ok = pc.and_(pc.greater_equal(ts, t.column("window_start")),
+                     pc.less(ts, t.column("window_end")))
+        return t.filter(ok).select(
+            ["event_id", "ts", "event_type", "window_start"])
+
+    out = joined.map_batches(in_bounds, batch_format="pyarrow")
+    return drop_empty_blocks(out, pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("event_type", pa.string()), ("window_start", pa.timestamp("us")),
+    ]))

@@ -438,3 +438,71 @@ def test_pagerank_mass_is_conserved_up_to_floor_loss():
     unit = 10**9
     assert got["pr"].sum() <= 3 * unit
     assert got["pr"].sum() > int(3 * unit * 0.5)
+
+
+# --- set ops / MAD / distributed range join ---------------------------------
+
+@pytest.fixture(scope="module")
+def setop_events(tmp_path_factory):
+    """Synthetic events where the click/purchase user sets genuinely
+    differ (the driver tables are degenerate: every user does both)."""
+    n = 300
+    rng = np.random.default_rng(23)
+    uid = rng.integers(0, 30, size=n).astype(np.int64)
+    et = np.where(uid < 10, "click",            # 0-9 click only
+                  np.where(uid < 20, "purchase",  # 10-19 purchase only
+                           rng.choice(["click", "purchase"], size=n)))
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": uid,
+        "ts": pd.Timestamp("2024-03-01")
+        + pd.to_timedelta(rng.integers(0, 96 * 3600, size=n), unit="s"),
+        "event_type": et,
+        "value": rng.integers(0, 5000, size=n).astype(np.float64) / 100.0,
+        "props": ["{}"] * n,
+    })
+    tmp = tmp_path_factory.mktemp("setops")
+    d = os.path.join(tmp, "events.parquet")
+    os.makedirs(d)
+    order = rng.permutation(n)
+    for i, part in enumerate(np.array_split(order, 5)):
+        pq.write_table(pa.Table.from_pandas(df.iloc[part],
+                                            preserve_index=False),
+                       os.path.join(d, f"part-{i}.parquet"))
+    return str(tmp), df
+
+
+def test_set_ops_intersect_except(setop_events):
+    sf_dir, df = setop_events
+    clicks = set(df.loc[df.event_type == "click", "user_id"])
+    purch = set(df.loc[df.event_type == "purchase", "user_id"])
+    both = sorted(r.users_click_and_purchase(sf_dir)
+                  .to_pandas()["user_id"])
+    only = sorted(r.users_click_not_purchase(sf_dir)
+                  .to_pandas()["user_id"])
+    assert both == sorted(clicks & purch)
+    assert only == sorted(clicks - purch)
+    assert only and both  # non-degenerate fixture
+
+
+def test_events_value_mad_matches_reference(setop_events):
+    sf_dir, df = setop_events
+    got = r.events_value_mad(sf_dir)
+    cents = (df["value"] * 100).round().astype(np.int64)
+    for _, row in got.iterrows():
+        c = np.sort(cents[df["event_type"] == row["event_type"]].to_numpy())
+        med = c[-(-len(c) // 2) - 1]  # quantile_disc(0.5): ceil(n/2)-th
+        assert row["median_cents"] == med
+        a = np.sort(np.abs(c - med))
+        assert row["mad_cents"] == a[-(-len(a) // 2) - 1]
+
+
+def test_range_join_dist_matches_broadcast():
+    sf = "/root/testdata/sf0.001"
+    a = (r.events_in_windows(sf).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    b = (r.events_in_windows_dist(sf).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    a["window_start"] = a["window_start"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
