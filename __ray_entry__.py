@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rolling_max": r.user_rolling_max,
         "user_range_sum_30m": r.user_range_sum_30m,
         "user_range_count_30m": r.user_range_count_30m,
+        "user_range_min_30m": r.user_range_min_30m,
+        "user_range_max_30m": r.user_range_max_30m,
         "user_prev_value": r.user_prev_value,
         "user_next_value": r.user_next_value,
         "user_event_rownum": r.user_event_rownum,
@@ -558,6 +560,22 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
                              AND CURRENT ROW)
                        AS BIGINT) AS range_sum_cents
+            FROM events
+        """,
+        "user_range_min_30m": """
+            SELECT event_id,
+                   MIN(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                             AND CURRENT ROW) AS range_min_cents
+            FROM events
+        """,
+        "user_range_max_30m": """
+            SELECT event_id,
+                   MAX(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                             AND CURRENT ROW) AS range_max_cents
             FROM events
         """,
         "user_range_count_30m": """

@@ -8,9 +8,11 @@ Two frame shapes, one boundary protocol:
   ROW)`` for AGG in SUM / AVG / MIN / MAX / COUNT.
 * RANGE frame (``rolling_range_agg``): SQL ``AGG(v) OVER (PARTITION BY
   g ORDER BY ts RANGE BETWEEN <delta> PRECEDING AND CURRENT ROW)`` for
-  AGG in SUM / COUNT — the time-window shape (rate limits, windowed
-  stats). RANGE's CURRENT ROW bound includes ORDER-BY PEERS (rows with
-  equal ts), matching SQL exactly.
+  AGG in SUM / COUNT / MIN / MAX — the time-window shape (rate limits,
+  windowed stats). RANGE's CURRENT ROW bound includes ORDER-BY PEERS
+  (rows with equal ts), matching SQL exactly. MIN/MAX have no cumsum
+  trick for variable-width windows: they use a vectorized sparse-table
+  RMQ (O(n log n) build, two gathers per row).
 
 One global range-partitioning sort by ``[group] + order``, then a fully
 vectorized in-block pass (per-run cumulative sums with window clamping
@@ -55,7 +57,7 @@ from ray.data import Dataset
 from .dedup import _run_change_mask  # the shared sorted-run kernel
 
 _ROWS_AGGS = ("sum", "mean", "min", "max", "count")
-_RANGE_AGGS = ("sum", "count")
+_RANGE_AGGS = ("sum", "count", "min", "max")
 
 
 def _runs(gv: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -111,8 +113,39 @@ def _range_kernel(gv: np.ndarray, ts: np.ndarray, v: np.ndarray | None,
         hi[s:e] = s + np.searchsorted(t_run, t_run, side="right")
     if agg == "count":
         return hi - lo
+    if agg in ("min", "max"):
+        return _rmq(v.astype(np.int64), lo, hi, is_min=(agg == "min"))
     cs0 = np.concatenate(([0], np.cumsum(v.astype(np.int64))))
     return cs0[hi] - cs0[lo]
+
+
+def _rmq(v: np.ndarray, lo: np.ndarray, hi: np.ndarray,
+         *, is_min: bool) -> np.ndarray:
+    """Vectorized range-min/max queries [lo, hi) over one array via a
+    sparse table: O(n log n) build, every query two overlapping
+    power-of-two gathers. Variable-width windows (RANGE frames) have no
+    cumsum trick — this is the min/max analogue. lo/hi never cross run
+    boundaries (the caller clamps them per run), so one block-global
+    table serves every run."""
+    length = hi - lo  # >= 1 (hi includes the current row's peers)
+    # floor(log2(L)) exactly: frexp's exponent (L = m·2^e, 0.5 <= m < 1)
+    k = np.frexp(length.astype(np.float64))[1].astype(np.int64) - 1
+    maxk = int(k.max()) if len(k) else 0
+    st = [v]
+    for j in range(1, maxk + 1):
+        half = 1 << (j - 1)
+        prev = st[-1]
+        st.append(np.minimum(prev[:-half], prev[half:]) if is_min
+                  else np.maximum(prev[:-half], prev[half:]))
+    out = np.empty(len(lo), dtype=np.int64)
+    for j in range(maxk + 1):
+        m = k == j
+        if not m.any():
+            continue
+        a = st[j][lo[m]]
+        b = st[j][hi[m] - (1 << j)]
+        out[m] = np.minimum(a, b) if is_min else np.maximum(a, b)
+    return out
 
 
 def _out_type(agg: str) -> pa.DataType:

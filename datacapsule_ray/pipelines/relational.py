@@ -1634,3 +1634,35 @@ def events_in_windows_dist(sf_dir: str, num_partitions: int = 4) -> Dataset:
         ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
         ("event_type", pa.string()), ("window_start", pa.timestamp("us")),
     ]))
+
+
+def _user_range_minmax(sf_dir: str, agg: str, out_col: str) -> Dataset:
+    from ..functions.window import rolling_range_agg
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "value_c": _cents(t.column("value")),
+        })
+
+    return rolling_range_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                             group_col="user_id", ts_col="ts",
+                             value_col="value_c",
+                             delta=30 * 60 * 1_000_000,
+                             id_col="event_id", agg=agg, out_col=out_col)
+
+
+def user_range_min_30m(sf_dir: str) -> Dataset:
+    """RANGE-frame rolling MIN (time window): the variable-width frame
+    has no cumsum shortcut — served by the sparse-table RMQ kernel
+    (functions/window.py::_rmq)."""
+    return _user_range_minmax(sf_dir, "min", "range_min_cents")
+
+
+def user_range_max_30m(sf_dir: str) -> Dataset:
+    """RANGE-frame rolling MAX — see user_range_min_30m."""
+    return _user_range_minmax(sf_dir, "max", "range_max_cents")

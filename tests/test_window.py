@@ -98,13 +98,16 @@ def _ref_range(df: pd.DataFrame, delta: int, agg: str) -> pd.DataFrame:
         g, t = srt.loc[i, "g"], srt.loc[i, "ts"]
         win = srt[(srt["g"] == g) & (srt["ts"] >= t - delta)
                   & (srt["ts"] <= t)]
-        out[i] = win["v"].sum() if agg == "sum" else len(win)
-    name = "range_sum" if agg == "sum" else "range_count"
+        out[i] = (win["v"].sum() if agg == "sum"
+                  else len(win) if agg == "count"
+                  else win["v"].min() if agg == "min"
+                  else win["v"].max())
+    name = f"range_{agg}"
     return (pd.DataFrame({"id": srt["id"], name: out})
             .sort_values("id").reset_index(drop=True))
 
 
-@pytest.mark.parametrize("agg", ["sum", "count"])
+@pytest.mark.parametrize("agg", ["sum", "count", "min", "max"])
 @pytest.mark.parametrize("n_blocks", [1, 8])
 def test_rolling_range_matches_bruteforce(agg, n_blocks):
     """Heavy ts ties: peers straddling block boundaries are the case the
@@ -119,11 +122,11 @@ def test_rolling_range_matches_bruteforce(agg, n_blocks):
         "id": np.arange(n),
         "v": rng.integers(-50, 50, size=n).astype(np.int64),
     })
-    name = "range_sum" if agg == "sum" else "range_count"
+    name = f"range_{agg}"
     ds = rd.from_arrow(
         pa.Table.from_pandas(df, preserve_index=False)).repartition(n_blocks)
     got = rolling_range_agg(ds, group_col="g", ts_col="ts",
-                            value_col="v" if agg == "sum" else None,
+                            value_col=None if agg == "count" else "v",
                             delta=5, id_col="id", agg=agg,
                             out_col=name).to_pandas()
     got = got.sort_values("id").reset_index(drop=True)
@@ -374,3 +377,22 @@ def test_percent_rank_matches_pandas():
                         out_col="p").to_pandas()
            .sort_values("id").reset_index(drop=True))
     assert np.allclose(got["p"].to_numpy(), ref["p"].to_numpy(), atol=0)
+
+
+def test_rmq_kernel_matches_numpy():
+    """Sparse-table RMQ vs per-query numpy over random [lo, hi)."""
+    from datacapsule_ray.functions.window import _rmq
+
+    rng = np.random.default_rng(71)
+    v = rng.integers(-10**9, 10**9, size=500).astype(np.int64)
+    lo = rng.integers(0, 500, size=2000)
+    hi = np.minimum(lo + rng.integers(1, 64, size=2000), 500)
+    lo = np.minimum(lo, hi - 1)
+    for is_min in (True, False):
+        got = _rmq(v, lo, hi, is_min=is_min)
+        want = np.array([(v[a:b].min() if is_min else v[a:b].max())
+                         for a, b in zip(lo, hi)])
+        assert (got == want).all()
+    # single-element and full-array windows
+    assert _rmq(v, np.array([0]), np.array([500]), is_min=True)[0] == v.min()
+    assert _rmq(v, np.array([7]), np.array([8]), is_min=False)[0] == v[7]
