@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_percent_rank": r.user_value_percent_rank,
         "user_value_rank": r.user_value_rank,
         "user_value_dense_rank": r.user_value_dense_rank,
+        "user_value_cume_dist": r.user_value_cume_dist,
         "events_mode_value": r.events_mode_value,
         # round 4b: partition-frame window edges, exact grouped moments,
         # ROLLUP — all with full SQL oracles
@@ -647,6 +648,14 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY CAST(ROUND(value*100) AS BIGINT))
                        AS BIGINT) AS value_dense_rank
+            FROM events
+        """,
+        "user_value_cume_dist": """
+            SELECT event_id,
+                   CUME_DIST() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ROUND(value*100) AS BIGINT))
+                       AS value_cume_dist
             FROM events
         """,
         "user_first_last_value": """

@@ -793,3 +793,43 @@ def percent_rank(ds: Dataset, *, group_col: str, order_cols: list[str],
                          out_col: pa.array(out.astype(np.float64))})
 
     return sized.map_batches(assign, batch_format="pyarrow")
+
+
+def cume_dist(ds: Dataset, *, group_col: str, order_cols: list[str],
+              id_col: str, out_col: str = "cume",
+              num_partitions: int = 4) -> Dataset:
+    """``(id_col, out_col)`` — SQL ``CUME_DIST() OVER (PARTITION BY
+    group ORDER BY order_cols)`` = rows-with-key-<=-current / n.
+
+    Composition: rows <= current = n - rank_desc + 1, and a DESCENDING
+    rank is an ascending ``rank_window`` over the NEGATED keys — so
+    ``order_cols`` must be integer-typed (the engine's cents/epoch
+    convention). One exact-int division → float64, bit-identical to
+    the SQL double division."""
+    import pyarrow.compute as pc
+
+    keep = [group_col, id_col] + [c for c in order_cols
+                                  if c not in (group_col, id_col)]
+
+    def neg(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c) for c in keep}
+        for c in order_cols:
+            cols[f"_neg_{c}"] = pc.negate_checked(
+                pc.cast(t.column(c), pa.int64()))
+        return pa.table(cols)
+
+    negated = ds.map_batches(neg, batch_format="pyarrow")
+    rnk = rank_window(negated, group_col=group_col,
+                      order_cols=[f"_neg_{c}" for c in order_cols],
+                      id_col=id_col, method="rank", out_col="_rnk",
+                      keep_group=True)
+    sized = _with_group_sizes(rnk, ds, group_col, num_partitions)
+
+    def assign(t: pa.Table) -> pa.Table:
+        r = t.column("_rnk").to_numpy(zero_copy_only=False)
+        n = t.column("_gn").to_numpy(zero_copy_only=False)
+        out = (n - r + 1) / n
+        return pa.table({id_col: t.column(id_col),
+                         out_col: pa.array(out.astype(np.float64))})
+
+    return sized.map_batches(assign, batch_format="pyarrow")

@@ -1666,3 +1666,22 @@ def user_range_min_30m(sf_dir: str) -> Dataset:
 def user_range_max_30m(sf_dir: str) -> Dataset:
     """RANGE-frame rolling MAX — see user_range_min_30m."""
     return _user_range_minmax(sf_dir, "max", "range_max_cents")
+
+
+def user_value_cume_dist(sf_dir: str) -> Dataset:
+    """CUME_DIST per user over value-in-cents — completes the ranking
+    family (ROW_NUMBER/RANK/DENSE_RANK/NTILE/PERCENT_RANK): descending
+    rank over negated cents + a group-size join (functions/window.py::
+    cume_dist)."""
+    from ..functions.window import cume_dist
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "cents": _cents(t.column("value"))})
+
+    return cume_dist(ds.map_batches(prep, batch_format="pyarrow"),
+                     group_col="user_id", order_cols=["cents"],
+                     id_col="event_id", out_col="value_cume_dist")

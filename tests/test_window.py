@@ -396,3 +396,26 @@ def test_rmq_kernel_matches_numpy():
     # single-element and full-array windows
     assert _rmq(v, np.array([0]), np.array([500]), is_min=True)[0] == v.min()
     assert _rmq(v, np.array([7]), np.array([8]), is_min=False)[0] == v[7]
+
+
+@pytest.mark.parametrize("n_blocks", [1, 8])
+def test_cume_dist_matches_pandas(n_blocks):
+    from datacapsule_ray.functions.window import cume_dist
+
+    rng = np.random.default_rng(83)
+    n = 300
+    df = pd.DataFrame({
+        "g": rng.integers(0, 7, size=n),
+        "id": np.arange(n),
+        "v": rng.integers(0, 20, size=n).astype(np.int64),  # heavy ties
+    })
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)).repartition(n_blocks)
+    got = (cume_dist(ds, group_col="g", order_cols=["v"], id_col="id",
+                     out_col="cd").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    ref = (df.groupby("g")["v"].rank(method="max", pct=True)
+           .rename("cd"))  # pandas max-rank pct == SQL CUME_DIST
+    want = (pd.DataFrame({"id": df["id"], "cd": ref})
+            .sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
