@@ -218,9 +218,14 @@ def run_scaling() -> None:
             # measured efficiency is biased LOW. Pinning the whole tree
             # to N cores (taskset) emulates a fixed-size node honestly.
             argv = ["taskset", "-c", f"0-{ncpu - 1}"] + argv
-        out = subprocess.run(argv, env=env,
-                             capture_output=True, text=True, check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        proc = subprocess.run(argv, env=env, capture_output=True, text=True)
+        if proc.returncode != 0:
+            # surface the child's tail — a bare CalledProcessError hides
+            # the actual failure (OOM, spill error) behind "exit 1"
+            raise RuntimeError(
+                f"scaling leg ncpu={ncpu} failed (exit {proc.returncode}):\n"
+                + proc.stderr[-2000:])
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
     # N and 4N; default 8→32. GRAFT_SCALING_LEVELS="4,16" measures a
