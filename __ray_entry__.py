@@ -140,6 +140,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_range_count_30m": r.user_range_count_30m,
         "user_range_min_30m": r.user_range_min_30m,
         "user_range_max_30m": r.user_range_max_30m,
+        # round 4c: RANGE-frame AVG, PERCENTILE_CONT, winsorized mean,
+        # Gini–Simpson label diversity — all with full SQL oracles
+        "user_range_avg_30m": r.user_range_avg_30m,
+        "events_value_quantiles_cont": r.events_value_quantiles_cont,
+        "events_value_winsorized": r.events_value_winsorized,
+        "user_type_diversity": r.user_type_diversity,
         "user_prev_value": r.user_prev_value,
         "user_next_value": r.user_next_value,
         "user_event_rownum": r.user_event_rownum,
@@ -587,6 +593,61 @@ def oracle_sql() -> dict[str, str]:
                              AND CURRENT ROW)
                        AS BIGINT) AS range_n_events
             FROM events
+        """,
+        "user_range_avg_30m": """
+            SELECT event_id,
+                   AVG(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                             AND CURRENT ROW) AS range_avg_cents
+            FROM events
+        """,
+        "events_value_quantiles_cont": """
+            SELECT event_type,
+                   quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.5)
+                       AS median_cont_cents,
+                   quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.9)
+                       AS p90_cont_cents
+            FROM events GROUP BY event_type
+        """,
+        "events_value_winsorized": """
+            WITH e AS (SELECT event_type,
+                              CAST(ROUND(value*100) AS BIGINT) AS c
+                       FROM events),
+                 q AS (SELECT event_type,
+                              quantile_disc(c, 0.05) AS lo,
+                              quantile_disc(c, 0.95) AS hi
+                       FROM e GROUP BY event_type)
+            SELECT e.event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(GREATEST(q.lo, LEAST(q.hi, e.c)))
+                       AS BIGINT) AS wsum_cents,
+                   CAST(SUM(GREATEST(q.lo, LEAST(q.hi, e.c)))
+                       AS DOUBLE) / COUNT(*) AS winsorized_mean_cents
+            FROM e JOIN q USING (event_type)
+            GROUP BY e.event_type
+        """,
+        "user_type_diversity": """
+            WITH c AS (SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type='click'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(SUM(CASE WHEN event_type='error'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                   CAST(SUM(CASE WHEN event_type='purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+                   CAST(SUM(CASE WHEN event_type='signup'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+                   CAST(SUM(CASE WHEN event_type='view'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c5
+                   FROM events GROUP BY user_id)
+            SELECT user_id,
+                   CAST(c1+c2+c3+c4+c5 AS BIGINT) AS n_events,
+                   -- ONE float division of exact int sums: the same
+                   -- IEEE expression the Ray finish evaluates
+                   1.0 - CAST(c1*c1+c2*c2+c3*c3+c4*c4+c5*c5 AS DOUBLE)
+                       / CAST((c1+c2+c3+c4+c5)*(c1+c2+c3+c4+c5)
+                              AS DOUBLE) AS type_diversity
+            FROM c
         """,
         "user_prev_value": """
             SELECT event_id,

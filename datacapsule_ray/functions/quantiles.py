@@ -21,6 +21,7 @@ q=.25 -> 1; [1,2,3] q=.5 -> 2; [1..10] q=.9 -> 9).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from ray.data import Dataset
@@ -95,6 +96,42 @@ def grouped_exact_quantiles(ds: Dataset, key_col: str, value_col: str,
             rank = -((-num * n) // den)  # ceil(num*n/den), integer-exact
             row[name] = sub[value_col].to_numpy()[
                 int((cum >= rank).argmax())]
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def grouped_cont_quantiles(ds: Dataset, key_col: str, value_col: str,
+                           qs: list[tuple[float, str]]) -> pd.DataFrame:
+    """PERCENTILE_CONT — linearly INTERPOLATED per-key quantiles over
+    the same two-phase exact value histogram as ``grouped_exact_
+    quantiles`` (no extra distributed work; the interpolation is a
+    keys-sized finish).
+
+    Bit-parity rule (verified against DuckDB ``quantile_cont``): the
+    fractional rank is ``RN = q * (n - 1)`` evaluated in float64 (so
+    e.g. ``0.95 * 3 == 2.8499999999999996``, NOT 2.85), the bracketing
+    values are the 0-based ranks ``floor(RN)`` / ``ceil(RN)``, and the
+    result is ``lo + (RN - floor(RN)) * (hi - lo)`` — the exact IEEE
+    expression DuckDB evaluates, over exact integer-histogram ranks."""
+    for q, name in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile {name!r} must satisfy 0<=q<=1, "
+                             f"got {q}")
+    hist = _value_histogram(ds, key_col, value_col)
+    rows = []
+    for key, sub in hist.groupby(key_col, sort=True, dropna=False):
+        sub = sub.sort_values(value_col, kind="stable")
+        cum = sub["cnt"].cumsum().to_numpy()
+        vals = sub[value_col].to_numpy()
+        n = int(cum[-1])
+        row = {key_col: key}
+        for q, name in qs:
+            rn = np.float64(q) * np.float64(n - 1)
+            f = int(np.floor(rn))
+            c = int(np.ceil(rn))
+            lo = np.float64(vals[int((cum >= f + 1).argmax())])
+            hi = np.float64(vals[int((cum >= c + 1).argmax())])
+            row[name] = float(lo + (rn - np.float64(f)) * (hi - lo))
         rows.append(row)
     return pd.DataFrame(rows)
 

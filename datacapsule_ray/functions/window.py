@@ -8,7 +8,7 @@ Two frame shapes, one boundary protocol:
   ROW)`` for AGG in SUM / AVG / MIN / MAX / COUNT.
 * RANGE frame (``rolling_range_agg``): SQL ``AGG(v) OVER (PARTITION BY
   g ORDER BY ts RANGE BETWEEN <delta> PRECEDING AND CURRENT ROW)`` for
-  AGG in SUM / COUNT / MIN / MAX — the time-window shape (rate limits,
+  AGG in SUM / AVG / COUNT / MIN / MAX — the time-window shape (rate limits,
   windowed stats). RANGE's CURRENT ROW bound includes ORDER-BY PEERS
   (rows with equal ts), matching SQL exactly. MIN/MAX have no cumsum
   trick for variable-width windows: they use a vectorized sparse-table
@@ -57,7 +57,7 @@ from ray.data import Dataset
 from .dedup import _run_change_mask  # the shared sorted-run kernel
 
 _ROWS_AGGS = ("sum", "mean", "min", "max", "count")
-_RANGE_AGGS = ("sum", "count", "min", "max")
+_RANGE_AGGS = ("sum", "mean", "count", "min", "max")
 
 
 def _runs(gv: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -116,7 +116,10 @@ def _range_kernel(gv: np.ndarray, ts: np.ndarray, v: np.ndarray | None,
     if agg in ("min", "max"):
         return _rmq(v.astype(np.int64), lo, hi, is_min=(agg == "min"))
     cs0 = np.concatenate(([0], np.cumsum(v.astype(np.int64))))
-    return cs0[hi] - cs0[lo]
+    s = cs0[hi] - cs0[lo]
+    if agg == "mean":
+        return s / (hi - lo)  # exact-int sum / count → DuckDB AVG parity
+    return s
 
 
 def _rmq(v: np.ndarray, lo: np.ndarray, hi: np.ndarray,
@@ -262,6 +265,7 @@ def rolling_range_agg(ds: Dataset, *, group_col: str, ts_col: str,
     carry = [c for c in dict.fromkeys(
         [group_col, ts_col] + ([value_col] if value_col else []))
         if c != id_col]
+    otype = _out_type(agg)
 
     def _ts_i64(col) -> np.ndarray:
         return _ts_np_us(col.to_numpy(zero_copy_only=False))
@@ -271,7 +275,7 @@ def rolling_range_agg(ds: Dataset, *, group_col: str, ts_col: str,
         if n == 0:
             return pa.table({
                 id_col: t.column(id_col),
-                out_col: pa.array([], type=pa.int64()),
+                out_col: pa.array([], type=otype),
                 **{c: t.column(c) for c in carry},
             }).append_column("ch", pa.array([], type=pa.int8()))
         gv = t.column(group_col).to_numpy(zero_copy_only=False)
@@ -298,7 +302,7 @@ def rolling_range_agg(ds: Dataset, *, group_col: str, ts_col: str,
         out = pa.table({
             id_col: sub.column(id_col),
             out_col: pa.array(
-                np.concatenate((roll, roll[tail_idx])), type=pa.int64()),
+                np.concatenate((roll, roll[tail_idx])), type=otype),
             **{c: sub.column(c) for c in carry},
         })
         return out.append_column("ch", pa.array(ch_all))

@@ -922,6 +922,137 @@ def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
         [(1, 2, "median_cents"), (9, 10, "p90_cents")])
 
 
+def events_value_quantiles_cont(sf_dir: str) -> pd.DataFrame:
+    """PERCENTILE_CONT companion to ``events_value_quantiles``:
+    interpolated per-type median/p90 over the SAME two-phase exact
+    histogram — DuckDB ``quantile_cont`` bit-parity via the float64
+    ``q*(n-1)`` rank rule (functions/quantiles.py)."""
+    from ..functions.quantiles import grouped_cont_quantiles
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": _cents(t.column("value"))})
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    return grouped_cont_quantiles(
+        cents, "event_type", "cents",
+        [(0.5, "median_cont_cents"), (0.9, "p90_cont_cents")])
+
+
+def events_value_winsorized(sf_dir: str) -> Dataset:
+    """Winsorized grouped mean — the outlier-clipping normalizer of a
+    training-data pipeline (clip each value into its group's exact
+    [p05, p95] band, then aggregate). Two passes: (1) the keys-sized
+    exact quantile histogram (functions/quantiles.py — domain-bounded,
+    never row-bounded), (2) the thresholds BROADCAST into a map_batches
+    clip (keys are event types — a dict, not a shuffle join) feeding
+    exact int64 partial sums; mean = one exact-int division at the end
+    (the events_value_stats determinism rule)."""
+    from ..functions.quantiles import grouped_exact_quantiles
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": _cents(t.column("value"))})
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    band = grouped_exact_quantiles(
+        cents, "event_type", "cents", [(1, 20, "lo"), (19, 20, "hi")])
+    lo_map = dict(zip(band["event_type"], band["lo"].astype(np.int64)))
+    hi_map = dict(zip(band["event_type"], band["hi"].astype(np.int64)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        denc = et.dictionary_encode()
+        idx = denc.indices.to_numpy(zero_copy_only=False)
+        k = len(denc.dictionary)
+        types = denc.dictionary.to_pylist()
+        lo = np.array([lo_map[x] for x in types], dtype=np.int64)[idx]
+        hi = np.array([hi_map[x] for x in types], dtype=np.int64)[idx]
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        w = np.minimum(np.maximum(c, lo), hi)
+        return pa.table({
+            "event_type": denc.dictionary,
+            "n": pa.array(np.bincount(idx, minlength=k).astype(np.int64)),
+            "wsum": pa.array(np.bincount(idx, weights=w, minlength=k)
+                             .astype(np.int64)),
+        })
+
+    agg = (cents.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("wsum", alias_name="wsum")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        s = t.column("wsum").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "n_events": pc.cast(t.column("n"), pa.int64()),
+            "wsum_cents": pc.cast(t.column("wsum"), pa.int64()),
+            "winsorized_mean_cents": pa.array(
+                s.astype(np.float64) / n.astype(np.float64)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_type_diversity(sf_dir: str) -> Dataset:
+    """Per-user label-diversity score — the Gini–Simpson index
+    ``1 - Σ_t (c_t/n)²`` over the user's event-type distribution (the
+    training-mix analogue: per-source/per-label diversity of a
+    document shard). Deliberately Gini–Simpson and NOT Shannon entropy:
+    the index is ONE float division of two exact int64 sums
+    (``1 - Σc²/n²``), so it is bit-deterministic however Ray partitions
+    the shuffle, where a log2-based entropy would hash-diverge from the
+    oracle by libm ULPs. The type domain is pivoted into fixed integer
+    Sum columns (the events_daily_pivot shape), so the whole op is one
+    shuffle of exact partials."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id")
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        denc = uid.dictionary_encode()
+        idx = denc.indices.to_numpy(zero_copy_only=False)
+        k = len(denc.dictionary)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        cols = {"user_id": denc.dictionary}
+        for name in _EVENT_TYPES:
+            cols[f"c_{name}"] = pa.array(
+                np.bincount(idx, weights=(et == name), minlength=k)
+                .astype(np.int64))
+        return pa.table(cols)
+
+    aggs = [Sum(f"c_{n}", alias_name=f"c_{n}") for n in _EVENT_TYPES]
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id").aggregate(*aggs))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cs = [t.column(f"c_{n}").to_numpy(zero_copy_only=False)
+              .astype(np.int64) for n in _EVENT_TYPES]
+        n = cs[0] + cs[1] + cs[2] + cs[3] + cs[4]
+        ssq = (cs[0] * cs[0] + cs[1] * cs[1] + cs[2] * cs[2]
+               + cs[3] * cs[3] + cs[4] * cs[4])
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "n_events": pa.array(n),
+            "type_diversity": pa.array(
+                1.0 - ssq.astype(np.float64) / (n * n).astype(np.float64)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def user_event_paths(sf_dir: str, k: int = 10) -> Dataset:
     """Grouped ORDERED collect (SQL ``string_agg(... ORDER BY) `` over
     the first k rows per key): each user's first-k event types in
@@ -1666,6 +1797,13 @@ def user_range_min_30m(sf_dir: str) -> Dataset:
 def user_range_max_30m(sf_dir: str) -> Dataset:
     """RANGE-frame rolling MAX — see user_range_min_30m."""
     return _user_range_minmax(sf_dir, "max", "range_max_cents")
+
+
+def user_range_avg_30m(sf_dir: str) -> Dataset:
+    """RANGE-frame rolling AVG (time window): the exact int64 cumsum
+    window divided by the frame count ONCE — bit-identical to DuckDB's
+    integer AVG (same rule as the ROWS-frame ``user_rolling_mean``)."""
+    return _user_range_minmax(sf_dir, "mean", "range_avg_cents")
 
 
 def user_value_cume_dist(sf_dir: str) -> Dataset:

@@ -1,0 +1,178 @@
+"""Round-4c operators — PERCENTILE_CONT (interpolated grouped
+quantiles), winsorized grouped mean, Gini–Simpson label diversity, and
+the RANGE-frame AVG — pinned against DuckDB / pandas references under
+forced multi-file inputs (the test_round4b_ops.py convention)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from datacapsule_ray.pipelines import relational as r
+
+
+def _write_events(tmp_path, n=600, n_files=8, seed=11) -> str:
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 7, size=n).astype(np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 72 * 3600, size=n), unit="s"),
+        "event_type": rng.choice(
+            ["click", "view", "purchase", "signup", "error"], size=n),
+        "value": rng.integers(0, 10000, size=n).astype(np.float64) / 100.0,
+        "props": ["{}"] * n,
+    })
+    d = os.path.join(tmp_path, "events.parquet")
+    os.makedirs(d, exist_ok=True)
+    order = rng.permutation(n)
+    for i, part in enumerate(np.array_split(order, n_files)):
+        pq.write_table(pa.Table.from_pandas(df.iloc[part],
+                                            preserve_index=False),
+                       os.path.join(d, f"part-{i}.parquet"))
+    return str(tmp_path), df
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    return _write_events(tmp_path_factory.mktemp("r4c"))
+
+
+def _duck(df: pd.DataFrame, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("events", df)
+    return con.sql(sql).df()
+
+
+def test_cont_quantiles_bitexact_vs_duckdb(events_dir):
+    """quantile_cont parity must be BIT-exact (check_exact) — the
+    float64 q*(n-1) rank rule, not just close interpolation."""
+    sf_dir, df = events_dir
+    got = (r.events_value_quantiles_cont(sf_dir)
+           .sort_values("event_type").reset_index(drop=True))
+    want = _duck(df, """
+        SELECT event_type,
+               quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.5)
+                   AS median_cont_cents,
+               quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.9)
+                   AS p90_cont_cents
+        FROM events GROUP BY event_type ORDER BY event_type
+    """)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_cont_quantiles_interpolation_rule():
+    """The DuckDB bracket: [1,2,4,8] q=0.95 → 7.399999999999999 (rank
+    0.95*3 = 2.8499999999999996, NOT 2.85), q=0.5 → 3.0."""
+    from datacapsule_ray.functions.quantiles import grouped_cont_quantiles
+
+    ds = rd.from_arrow(pa.table({"k": ["a"] * 4,
+                                 "v": pa.array([1, 2, 4, 8],
+                                               type=pa.int64())}))
+    out = grouped_cont_quantiles(ds, "k", "v",
+                                 [(0.5, "p50"), (0.95, "p95")])
+    assert out["p50"].iloc[0] == 3.0
+    assert out["p95"].iloc[0] == 4 + (0.95 * 3 - 2) * 4  # 7.399999999999999
+
+
+def test_cont_quantiles_rejects_bad_fraction():
+    from datacapsule_ray.functions.quantiles import grouped_cont_quantiles
+
+    ds = rd.from_arrow(pa.table({"k": ["a"], "v": pa.array([1])}))
+    with pytest.raises(ValueError):
+        grouped_cont_quantiles(ds, "k", "v", [(1.5, "bad")])
+
+
+def test_winsorized_matches_reference(events_dir):
+    """Clip each value into its type's exact [p05, p95] quantile_disc
+    band, then mean — vs a DuckDB mirror of the whole composition."""
+    sf_dir, df = events_dir
+    got = (r.events_value_winsorized(sf_dir).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    want = _duck(df, """
+        WITH e AS (SELECT event_type,
+                          CAST(ROUND(value*100) AS BIGINT) AS c
+                   FROM events),
+             q AS (SELECT event_type,
+                          quantile_disc(c, 0.05) AS lo,
+                          quantile_disc(c, 0.95) AS hi
+                   FROM e GROUP BY event_type)
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(GREATEST(q.lo, LEAST(q.hi, e.c)))
+                   AS BIGINT) AS wsum_cents,
+               CAST(SUM(GREATEST(q.lo, LEAST(q.hi, e.c)))
+                   AS DOUBLE) / COUNT(*) AS winsorized_mean_cents
+        FROM e JOIN q USING (event_type)
+        GROUP BY e.event_type ORDER BY e.event_type
+    """)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_winsorized_band_actually_clips(events_dir):
+    """The winsorized mean must differ from the raw mean when the band
+    excludes tails (guards against a no-op clip)."""
+    sf_dir, df = events_dir
+    got = r.events_value_winsorized(sf_dir).to_pandas()
+    raw = (df.assign(c=(df["value"] * 100).round().astype(np.int64))
+           .groupby("event_type")["c"].mean())
+    merged = got.set_index("event_type")["winsorized_mean_cents"]
+    assert any(abs(merged[k] - raw[k]) > 1e-9 for k in raw.index)
+
+
+def test_type_diversity_matches_reference(events_dir):
+    sf_dir, df = events_dir
+    got = (r.user_type_diversity(sf_dir).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    rows = []
+    for uid, sub in df.groupby("user_id"):
+        cnt = sub["event_type"].value_counts()
+        n = int(cnt.sum())
+        ssq = int((cnt.astype(np.int64) ** 2).sum())
+        rows.append({"user_id": uid, "n_events": n,
+                     "type_diversity": 1.0 - ssq / (n * n)})
+    want = pd.DataFrame(rows)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_type_diversity_extremes():
+    """Single-type user → 0.0 exactly; uniform 5-type user → 0.8."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        n = 10
+        df = pd.DataFrame({
+            "event_id": np.arange(2 * n, dtype=np.int64),
+            "user_id": np.repeat([0, 1], n).astype(np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(np.arange(2 * n), unit="s"),
+            "event_type": ["click"] * n + ["click", "error", "purchase",
+                                           "signup", "view"] * 2,
+            "value": np.ones(2 * n), "props": ["{}"] * (2 * n),
+        })
+        d = os.path.join(tmp, "events.parquet")
+        os.makedirs(d)
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       os.path.join(d, "part-0.parquet"))
+        got = (r.user_type_diversity(tmp).to_pandas()
+               .sort_values("user_id").reset_index(drop=True))
+        assert got["type_diversity"].tolist() == [0.0, 0.8]
+
+
+def test_range_avg_is_exact_sum_over_count(events_dir):
+    """range_avg == range_sum / range_count row-for-row (the exact-int
+    division rule), on the multi-file input."""
+    sf_dir, _ = events_dir
+    avg = (r.user_range_avg_30m(sf_dir).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    s = (r.user_range_sum_30m(sf_dir).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    c = (r.user_range_count_30m(sf_dir).to_pandas()
+         .sort_values("event_id").reset_index(drop=True))
+    want = s["range_sum_cents"].to_numpy() / c["range_n_events"].to_numpy()
+    assert avg["range_avg_cents"].to_numpy().tolist() == want.tolist()

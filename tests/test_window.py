@@ -92,7 +92,8 @@ def test_rolling_agg_matches_pandas(agg, n_blocks, w):
 
 def _ref_range(df: pd.DataFrame, delta: int, agg: str) -> pd.DataFrame:
     """Brute-force per-row SQL RANGE semantics (peers included)."""
-    out = np.empty(len(df), dtype=np.int64)
+    out = np.empty(len(df),
+                   dtype=np.float64 if agg == "mean" else np.int64)
     srt = df.sort_values(["g", "ts", "id"], kind="stable").reset_index(drop=True)
     for i in range(len(srt)):
         g, t = srt.loc[i, "g"], srt.loc[i, "ts"]
@@ -101,13 +102,14 @@ def _ref_range(df: pd.DataFrame, delta: int, agg: str) -> pd.DataFrame:
         out[i] = (win["v"].sum() if agg == "sum"
                   else len(win) if agg == "count"
                   else win["v"].min() if agg == "min"
-                  else win["v"].max())
+                  else win["v"].max() if agg == "max"
+                  else np.int64(win["v"].sum()) / np.int64(len(win)))
     name = f"range_{agg}"
     return (pd.DataFrame({"id": srt["id"], name: out})
             .sort_values("id").reset_index(drop=True))
 
 
-@pytest.mark.parametrize("agg", ["sum", "count", "min", "max"])
+@pytest.mark.parametrize("agg", ["sum", "count", "min", "max", "mean"])
 @pytest.mark.parametrize("n_blocks", [1, 8])
 def test_rolling_range_matches_bruteforce(agg, n_blocks):
     """Heavy ts ties: peers straddling block boundaries are the case the
