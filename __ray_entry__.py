@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles_cont": r.events_value_quantiles_cont,
         "events_value_winsorized": r.events_value_winsorized,
         "user_type_diversity": r.user_type_diversity,
+        "user_day_streaks": r.user_day_streaks,
         "user_prev_value": r.user_prev_value,
         "user_next_value": r.user_next_value,
         "user_event_rownum": r.user_event_rownum,
@@ -626,6 +627,22 @@ def oracle_sql() -> dict[str, str]:
                        AS DOUBLE) / COUNT(*) AS winsorized_mean_cents
             FROM e JOIN q USING (event_type)
             GROUP BY e.event_type
+        """,
+        "user_day_streaks": """
+            -- gaps-and-islands: exact DATE-difference days (no float
+            -- epoch division, whose ulp could flip a midnight floor)
+            WITH days AS (SELECT DISTINCT user_id,
+                          CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                               AS BIGINT) AS d
+                          FROM events),
+                 isl AS (SELECT user_id, d,
+                         d - ROW_NUMBER() OVER (PARTITION BY user_id
+                                                ORDER BY d) AS anchor
+                         FROM days),
+                 seg AS (SELECT user_id, anchor, COUNT(*) AS len
+                         FROM isl GROUP BY user_id, anchor)
+            SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak_days
+            FROM seg GROUP BY user_id
         """,
         "user_type_diversity": """
             WITH c AS (SELECT user_id,

@@ -342,6 +342,133 @@ def user_sessions(sf_dir: str, gap_s: int = 1800) -> Dataset:
     return interior.union(rd.from_arrow(fixed))
 
 
+def user_day_streaks(sf_dir: str) -> Dataset:
+    """Gaps-and-islands — each user's LONGEST run of consecutive active
+    days (the classic streak query; SQL mirror is the ``d - ROW_NUMBER()
+    OVER (...)`` island-anchor trick). Unlike ``user_sessions`` the
+    target (a MAX over island lengths) is not additively combinable
+    from per-fragment counters, so boundary runs carry a segment
+    SEMIRING instead: (prefix streak, suffix streak, best interior
+    streak, span). Plan:
+
+    1. exact distinct (user, epoch-day) — vectorized local dedup, one
+       keys×days-bounded shuffle (the distinct_users_by_type shape);
+    2. global ``sort(user_id, day)``, per-block vectorized island scan
+       (``np.diff == 1`` runs via reduceat);
+    3. the ≤2 runs touching each block edge ride a raw channel with
+       their semiring tuple; the driver folds each user's fragments in
+       day order — O(blocks) rows, never O(users) or O(days)."""
+    import ray.data as rd
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def to_days(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        us = ts.astype("datetime64[us]").view(np.int64)
+        days = pa.array(us // 86_400_000_000)
+        return (pa.table({"user_id": t.column("user_id"), "day": days})
+                .group_by(["user_id", "day"], use_threads=False)
+                .aggregate([]))
+
+    days = (ds.map_batches(to_days, batch_format="pyarrow")
+            .groupby(["user_id", "day"]).count()
+            .map_batches(lambda t: t.select(["user_id", "day"]),
+                         batch_format="pyarrow"))
+    srt = days.sort(["user_id", "day"])
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            ("user_id", t.schema.field("user_id").type),
+            ("first_day", pa.int64()), ("last_day", pa.int64()),
+            ("prefix", pa.int64()), ("suffix", pa.int64()),
+            ("best", pa.int64()), ("edge", pa.bool_()),
+        ])
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = uid[1:] != uid[:-1]
+        # island starts: new user OR a >1-day gap
+        isl_start = new_run.copy()
+        isl_start[1:] |= (d[1:] - d[:-1]) != 1
+        isl_id = np.cumsum(isl_start) - 1
+        isl_len = np.bincount(isl_id)  # length of every island
+        run_starts = np.flatnonzero(new_run)
+        run_ends = np.append(run_starts[1:], n)
+        # per user-run: first/last island ids give prefix/suffix;
+        # best = max island length inside the run (reduceat over the
+        # contiguous island-length slice)
+        first_isl = isl_id[run_starts]
+        last_isl = isl_id[run_ends - 1]
+        # islands never cross run boundaries (a new user starts a new
+        # island), so runs own CONTIGUOUS island-id slices and reduceat
+        # over isl_len at the run's first island ids is the exact
+        # segmented max (every run has >= 1 island, so no empty slice)
+        best = np.maximum.reduceat(isl_len, first_isl).astype(np.int64)
+        edge = np.zeros(len(run_starts), dtype=bool)
+        edge[0] = edge[-1] = True
+        return pa.table({
+            "user_id": pa.array(uid[run_starts]),
+            "first_day": pa.array(d[run_starts].astype(np.int64)),
+            "last_day": pa.array(d[run_ends - 1].astype(np.int64)),
+            "prefix": pa.array(isl_len[first_isl].astype(np.int64)),
+            "suffix": pa.array(isl_len[last_isl].astype(np.int64)),
+            "best": pa.array(best),
+            "edge": pa.array(edge),
+        }, schema=out_schema)
+
+    from ..traverse import drop_empty_blocks as _deb
+
+    partial = _deb(srt.map_batches(block_partial, batch_format="pyarrow"))
+
+    def interior_fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("edge"), False))
+        return pa.table({"user_id": t.column("user_id"),
+                         "max_streak_days": t.column("best")})
+
+    interior = partial.map_batches(interior_fn, batch_format="pyarrow")
+    edge_df = partial.filter(expr="edge == True").to_pandas()
+    if not len(edge_df):
+        return interior
+    edge_df = edge_df.sort_values(["user_id", "first_day"], kind="stable")
+    rows = []
+    for user, sub in edge_df.groupby("user_id", sort=False):
+        pfx = sfx = best = span0 = None
+        for frag in sub.itertuples(index=False):
+            if pfx is None:
+                pfx, sfx, best = frag.prefix, frag.suffix, frag.best
+                last = frag.last_day
+                span0 = frag.last_day - frag.first_day + 1
+                all_one = pfx == span0  # fragment is one island
+                continue
+            connected = frag.first_day == last + 1
+            join = (sfx + frag.prefix) if connected else 0
+            f_span = frag.last_day - frag.first_day + 1
+            f_all_one = frag.prefix == f_span == frag.best
+            new_best = max(best, frag.best, join)
+            # prefix grows only while everything so far is one island
+            new_pfx = pfx + frag.prefix if (connected and all_one) else pfx
+            new_sfx = (sfx + frag.prefix if (connected and f_all_one)
+                       else frag.suffix)
+            pfx, sfx, best = new_pfx, new_sfx, max(new_best, new_pfx,
+                                                   new_sfx)
+            all_one = all_one and connected and f_all_one
+            last = frag.last_day
+        rows.append({"user_id": user,
+                     "max_streak_days": int(max(best, pfx, sfx))})
+    uid_type = pa.Table.from_pandas(
+        edge_df[["user_id"]], preserve_index=False).schema.field(
+        "user_id").type
+    fixed = pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], type=uid_type),
+        "max_streak_days": pa.array(
+            [r["max_streak_days"] for r in rows], type=pa.int64()),
+    })
+    return interior.union(rd.from_arrow(fixed))
+
+
 def distinct_users_by_type(sf_dir: str) -> Dataset:
     """Exact COUNT(DISTINCT) per key: vectorized local (key, user) dedup
     inside map_batches (the salt-by-batch pattern again), then one

@@ -164,6 +164,89 @@ def test_type_diversity_extremes():
         assert got["type_diversity"].tolist() == [0.0, 0.8]
 
 
+def _streak_ref(df: pd.DataFrame) -> pd.DataFrame:
+    """Pandas gaps-and-islands reference."""
+    days = (df.assign(d=df["ts"].dt.floor("D").astype("int64")
+                      // 86_400_000_000_000)
+            .drop_duplicates(["user_id", "d"])
+            .sort_values(["user_id", "d"]))
+    rows = []
+    for uid, sub in days.groupby("user_id"):
+        d = sub["d"].to_numpy()
+        best = cur = 1
+        for i in range(1, len(d)):
+            cur = cur + 1 if d[i] == d[i - 1] + 1 else 1
+            best = max(best, cur)
+        rows.append({"user_id": uid, "max_streak_days": best})
+    return pd.DataFrame(rows)
+
+
+def test_day_streaks_multiblock(events_dir):
+    sf_dir, df = events_dir
+    got = (r.user_day_streaks(sf_dir).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, _streak_ref(df), check_dtype=False)
+
+
+def test_day_streaks_single_user_chained_across_blocks(tmp_path):
+    """One user, 60 days with planted gaps after day 9 and day 34
+    (streaks 10 / 25 / 23), one day per parquet fragment: every
+    fragment is an edge run and the driver fold must CHAIN islands
+    across many fragments to find the 25."""
+    days = np.concatenate([np.arange(0, 10),        # 10-day streak
+                           np.arange(12, 37),       # 25-day streak
+                           np.arange(40, 63)])      # 23-day streak
+    n = len(days)
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.zeros(n, dtype=np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(days * 24, unit="h")
+        + pd.to_timedelta(np.arange(n) % 7, unit="min"),
+        "event_type": ["click"] * n,
+        "value": np.ones(n), "props": ["{}"] * n,
+    })
+    d = os.path.join(tmp_path, "events.parquet")
+    os.makedirs(d)
+    for i in range(n):  # one day per fragment
+        pq.write_table(pa.Table.from_pandas(df.iloc[[i]],
+                                            preserve_index=False),
+                       os.path.join(d, f"part-{i:03d}.parquet"))
+    got = r.user_day_streaks(str(tmp_path)).to_pandas()
+    assert got["max_streak_days"].tolist() == [25]
+
+
+def test_day_streaks_interleaved_users_with_gaps(tmp_path):
+    """Two users interleaved across 6 fragments, different gap
+    placements; pinned against the pandas reference."""
+    rng = np.random.default_rng(5)
+    recs = []
+    eid = 0
+    for uid, present in ((0, [0, 1, 2, 5, 6, 7, 8, 20]),
+                         (1, [3, 4, 5, 6, 10, 11, 30, 31, 32, 33])):
+        for day in present:
+            for _ in range(rng.integers(1, 4)):  # dup events per day
+                recs.append({"event_id": eid, "user_id": uid,
+                             "ts": pd.Timestamp("2024-03-01")
+                             + pd.to_timedelta(day * 24, unit="h")
+                             + pd.to_timedelta(
+                                 int(rng.integers(0, 86399)), unit="s"),
+                             "event_type": "view", "value": 1.0,
+                             "props": "{}"})
+                eid += 1
+    df = pd.DataFrame(recs)
+    d = os.path.join(tmp_path, "events.parquet")
+    os.makedirs(d)
+    order = rng.permutation(len(df))
+    for i, part in enumerate(np.array_split(order, 6)):
+        pq.write_table(pa.Table.from_pandas(df.iloc[part],
+                                            preserve_index=False),
+                       os.path.join(d, f"part-{i}.parquet"))
+    got = (r.user_day_streaks(str(tmp_path)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert got["max_streak_days"].tolist() == [4, 4]
+
+
 def test_range_avg_is_exact_sum_over_count(events_dir):
     """range_avg == range_sum / range_count row-for-row (the exact-int
     division rule), on the multi-file input."""
