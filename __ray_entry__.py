@@ -221,6 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ssjoin_ngram_docs": docops.ssjoin_ngram_docs,
         # round 4b: C4-style sub-document (chunk) dedup, full SQL oracle
         "doc_chunk_dedup": docops.doc_chunk_dedup,
+        # round 4c: degree-split exact triangle count on the dup graph
+        "neardup_triangles": docops.neardup_triangles,
         # Bloom membership pre-filter composed with the exact verify —
         # output-identical to incremental_dedup_docs, same oracle
         "incremental_dedup_bloom": docops.incremental_dedup_bloom,
@@ -1138,6 +1140,59 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM tf JOIN df USING (token))
             WHERE rn = 1
+        """,
+        "neardup_triangles": r"""
+            -- degree-split exact triangle count on the Jaccard>=0.9
+            -- graph; the orient/wedge CTEs mirror the compact-forward
+            -- (deg, id) total order of functions/triangles.py
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')) AS ts
+                FROM documents
+            ), ne AS (SELECT * FROM toks WHERE len(ts) > 0),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+                WHERE 10 * len(list_intersect(a.ts, b.ts))
+                      >= 9 * (len(a.ts) + len(b.ts)
+                              - len(list_intersect(a.ts, b.ts)))
+            ),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM (SELECT id_a AS node FROM pairs
+                          UNION ALL SELECT id_b AS node FROM pairs)
+                    GROUP BY node),
+            lowp AS (SELECT p.id_a, p.id_b,
+                            da.deg AS deg_a, db.deg AS deg_b
+                     FROM pairs p
+                     JOIN deg da ON da.node = p.id_a
+                     JOIN deg db ON db.node = p.id_b
+                     WHERE da.deg <= 64 AND db.deg <= 64),
+            orient AS (SELECT
+                CASE WHEN (deg_a, id_a) < (deg_b, id_b)
+                     THEN id_a ELSE id_b END AS src,
+                CASE WHEN (deg_a, id_a) < (deg_b, id_b)
+                     THEN id_b ELSE id_a END AS dst,
+                CASE WHEN (deg_a, id_a) < (deg_b, id_b)
+                     THEN deg_b ELSE deg_a END AS ddeg
+                FROM lowp),
+            wedges AS (SELECT o1.dst AS v, o2.dst AS w
+                       FROM orient o1 JOIN orient o2
+                       ON o1.src = o2.src
+                       AND (o1.ddeg, o1.dst) < (o2.ddeg, o2.dst))
+            SELECT
+                CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+                CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+                CAST((SELECT COUNT(*) FROM deg WHERE deg > 64)
+                    AS BIGINT) AS n_hub_nodes,
+                CAST((SELECT COUNT(*) FROM lowp)
+                    AS BIGINT) AS n_edges_low,
+                CAST((SELECT COUNT(*) FROM wedges)
+                    AS BIGINT) AS n_wedges_low,
+                CAST((SELECT COUNT(*) FROM wedges wd
+                      JOIN orient o3 ON o3.src = wd.v
+                      AND o3.dst = wd.w) AS BIGINT) AS n_triangles_low
         """,
         "ssjoin_jaccard_docs": r"""
             WITH toks AS (

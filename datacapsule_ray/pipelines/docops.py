@@ -119,6 +119,18 @@ def ssjoin_jaccard_docs(sf_dir: str) -> Dataset:
                                  tau_num=9, tau_den=10)
 
 
+def neardup_triangles(sf_dir: str) -> "pd.DataFrame":
+    """Dup-cluster transitivity audit: exact triangle/wedge counts on
+    the low-degree part of the exact Jaccard>=0.9 graph (hub mass
+    reported, not silently dropped — functions/triangles.py has the
+    degree-split rationale). One row of BIGINT counters."""
+    from ..functions.triangles import triangle_count_lowdeg
+
+    pairs = ssjoin.jaccard_ssjoin(_docs(sf_dir, ["doc_id", "text"]),
+                                  tau_num=9, tau_den=10)
+    return triangle_count_lowdeg(pairs, deg_cap=64).to_pandas()
+
+
 def doc_rolling_fingerprints(sf_dir: str) -> Dataset:
     """Winnowed rolling-hash fingerprints, one row per (doc, fingerprint)
     — the local-similarity channel for plagiarism-style matching."""

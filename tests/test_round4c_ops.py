@@ -247,6 +247,78 @@ def test_day_streaks_interleaved_users_with_gaps(tmp_path):
     assert got["max_streak_days"].tolist() == [4, 4]
 
 
+# --- degree-split exact triangle counting -----------------------------------
+
+def _tri(edges, deg_cap=64, n_blocks=1):
+    from datacapsule_ray.functions.triangles import triangle_count_lowdeg
+
+    t = pa.table({"id_a": pa.array([a for a, _ in edges],
+                                   type=pa.int64()),
+                  "id_b": pa.array([b for _, b in edges],
+                                   type=pa.int64())})
+    ds = rd.from_arrow(t).repartition(n_blocks)
+    return triangle_count_lowdeg(ds, deg_cap=deg_cap).to_pandas().iloc[0]
+
+
+def _clique(nodes):
+    return [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]]
+
+
+@pytest.mark.parametrize("n_blocks", [1, 6])
+def test_triangles_clique_plus_path(n_blocks):
+    """K5 (10 edges, 10 triangles) + a 3-node path (0 triangles)."""
+    edges = _clique([0, 1, 2, 3, 4]) + [(10, 11), (11, 12)]
+    row = _tri(edges, n_blocks=n_blocks)
+    assert row["n_edges"] == 12
+    assert row["n_nodes"] == 8
+    assert row["n_hub_nodes"] == 0
+    assert row["n_triangles_low"] == 10
+    # K5 wedges under the total order: sum C(outdeg,2) over outdegs
+    # 4,3,2,1,0 = 6+3+1 = 10. The path's center has only IN-edges
+    # under degree orientation, so it contributes no oriented wedge —
+    # compact-forward wedges are out-edge pairs, not all 2-paths
+    assert row["n_wedges_low"] == 10
+
+
+def test_triangles_hub_split_excludes_high_degree():
+    """A star hub of degree 8 is excluded at cap=4; the K4 hanging off
+    two leaves still counts its 4 triangles."""
+    hub_edges = [(100, i) for i in range(8)]          # hub deg 8
+    k4 = _clique([0, 1, 2, 3])                        # deg 3+... <= cap
+    edges = hub_edges + k4
+    row = _tri(edges, deg_cap=4)
+    assert row["n_hub_nodes"] == 1
+    assert row["n_edges_low"] == len(k4)
+    assert row["n_triangles_low"] == 4
+    assert row["n_edges"] == len(edges)
+
+
+def test_triangles_join_fallback_matches_broadcast():
+    """broadcast_cap=0 forces the two-hash-join degree attach; results
+    must be identical to the broadcast path."""
+    from datacapsule_ray.functions.triangles import triangle_count_lowdeg
+
+    edges = _clique([0, 1, 2, 3, 4]) + [(10, 11), (11, 12)] + \
+        [(100, i) for i in range(8)]
+    t = pa.table({"id_a": pa.array([a for a, _ in edges],
+                                   type=pa.int64()),
+                  "id_b": pa.array([b for _, b in edges],
+                                   type=pa.int64())})
+    ds = rd.from_arrow(t).repartition(4)
+    bc = triangle_count_lowdeg(ds, deg_cap=4).to_pandas()
+    jn = triangle_count_lowdeg(ds, deg_cap=4,
+                               broadcast_cap=0).to_pandas()
+    pd.testing.assert_frame_equal(bc, jn)
+
+
+def test_triangles_open_wedges_not_counted():
+    """Two triangles sharing an edge: 2 triangles, wedge count from
+    the degree-ordered orientation."""
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    row = _tri(edges)
+    assert row["n_triangles_low"] == 2
+
+
 def test_range_avg_is_exact_sum_over_count(events_dir):
     """range_avg == range_sum / range_count row-for-row (the exact-int
     division rule), on the multi-file input."""
