@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 4c: RANGE-frame AVG, PERCENTILE_CONT, winsorized mean,
         # Gini–Simpson label diversity — all with full SQL oracles
         "user_range_avg_30m": r.user_range_avg_30m,
+        "user_range_distinct_30m": r.user_range_distinct_30m,
         "events_value_quantiles_cont": r.events_value_quantiles_cont,
         "events_value_winsorized": r.events_value_winsorized,
         "user_type_diversity": r.user_type_diversity,
@@ -603,6 +604,15 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts
                        RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
                              AND CURRENT ROW) AS range_avg_cents
+            FROM events
+        """,
+        "user_range_distinct_30m": """
+            SELECT event_id,
+                   CAST(COUNT(DISTINCT event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                             AND CURRENT ROW)
+                       AS BIGINT) AS range_ndistinct_types
             FROM events
         """,
         "events_value_quantiles_cont": """

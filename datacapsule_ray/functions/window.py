@@ -8,11 +8,13 @@ Two frame shapes, one boundary protocol:
   ROW)`` for AGG in SUM / AVG / MIN / MAX / COUNT.
 * RANGE frame (``rolling_range_agg``): SQL ``AGG(v) OVER (PARTITION BY
   g ORDER BY ts RANGE BETWEEN <delta> PRECEDING AND CURRENT ROW)`` for
-  AGG in SUM / AVG / COUNT / MIN / MAX — the time-window shape (rate limits,
-  windowed stats). RANGE's CURRENT ROW bound includes ORDER-BY PEERS
-  (rows with equal ts), matching SQL exactly. MIN/MAX have no cumsum
-  trick for variable-width windows: they use a vectorized sparse-table
-  RMQ (O(n log n) build, two gathers per row).
+  AGG in SUM / AVG / COUNT / MIN / MAX / NDISTINCT — the time-window
+  shape (rate limits, windowed stats). RANGE's CURRENT ROW bound
+  includes ORDER-BY PEERS (rows with equal ts), matching SQL exactly.
+  MIN/MAX have no cumsum trick for variable-width windows: they use a
+  vectorized sparse-table RMQ (O(n log n) build, two gathers per row);
+  NDISTINCT (COUNT(DISTINCT v) OVER RANGE, for low-cardinality
+  categorical v) uses chunked per-code prefix sums.
 
 One global range-partitioning sort by ``[group] + order``, then a fully
 vectorized in-block pass (per-run cumulative sums with window clamping
@@ -57,7 +59,7 @@ from ray.data import Dataset
 from .dedup import _run_change_mask  # the shared sorted-run kernel
 
 _ROWS_AGGS = ("sum", "mean", "min", "max", "count")
-_RANGE_AGGS = ("sum", "mean", "count", "min", "max")
+_RANGE_AGGS = ("sum", "mean", "count", "min", "max", "ndistinct")
 
 
 def _runs(gv: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -113,6 +115,8 @@ def _range_kernel(gv: np.ndarray, ts: np.ndarray, v: np.ndarray | None,
         hi[s:e] = s + np.searchsorted(t_run, t_run, side="right")
     if agg == "count":
         return hi - lo
+    if agg == "ndistinct":
+        return _window_ndistinct(v, lo, hi)
     if agg in ("min", "max"):
         return _rmq(v.astype(np.int64), lo, hi, is_min=(agg == "min"))
     cs0 = np.concatenate(([0], np.cumsum(v.astype(np.int64))))
@@ -120,6 +124,32 @@ def _range_kernel(gv: np.ndarray, ts: np.ndarray, v: np.ndarray | None,
     if agg == "mean":
         return s / (hi - lo)  # exact-int sum / count → DuckDB AVG parity
     return s
+
+
+def _window_ndistinct(v: np.ndarray, lo: np.ndarray,
+                      hi: np.ndarray) -> np.ndarray:
+    """Vectorized per-row COUNT(DISTINCT v[lo:hi]) for window bounds
+    that never cross run boundaries. Designed for LOW-CARDINALITY
+    categorical values (event types, labels): values factorize to codes
+    and each 64-code chunk gets one prefix-sum matrix — distinct count
+    = how many codes have a nonzero count inside the window. Memory is
+    O(n · 64) per chunk regardless of total cardinality; a high-
+    cardinality column degrades to ceil(T/64) passes, never to a
+    per-row Python loop."""
+    codes = pd.factorize(v)[0]
+    n = len(codes)
+    t_total = int(codes.max()) + 1 if n else 0
+    out = np.zeros(n, dtype=np.int64)
+    chunk = 64
+    for t0 in range(0, t_total, chunk):
+        width = min(chunk, t_total - t0)
+        rel = codes - t0
+        sel = np.flatnonzero((rel >= 0) & (rel < width))
+        onehot = np.zeros((n + 1, width), dtype=np.int32)
+        onehot[sel + 1, rel[sel]] = 1
+        cs = np.cumsum(onehot, axis=0)
+        out += ((cs[hi] - cs[lo]) > 0).sum(axis=1)
+    return out
 
 
 def _rmq(v: np.ndarray, lo: np.ndarray, hi: np.ndarray,

@@ -1933,6 +1933,23 @@ def user_range_avg_30m(sf_dir: str) -> Dataset:
     return _user_range_minmax(sf_dir, "mean", "range_avg_cents")
 
 
+def user_range_distinct_30m(sf_dir: str) -> Dataset:
+    """RANGE-frame windowed COUNT DISTINCT: how many distinct event
+    types each user produced in the 30 minutes up to each event — the
+    burst-diversity / rate-limit-by-kind shape. Served by the shared
+    RANGE boundary protocol with the chunked per-code prefix-sum kernel
+    (functions/window.py::_window_ndistinct); event_type is the
+    low-cardinality categorical the kernel is designed for."""
+    from ..functions.window import rolling_range_agg
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return rolling_range_agg(ds, group_col="user_id", ts_col="ts",
+                             value_col="event_type",
+                             delta=30 * 60 * 1_000_000,
+                             id_col="event_id", agg="ndistinct",
+                             out_col="range_ndistinct_types")
+
+
 def user_value_cume_dist(sf_dir: str) -> Dataset:
     """CUME_DIST per user over value-in-cents — completes the ranking
     family (ROW_NUMBER/RANK/DENSE_RANK/NTILE/PERCENT_RANK): descending

@@ -158,6 +158,37 @@ def test_rolling_range_single_giant_group_timestamps():
     assert got["s"].tolist() == ref.tolist()
 
 
+@pytest.mark.parametrize("n_blocks,n_types", [(1, 5), (8, 5), (6, 150)])
+def test_rolling_range_ndistinct_matches_bruteforce(n_blocks, n_types):
+    """COUNT(DISTINCT v) OVER RANGE: low-cardinality strings plus a
+    >64-code case that exercises the chunked prefix-sum path."""
+    from datacapsule_ray.functions.window import rolling_range_agg
+
+    rng = np.random.default_rng(67)
+    n = 250
+    df = pd.DataFrame({
+        "g": rng.integers(0, 6, size=n),
+        "ts": rng.integers(0, 30, size=n).astype(np.int64),  # many ties
+        "id": np.arange(n),
+        "v": [f"t{i}" for i in rng.integers(0, n_types, size=n)],
+    })
+    srt = df.sort_values(["g", "ts", "id"], kind="stable").reset_index(drop=True)
+    ref = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        g, t = srt.loc[i, "g"], srt.loc[i, "ts"]
+        win = srt[(srt["g"] == g) & (srt["ts"] >= t - 5) & (srt["ts"] <= t)]
+        ref[i] = win["v"].nunique()
+    expect = (pd.DataFrame({"id": srt["id"], "nd": ref})
+              .sort_values("id").reset_index(drop=True))
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)).repartition(n_blocks)
+    got = rolling_range_agg(ds, group_col="g", ts_col="ts", value_col="v",
+                            delta=5, id_col="id", agg="ndistinct",
+                            out_col="nd").to_pandas()
+    got = got.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
 # --- navigation / ranking windows --------------------------------------------
 
 @pytest.mark.parametrize("kind", ["lag", "lead"])
