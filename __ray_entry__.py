@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gini–Simpson label diversity — all with full SQL oracles
         "user_range_avg_30m": r.user_range_avg_30m,
         "user_range_distinct_30m": r.user_range_distinct_30m,
+        "user_funnel_stages": r.user_funnel_stages,
+        "events_value_outliers": r.events_value_outliers,
         "events_value_quantiles_cont": r.events_value_quantiles_cont,
         "events_value_winsorized": r.events_value_winsorized,
         "user_type_diversity": r.user_type_diversity,
@@ -208,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": docops.doc_repetition_stats,
         "docs_redacted": docops.docs_redacted,
         "cluster_assign_embeddings": docops.cluster_assign_embeddings,
+        "embedding_dim_stats": docops.embedding_dim_stats,
         "doc_quality_percentile_filter": docops.doc_quality_percentile_filter,
         # training-mix hygiene (round 3b): split / domain cap /
         # decontamination / normalization / n-gram Jaccard — all with
@@ -605,6 +608,44 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
                              AND CURRENT ROW) AS range_avg_cents
             FROM events
+        """,
+        "events_value_outliers": """
+            -- same robust-stats definition as events_value_mad; the
+            -- flag compares exact integers, so no float tolerance
+            WITH m AS (
+              SELECT event_type,
+                     quantile_disc(CAST(ROUND(value*100) AS BIGINT), 0.5)
+                         AS med
+              FROM events GROUP BY event_type),
+            d AS (
+              SELECT e.event_type,
+                     quantile_disc(abs(CAST(ROUND(e.value*100) AS BIGINT)
+                                       - m.med), 0.5) AS mad
+              FROM events e JOIN m USING (event_type)
+              GROUP BY e.event_type)
+            SELECT e.event_id,
+                   CAST(abs(CAST(ROUND(e.value*100) AS BIGINT) - m.med)
+                        > 3 * d.mad AS BIGINT) AS is_outlier
+            FROM events e
+            JOIN m USING (event_type) JOIN d USING (event_type)
+        """,
+        "user_funnel_stages": """
+            WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+                 t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2
+                        FROM events e JOIN t1 USING (user_id)
+                        WHERE e.event_type = 'click' AND e.ts > t1.ts1
+                        GROUP BY e.user_id),
+                 t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3
+                        FROM events e JOIN t2 USING (user_id)
+                        WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+                        GROUP BY e.user_id)
+            SELECT '1_view' AS stage,
+                   CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+            UNION ALL
+            SELECT '2_click_after_view', CAST(COUNT(*) AS BIGINT) FROM t2
+            UNION ALL
+            SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM t3
         """,
         "user_range_distinct_30m": """
             SELECT event_id,
@@ -1006,6 +1047,26 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(text, '\b(customer|spark)\b', '<ENT>', 'g')
                        AS clean_text
             FROM documents
+        """,
+        "embedding_dim_stats": """
+            -- per-dimension exact-integer moments (sum of round(x*1e6),
+            -- sum of round(x*1e3)^2): integer partials make the
+            -- distributed merge order-independent and hash-stable
+            -- CAST to DOUBLE before scaling: bare embedding[i]*1e6
+            -- would multiply in FLOAT32 and round differently from the
+            -- engine's float64 path (float32*1e6 is exact in double)
+            SELECT i,
+                   CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                                       * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_e6,
+                   CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                                       * 1000) AS BIGINT)
+                            * CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                                         * 1000) AS BIGINT))
+                        AS BIGINT) AS sumsq_e3,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM embeddings, generate_series(1, 64) AS t(i)
+            GROUP BY i
         """,
         "cluster_assign_embeddings": r"""
             WITH cent AS (

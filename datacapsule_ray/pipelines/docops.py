@@ -455,6 +455,57 @@ def docs_redacted(sf_dir: str) -> Dataset:
                        [REDACT_DEMO_PATTERN], "<ENT>")
 
 
+def embedding_dim_stats(sf_dir: str, dim: int = 64) -> Dataset:
+    """Per-dimension corpus statistics over the embedding column — the
+    normalization pre-pass of an embedding pipeline (whitening, scaling,
+    drift checks). Each block contributes one d-row partial (dimension,
+    Σ round(x·1e6), Σ round(x·1e3)², count) — all exact int64, so the
+    merge is order-independent and the result hash-matches SQL; means /
+    variances are one division away for the caller. The combine is a
+    d-row groupby: shuffle volume is O(blocks·d), never O(rows)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    emb = _emb(sf_dir, ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        flat = pc.list_flatten(col)
+        f64 = pc.cast(flat, pa.float64())
+        # same quantization path as the cents convention: pc.round
+        # half_towards_infinity == SQL ROUND (relational._cents note)
+        q6 = pc.cast(pc.round(pc.multiply(f64, 1e6),
+                              round_mode="half_towards_infinity"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        q3 = pc.cast(pc.round(pc.multiply(f64, 1e3),
+                              round_mode="half_towards_infinity"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        m6 = q6.reshape(n, dim)
+        m3 = q3.reshape(n, dim)
+        return pa.table({
+            "i": pa.array(np.arange(1, dim + 1, dtype=np.int64)),
+            "s6": pa.array(m6.sum(axis=0, dtype=np.int64)),
+            "sq3": pa.array((m3 * m3).sum(axis=0, dtype=np.int64)),
+            "cnt": pa.array(np.full(dim, n, dtype=np.int64)),
+        })
+
+    agg = (emb.map_batches(partial, batch_format="pyarrow")
+           .groupby("i")
+           .aggregate(Sum("s6", alias_name="sum_e6"),
+                      Sum("sq3", alias_name="sumsq_e3"),
+                      Sum("cnt", alias_name="n")))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"i": t.column("i"),
+                         "sum_e6": pc.cast(t.column("sum_e6"), pa.int64()),
+                         "sumsq_e3": pc.cast(t.column("sumsq_e3"),
+                                             pa.int64()),
+                         "n": pc.cast(t.column("n"), pa.int64())})
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
 def cluster_assign_embeddings(sf_dir: str, k: int = 8) -> Dataset:
     """Fixed-centroid nearest-neighbor assignment (the SQL-checkable
     half of k-means): centroids are the embeddings of the k smallest

@@ -1933,6 +1933,100 @@ def user_range_avg_30m(sf_dir: str) -> Dataset:
     return _user_range_minmax(sf_dir, "mean", "range_avg_cents")
 
 
+def events_value_outliers(sf_dir: str) -> Dataset:
+    """Robust per-row outlier flags: |cents - median(type)| >
+    3·MAD(type), computed entirely in exact integers so the flag is
+    bit-stable against the SQL oracle (no float tolerance games).
+    Composes the two grouped exact-histogram passes of
+    ``events_value_mad`` and broadcasts the keys-sized (|event types|)
+    threshold table into a final vectorized flag map — the
+    anomaly-detection shape: robust stats pass, then a streaming
+    scoring pass that never re-shuffles the fact table."""
+    from ..functions.quantiles import grouped_exact_quantiles
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_type": t.column("event_type"),
+                         "cents": _cents(t.column("value"))})
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    med = grouped_exact_quantiles(cents, "event_type", "cents",
+                                  [(1, 2, "med")])
+    med_lut = dict(zip(med["event_type"], med["med"].astype(np.int64)))
+
+    def absdev(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        m = np.empty(len(c), dtype=np.int64)
+        for ty, tm in med_lut.items():
+            m[et == ty] = tm
+        return pa.table({"event_type": t.column("event_type"),
+                         "absdev": pa.array(np.abs(c - m))})
+
+    mad = grouped_exact_quantiles(
+        cents.map_batches(absdev, batch_format="pyarrow"),
+        "event_type", "absdev", [(1, 2, "mad")])
+    mad_lut = dict(zip(mad["event_type"], mad["mad"].astype(np.int64)))
+
+    def flag(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        m = np.empty(len(c), dtype=np.int64)
+        s = np.empty(len(c), dtype=np.int64)
+        for ty in med_lut:
+            sel = et == ty
+            m[sel] = med_lut[ty]
+            s[sel] = mad_lut[ty]
+        out = (np.abs(c - m) > 3 * s).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"),
+                         "is_outlier": pa.array(out)})
+
+    return cents.map_batches(flag, batch_format="pyarrow")
+
+
+def user_funnel_stages(sf_dir: str, num_partitions: int = 2) -> pd.DataFrame:
+    """Ordered conversion funnel (view → click → purchase): stage k+1
+    counts users whose earliest stage-k+1 event is STRICTLY AFTER their
+    earliest qualifying stage-k event — the standard product-analytics
+    funnel. Each stage is one distributed filter + groupby-MIN plus one
+    hash join against the previous stage's (user, ts) table; nothing is
+    broadcast (stage tables are |users|-sized and stay distributed), so
+    the funnel holds at any user cardinality. Output is 3 rows."""
+    from ..traverse import drop_empty_blocks
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def first_of(etype: str, ds: Dataset, ts_out: str) -> Dataset:
+        return drop_empty_blocks(
+            ds.filter(expr=f"event_type == '{etype}'")
+            .groupby("user_id").aggregate(Min("ts", alias_name=ts_out)))
+
+    def after(prev: Dataset, prev_ts: str, etype: str,
+              ts_out: str) -> Dataset:
+        joined = drop_empty_blocks(
+            ev.filter(expr=f"event_type == '{etype}'")).join(
+            prev.select_columns(["user_id", prev_ts]), join_type="inner",
+            num_partitions=num_partitions, on=("user_id",))
+
+        def strictly_after(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater(t.column("ts"), t.column(prev_ts)))
+
+        return drop_empty_blocks(
+            joined.map_batches(strictly_after, batch_format="pyarrow")
+            .groupby("user_id").aggregate(Min("ts", alias_name=ts_out)))
+
+    t1 = first_of("view", ev, "ts1")
+    t2 = after(t1, "ts1", "click", "ts2")
+    t3 = after(t2, "ts2", "purchase", "ts3")
+    return pd.DataFrame({
+        "stage": ["1_view", "2_click_after_view", "3_purchase_after_click"],
+        "n_users": np.array([t1.count(), t2.count(), t3.count()],
+                            dtype=np.int64),
+    })
+
+
 def user_range_distinct_30m(sf_dir: str) -> Dataset:
     """RANGE-frame windowed COUNT DISTINCT: how many distinct event
     types each user produced in the 30 minutes up to each event — the

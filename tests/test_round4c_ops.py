@@ -331,3 +331,118 @@ def test_range_avg_is_exact_sum_over_count(events_dir):
          .sort_values("event_id").reset_index(drop=True))
     want = s["range_sum_cents"].to_numpy() / c["range_n_events"].to_numpy()
     assert avg["range_avg_cents"].to_numpy().tolist() == want.tolist()
+
+
+def test_user_funnel_stages_vs_duckdb(events_dir):
+    """Ordered funnel counts on the multi-file events input."""
+    sf_dir, df = events_dir
+    got = r.user_funnel_stages(sf_dir)
+    want = _duck(df, """
+        WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+             t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2
+                    FROM events e JOIN t1 USING (user_id)
+                    WHERE e.event_type = 'click' AND e.ts > t1.ts1
+                    GROUP BY e.user_id),
+             t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3
+                    FROM events e JOIN t2 USING (user_id)
+                    WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+                    GROUP BY e.user_id)
+        SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+        UNION ALL SELECT '2_click_after_view', CAST(COUNT(*) AS BIGINT) FROM t2
+        UNION ALL SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM t3
+    """)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # monotone: each stage can only lose users
+    n = got["n_users"].to_numpy()
+    assert n[0] >= n[1] >= n[2] >= 0
+
+
+def test_funnel_strictly_after_semantics(tmp_path):
+    """A click AT the first view's ts must NOT convert (strict >); a
+    later purchase converts only off a qualifying click."""
+    ts0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 0: view@0, click@0 (tie -> no), click@5 (yes), purchase@9
+        (0, ts0, "view"), (0, ts0, "click"),
+        (0, ts0 + pd.Timedelta(seconds=5), "click"),
+        (0, ts0 + pd.Timedelta(seconds=9), "purchase"),
+        # user 1: purchase precedes click -> stage3 no
+        (1, ts0, "view"), (1, ts0 + pd.Timedelta(seconds=1), "purchase"),
+        (1, ts0 + pd.Timedelta(seconds=2), "click"),
+        # user 2: no view at all
+        (2, ts0, "click"), (2, ts0 + pd.Timedelta(seconds=1), "purchase"),
+    ]
+    df = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype=np.int64),
+        "user_id": np.array([u for u, _, _ in rows], dtype=np.int64),
+        "ts": [t for _, t, _ in rows],
+        "event_type": [e for _, _, e in rows],
+        "value": np.zeros(len(rows)),
+        "props": ["{}"] * len(rows),
+    })
+    d = os.path.join(tmp_path, "events.parquet")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "part-0.parquet"))
+    got = r.user_funnel_stages(str(tmp_path))
+    assert got["n_users"].tolist() == [2, 2, 1]
+
+
+def test_events_value_outliers_flags_planted_spike(tmp_path):
+    """A planted 100x spike in an otherwise tight distribution must be
+    the only flagged row."""
+    n = 200
+    rng = np.random.default_rng(5)
+    vals = rng.integers(990, 1011, size=n).astype(np.float64) / 100.0
+    vals[17] = 999.99
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.zeros(n, dtype=np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(np.arange(n), unit="s"),
+        "event_type": ["click"] * n,
+        "value": vals,
+        "props": ["{}"] * n,
+    })
+    d = os.path.join(tmp_path, "events.parquet")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "part-0.parquet"))
+    got = (r.events_value_outliers(str(tmp_path)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert got["is_outlier"].sum() == 1
+    assert got.loc[17, "is_outlier"] == 1
+
+
+def test_embedding_dim_stats_partials_merge_exactly(tmp_path):
+    """Per-dimension integer moments: multi-file distributed partials
+    must equal a single-pass numpy reference bit-for-bit."""
+    from datacapsule_ray.pipelines.docops import embedding_dim_stats
+
+    rng = np.random.default_rng(23)
+    n, d = 300, 16
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [row for row in mat],
+        "label": np.zeros(n, dtype=np.int32),
+    })
+    dd = os.path.join(tmp_path, "embeddings.parquet")
+    os.makedirs(dd, exist_ok=True)
+    for i, part in enumerate(np.array_split(np.arange(n), 5)):
+        t = pa.table({
+            "vec_id": pa.array(df["vec_id"].iloc[part]),
+            "embedding": pa.array([mat[j] for j in part],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array(df["label"].iloc[part]),
+        })
+        pq.write_table(t, os.path.join(dd, f"part-{i}.parquet"))
+    got = (embedding_dim_stats(str(tmp_path), dim=d).to_pandas()
+           .sort_values("i").reset_index(drop=True))
+    f64 = mat.astype(np.float64)
+    q6 = np.trunc(f64 * 1e6 + np.copysign(0.5, f64)).astype(np.int64)
+    q3 = np.trunc(f64 * 1e3 + np.copysign(0.5, f64)).astype(np.int64)
+    assert got["sum_e6"].to_numpy().tolist() == q6.sum(axis=0).tolist()
+    assert got["sumsq_e3"].to_numpy().tolist() == (q3 * q3).sum(axis=0).tolist()
+    assert (got["n"] == n).all()
