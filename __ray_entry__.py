@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_range_distinct_30m": r.user_range_distinct_30m,
         "user_funnel_stages": r.user_funnel_stages,
         "events_value_outliers": r.events_value_outliers,
+        "users_pareto_front": r.users_pareto_front,
         "events_value_quantiles_cont": r.events_value_quantiles_cont,
         "events_value_winsorized": r.events_value_winsorized,
         "user_type_diversity": r.user_type_diversity,
@@ -608,6 +609,23 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
                              AND CURRENT ROW) AS range_avg_cents
             FROM events
+        """,
+        "users_pareto_front": """
+            -- 2-D skyline / Pareto frontier under strict dominance
+            WITH agg AS (
+              SELECT user_id,
+                     CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+                         AS spend_cents,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM events GROUP BY user_id)
+            SELECT a.user_id, a.spend_cents, a.n_events
+            FROM agg a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM agg b
+              WHERE b.spend_cents >= a.spend_cents
+                AND b.n_events >= a.n_events
+                AND (b.spend_cents > a.spend_cents
+                     OR b.n_events > a.n_events))
         """,
         "events_value_outliers": """
             -- same robust-stats definition as events_value_mad; the

@@ -1933,6 +1933,36 @@ def user_range_avg_30m(sf_dir: str) -> Dataset:
     return _user_range_minmax(sf_dir, "mean", "range_avg_cents")
 
 
+def users_pareto_front(sf_dir: str) -> Dataset:
+    """Multi-criteria top set: users not dominated on (total spend,
+    event count) — the 2-D skyline. One distributed groupby builds the
+    per-user profile table; the two-phase skyline
+    (functions/skyline.py) prunes each block to its local frontier
+    before the tiny global merge."""
+    from ..functions.skyline import pareto_front_2d
+    from ..traverse import drop_empty_blocks
+
+    ds = _t(sf_dir, "events", ["user_id", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "cents": _cents(t.column("value"))})
+
+    agg = (ds.map_batches(to_cents, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Sum("cents", alias_name="spend_cents"),
+                      Count(alias_name="n_events")))
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "spend_cents": pc.cast(t.column("spend_cents"), pa.int64()),
+            "n_events": pc.cast(t.column("n_events"), pa.int64())})
+
+    prof = drop_empty_blocks(agg.map_batches(norm, batch_format="pyarrow"))
+    return pareto_front_2d(prof, x_col="spend_cents", y_col="n_events")
+
+
 def events_value_outliers(sf_dir: str) -> Dataset:
     """Robust per-row outlier flags: |cents - median(type)| >
     3·MAD(type), computed entirely in exact integers so the flag is

@@ -446,3 +446,57 @@ def test_embedding_dim_stats_partials_merge_exactly(tmp_path):
     assert got["sum_e6"].to_numpy().tolist() == q6.sum(axis=0).tolist()
     assert got["sumsq_e3"].to_numpy().tolist() == (q3 * q3).sum(axis=0).tolist()
     assert (got["n"] == n).all()
+
+
+# --- 2-D skyline --------------------------------------------------------------
+
+def _brute_skyline(pts):
+    out = []
+    for i, (x, y) in enumerate(pts):
+        dominated = any((bx >= x and by >= y and (bx > x or by > y))
+                        for j, (bx, by) in enumerate(pts) if j != i)
+        if not dominated:
+            out.append((x, y))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("n_blocks", [1, 6])
+def test_pareto_front_matches_bruteforce(n_blocks):
+    from datacapsule_ray.functions.skyline import pareto_front_2d
+
+    rng = np.random.default_rng(41)
+    n = 400
+    x = rng.integers(0, 50, size=n).astype(np.int64)
+    y = rng.integers(0, 50, size=n).astype(np.int64)
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                  "x": pa.array(x), "y": pa.array(y)})
+    ds = rd.from_arrow(t).repartition(n_blocks)
+    got = pareto_front_2d(ds, x_col="x", y_col="y").to_pandas()
+    want = _brute_skyline(list(zip(x.tolist(), y.tolist())))
+    assert sorted(zip(got["x"], got["y"])) == want
+
+
+def test_pareto_front_keeps_duplicate_frontier_points():
+    """Exact duplicates of a frontier point do not dominate each other:
+    all survive (the SQL NOT-EXISTS strict-dominance rule)."""
+    from datacapsule_ray.functions.skyline import pareto_front_2d
+
+    t = pa.table({"id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                  "x": pa.array([10, 10, 5, 1], type=pa.int64()),
+                  "y": pa.array([3, 3, 9, 1], type=pa.int64())})
+    got = pareto_front_2d(rd.from_arrow(t).repartition(2),
+                          x_col="x", y_col="y").to_pandas()
+    assert sorted(got["id"].tolist()) == [0, 1, 2]
+
+
+def test_pareto_front_anticorrelated_worst_case():
+    """Every point on the frontier (x + y = const): nothing may be
+    pruned, in any partitioning."""
+    from datacapsule_ray.functions.skyline import pareto_front_2d
+
+    n = 100
+    x = np.arange(n, dtype=np.int64)
+    t = pa.table({"x": pa.array(x), "y": pa.array(n - 1 - x)})
+    got = pareto_front_2d(rd.from_arrow(t).repartition(7),
+                          x_col="x", y_col="y").to_pandas()
+    assert len(got) == n
