@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk_dedup": docops.doc_chunk_dedup,
         # round 4c: degree-split exact triangle count on the dup graph
         "neardup_triangles": docops.neardup_triangles,
+        "neardup_kcore": docops.neardup_kcore,
         # Bloom membership pre-filter composed with the exact verify —
         # output-identical to incremental_dedup_docs, same oracle
         "incremental_dedup_bloom": docops.incremental_dedup_bloom,
@@ -1493,4 +1494,37 @@ def oracle_sql() -> dict[str, str]:
         FROM events e JOIN m USING (event_type)
         GROUP BY e.event_type, m.med
     """
+    # k-core (k=2, 4 unrolled peel rounds) on the Jaccard>=0.9 graph —
+    # the fixed-iteration convention of kg_rel_pagerank: the engine
+    # early-stops when a round removes no edge, which leaves the result
+    # identical to running all 4 no-op rounds here
+    peel = [r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(
+                       regexp_split_to_array(text, '\s+'),
+                       x -> x <> '')) AS ts
+            FROM documents
+        ), ne AS (SELECT * FROM toks WHERE len(ts) > 0),
+        e0 AS (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+            WHERE 10 * len(list_intersect(a.ts, b.ts))
+                  >= 9 * (len(a.ts) + len(b.ts)
+                          - len(list_intersect(a.ts, b.ts)))
+        )"""]
+    for i in range(4):
+        peel.append(f""",
+        d{i} AS (SELECT node, COUNT(*) AS deg
+                 FROM (SELECT a AS node FROM e{i}
+                       UNION ALL SELECT b FROM e{i}) GROUP BY node),
+        n{i} AS (SELECT node FROM d{i} WHERE deg >= 2),
+        e{i + 1} AS (SELECT a, b FROM e{i}
+                     WHERE a IN (SELECT node FROM n{i})
+                       AND b IN (SELECT node FROM n{i}))""")
+    peel.append("""
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
+        GROUP BY node""")
+    out["neardup_kcore"] = "".join(peel)
     return out

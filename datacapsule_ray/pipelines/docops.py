@@ -131,6 +131,19 @@ def neardup_triangles(sf_dir: str) -> "pd.DataFrame":
     return triangle_count_lowdeg(pairs, deg_cap=64).to_pandas()
 
 
+def neardup_kcore(sf_dir: str, k: int = 2, rounds: int = 4) -> Dataset:
+    """2-core of the exact Jaccard>=0.9 graph: dup CLUSTERS (nodes that
+    keep >=2 dup partners after hangers-on peel away) vs pair noise.
+    Fixed ``rounds`` synchronous peels with edge-count early stop —
+    deterministic and mirrored by the unrolled SQL oracle
+    (functions/kcore.py; the pagerank fixed-iteration convention)."""
+    from ..functions.kcore import kcore
+
+    pairs = ssjoin.jaccard_ssjoin(_docs(sf_dir, ["doc_id", "text"]),
+                                  tau_num=9, tau_den=10)
+    return kcore(pairs, k=k, rounds=rounds)
+
+
 def doc_rolling_fingerprints(sf_dir: str) -> Dataset:
     """Winnowed rolling-hash fingerprints, one row per (doc, fingerprint)
     — the local-similarity channel for plagiarism-style matching."""

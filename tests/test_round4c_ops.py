@@ -500,3 +500,74 @@ def test_pareto_front_anticorrelated_worst_case():
     got = pareto_front_2d(rd.from_arrow(t).repartition(7),
                           x_col="x", y_col="y").to_pandas()
     assert len(got) == n
+
+
+# --- k-core peeling ------------------------------------------------------------
+
+def _kcore_pd(edges, k, rounds):
+    e = list(edges)
+    for _ in range(rounds):
+        deg = {}
+        for a, b in e:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        e2 = [(a, b) for a, b in e if a in keep and b in keep]
+        if len(e2) == len(e):
+            break
+        e = e2
+    deg = {}
+    for a, b in e:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return dict(sorted(deg.items()))
+
+
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_kcore_clique_survives_chain_peels(n_blocks):
+    """A 4-clique is its own 2-core; a path hanging off it peels away
+    one endpoint per round (exercises multi-round iteration)."""
+    from datacapsule_ray.functions.kcore import kcore
+
+    clique = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    path = [(3, 10), (10, 11), (11, 12)]
+    edges = clique + path
+    t = pa.table({"id_a": pa.array([a for a, _ in edges], type=pa.int64()),
+                  "id_b": pa.array([b for _, b in edges], type=pa.int64())})
+    got = (kcore(rd.from_arrow(t).repartition(n_blocks), k=2, rounds=4)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    want = _kcore_pd(edges, 2, 4)
+    assert dict(zip(got["node"], got["deg"])) == want
+    assert set(got["node"]) == {0, 1, 2, 3}        # the clique only
+    assert (got["deg"] == 3).all()
+
+
+def test_kcore_k3_empties_sparse_graph():
+    """No triangle-dense region: the 3-core is empty and the engine
+    returns an empty (node, deg) table, not an error."""
+    from datacapsule_ray.functions.kcore import kcore
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]  # 4-cycle: 2-core, no 3-core
+    t = pa.table({"id_a": pa.array([a for a, _ in edges], type=pa.int64()),
+                  "id_b": pa.array([b for _, b in edges], type=pa.int64())})
+    got = kcore(rd.from_arrow(t).repartition(2), k=3, rounds=4).to_pandas()
+    assert len(got) == 0
+    cyc = kcore(rd.from_arrow(t).repartition(2), k=2, rounds=4).to_pandas()
+    assert sorted(cyc["node"]) == [0, 1, 2, 3] and (cyc["deg"] == 2).all()
+
+
+def test_kcore_random_matches_reference():
+    from datacapsule_ray.functions.kcore import kcore
+
+    rng = np.random.default_rng(59)
+    pairs = set()
+    while len(pairs) < 120:
+        a, b = rng.integers(0, 40, size=2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    edges = sorted(pairs)
+    t = pa.table({"id_a": pa.array([a for a, _ in edges], type=pa.int64()),
+                  "id_b": pa.array([b for _, b in edges], type=pa.int64())})
+    got = kcore(rd.from_arrow(t).repartition(5), k=3, rounds=6).to_pandas()
+    want = _kcore_pd(edges, 3, 6)
+    assert dict(zip(got["node"], got["deg"])) == want
