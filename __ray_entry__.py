@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 4c: degree-split exact triangle count on the dup graph
         "neardup_triangles": docops.neardup_triangles,
         "neardup_kcore": docops.neardup_kcore,
+        "neardup_components_exact": docops.neardup_components_exact,
         # Bloom membership pre-filter composed with the exact verify —
         # output-identical to incremental_dedup_docs, same oracle
         "incremental_dedup_bloom": docops.incremental_dedup_bloom,
@@ -1505,8 +1506,8 @@ def oracle_sql() -> dict[str, str]:
                        regexp_split_to_array(text, '\s+'),
                        x -> x <> '')) AS ts
             FROM documents
-        ), ne AS (SELECT * FROM toks WHERE len(ts) > 0),
-        e0 AS (
+        ), ne AS MATERIALIZED (SELECT * FROM toks WHERE len(ts) > 0),
+        e0 AS MATERIALIZED (
             SELECT a.doc_id AS a, b.doc_id AS b
             FROM ne a JOIN ne b ON a.doc_id < b.doc_id
             WHERE 10 * len(list_intersect(a.ts, b.ts))
@@ -1515,11 +1516,11 @@ def oracle_sql() -> dict[str, str]:
         )"""]
     for i in range(4):
         peel.append(f""",
-        d{i} AS (SELECT node, COUNT(*) AS deg
+        d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS deg
                  FROM (SELECT a AS node FROM e{i}
                        UNION ALL SELECT b FROM e{i}) GROUP BY node),
-        n{i} AS (SELECT node FROM d{i} WHERE deg >= 2),
-        e{i + 1} AS (SELECT a, b FROM e{i}
+        n{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= 2),
+        e{i + 1} AS MATERIALIZED (SELECT a, b FROM e{i}
                      WHERE a IN (SELECT node FROM n{i})
                        AND b IN (SELECT node FROM n{i}))""")
     peel.append("""
@@ -1527,4 +1528,37 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
         GROUP BY node""")
     out["neardup_kcore"] = "".join(peel)
+    # bounded min-label propagation (8 unrolled rounds >= measured max
+    # eccentricity 7) == exact connected components at test scales; the
+    # engine early-stops on label-sum convergence, leaving the no-op
+    # tail rounds identical
+    prop = [r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(
+                       regexp_split_to_array(text, '\s+'),
+                       x -> x <> '')) AS ts
+            FROM documents
+        ), ne AS MATERIALIZED (SELECT * FROM toks WHERE len(ts) > 0),
+        e AS MATERIALIZED (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+            WHERE 10 * len(list_intersect(a.ts, b.ts))
+                  >= 9 * (len(a.ts) + len(b.ts)
+                          - len(list_intersect(a.ts, b.ts)))
+        ),
+        l0 AS MATERIALIZED (SELECT node, node AS lbl
+               FROM (SELECT a AS node FROM e UNION SELECT b FROM e))"""]
+    for i in range(8):
+        prop.append(f""",
+        l{i + 1} AS MATERIALIZED (SELECT node, MIN(lbl) AS lbl FROM (
+            SELECT node, lbl FROM l{i}
+            UNION ALL
+            SELECT e.b AS node, l.lbl FROM e JOIN l{i} l ON l.node = e.a
+            UNION ALL
+            SELECT e.a AS node, l.lbl FROM e JOIN l{i} l ON l.node = e.b
+        ) GROUP BY node)""")
+    prop.append("""
+        SELECT node AS doc_id, CAST(lbl AS BIGINT) AS component FROM l8""")
+    out["neardup_components_exact"] = "".join(prop)
     return out

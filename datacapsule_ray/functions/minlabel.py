@@ -1,0 +1,99 @@
+"""Distributed synchronous min-label propagation — the SQL-checkable
+face of connected components.
+
+``dedup.connected_components`` is the exact, convergence-driven CC used
+by the dedup pipelines; its oracle story is rows-only because true CC
+is not expressible in non-recursive SQL. This operator fixes that by
+bounding the computation: after ``rounds`` synchronous rounds each node
+holds the minimum id within graph distance ``rounds`` — a deterministic
+function mirrorable by an unrolled SQL oracle (the pagerank/kcore
+fixed-iteration convention). Whenever ``rounds`` >= the maximum
+eccentricity of a component's minimum node, the result IS exact
+connected components (pinned against ``connected_components`` by
+pytest; the shipped query uses rounds=8 vs a measured max eccentricity
+of 7 across the sf0.001–sf0.1 corpora).
+
+Labels only ever decrease, so convergence is detected by an unchanged
+label SUM (one cheap aggregate, no diff join); early-stopped rounds are
+no-ops in the oracle, keeping parity exact. Each round is two
+edge-keyed hash joins (attach each endpoint's current label to its
+neighbor) plus one node-keyed groupby-MIN — the standard distributed
+label-propagation CC, O(rounds · |E|) shuffle volume, nothing on the
+driver but one int per round."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+
+def minlabel_components(edges: Dataset, *, rounds: int,
+                        a_col: str = "id_a", b_col: str = "id_b",
+                        num_partitions: int = 4) -> Dataset:
+    """(node, lbl) after ``rounds`` synchronous min-label rounds over
+    unique undirected ``a < b`` edges; lbl init = node id. Nodes with
+    no edge never change their label and are not emitted (the caller
+    overlays isolated ids as their own components if it needs them —
+    they are a streaming identity map, not a propagation problem)."""
+    from ..traverse import drop_empty_blocks
+    from .dedup import _col_type
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+
+    def pick(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t.column(a_col), "b": t.column(b_col)})
+
+    e = edges.map_batches(pick, batch_format="pyarrow").materialize()
+    id_type = _col_type(e, "a")
+    lbl_schema = pa.schema([("node", id_type), ("lbl", id_type)])
+    if e.count() == 0:
+        import ray.data as rd
+        return rd.from_arrow(lbl_schema.empty_table())
+
+    def explode_nodes(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([
+            t.column("a").combine_chunks(), t.column("b").combine_chunks()])
+        u = pc.unique(nodes)
+        return pa.table({"node": u, "lbl": u})
+
+    labels = drop_empty_blocks(
+        e.map_batches(explode_nodes, batch_format="pyarrow")
+        .groupby("node").min("lbl")
+        .map_batches(lambda t: pa.table({
+            "node": t.column("node"),
+            "lbl": pc.cast(t.column("min(lbl)"), id_type)}),
+            batch_format="pyarrow"), lbl_schema).materialize()
+    prev_sum = labels.sum("lbl")
+
+    def proj(node_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column(node_col),
+                             "lbl": t.column("lbl")})
+        return fn
+
+    for _ in range(rounds):
+        la = drop_empty_blocks(
+            e.join(labels, join_type="inner",
+                   num_partitions=num_partitions,
+                   on=("a",), right_on=("node",))
+            .map_batches(proj("b"), batch_format="pyarrow"), lbl_schema)
+        lb = drop_empty_blocks(
+            e.join(labels, join_type="inner",
+                   num_partitions=num_partitions,
+                   on=("b",), right_on=("node",))
+            .map_batches(proj("a"), batch_format="pyarrow"), lbl_schema)
+        labels = drop_empty_blocks(
+            labels.union(la).union(lb)
+            .groupby("node").min("lbl")
+            .map_batches(lambda t: pa.table({
+                "node": t.column("node"),
+                "lbl": pc.cast(t.column("min(lbl)"), id_type)}),
+                batch_format="pyarrow"), lbl_schema).materialize()
+        s = labels.sum("lbl")
+        if s == prev_sum:  # labels are monotone: equal sum == converged
+            break
+        prev_sum = s
+    return labels

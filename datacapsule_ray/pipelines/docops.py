@@ -144,6 +144,24 @@ def neardup_kcore(sf_dir: str, k: int = 2, rounds: int = 4) -> Dataset:
     return kcore(pairs, k=k, rounds=rounds)
 
 
+def neardup_components_exact(sf_dir: str, rounds: int = 8) -> Dataset:
+    """Connected components of the exact Jaccard>=0.9 graph via bounded
+    min-label propagation — the SQL-checkable CC face
+    (functions/minlabel.py): rounds=8 covers the measured max
+    eccentricity (7) across the test corpora, where the result equals
+    exact CC (pinned vs ``connected_components`` in pytest). Output:
+    (doc_id, component=min doc_id in component) for edge-touched docs."""
+    from ..functions.minlabel import minlabel_components
+
+    pairs = ssjoin.jaccard_ssjoin(_docs(sf_dir, ["doc_id", "text"]),
+                                  tau_num=9, tau_den=10)
+    lab = minlabel_components(pairs, rounds=rounds)
+    return lab.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"),
+                            "component": t.column("lbl")}),
+        batch_format="pyarrow")
+
+
 def doc_rolling_fingerprints(sf_dir: str) -> Dataset:
     """Winnowed rolling-hash fingerprints, one row per (doc, fingerprint)
     — the local-similarity channel for plagiarism-style matching."""

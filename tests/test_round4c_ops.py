@@ -571,3 +571,75 @@ def test_kcore_random_matches_reference():
     got = kcore(rd.from_arrow(t).repartition(5), k=3, rounds=6).to_pandas()
     want = _kcore_pd(edges, 3, 6)
     assert dict(zip(got["node"], got["deg"])) == want
+
+
+# --- bounded min-label propagation ---------------------------------------------
+
+def _cc_pd(edges):
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    lbl = {}
+    for s in adj:
+        if s in lbl:
+            continue
+        comp = {s}
+        frontier = {s}
+        while frontier:
+            nxt = set().union(*(adj[v] for v in frontier)) - comp
+            comp |= nxt
+            frontier = nxt
+        m = min(comp)
+        for v in comp:
+            lbl[v] = m
+    return dict(sorted(lbl.items()))
+
+
+@pytest.mark.parametrize("n_blocks", [1, 5])
+def test_minlabel_components_matches_exact_cc(n_blocks):
+    """rounds >= eccentricity ==> bounded propagation == exact CC."""
+    from datacapsule_ray.functions.minlabel import minlabel_components
+
+    rng = np.random.default_rng(71)
+    pairs = set()
+    while len(pairs) < 80:
+        a, b = rng.integers(0, 60, size=2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    edges = sorted(pairs)
+    t = pa.table({"id_a": pa.array([a for a, _ in edges], type=pa.int64()),
+                  "id_b": pa.array([b for _, b in edges], type=pa.int64())})
+    got = (minlabel_components(rd.from_arrow(t).repartition(n_blocks),
+                               rounds=60)  # >= any diameter here
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert dict(zip(got["node"], got["lbl"])) == _cc_pd(edges)
+
+
+def test_minlabel_bounded_rounds_is_distance_capped():
+    """On a path 0-1-2-3-4-5, after 2 rounds each node holds the min id
+    within distance 2 — the defined (oracle-mirrorable) semantics."""
+    from datacapsule_ray.functions.minlabel import minlabel_components
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+    t = pa.table({"id_a": pa.array([a for a, _ in edges], type=pa.int64()),
+                  "id_b": pa.array([b for _, b in edges], type=pa.int64())})
+    got = (minlabel_components(rd.from_arrow(t).repartition(3), rounds=2)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert got["lbl"].tolist() == [0, 0, 0, 1, 2, 3]
+
+
+def test_minlabel_early_stop_equals_full_rounds():
+    """Label-sum early stop must not change the result (monotone
+    labels: equal sum == converged)."""
+    from datacapsule_ray.functions.minlabel import minlabel_components
+
+    edges = [(0, 1), (1, 2), (10, 11)]
+    t = pa.table({"id_a": pa.array([a for a, _ in edges], type=pa.int64()),
+                  "id_b": pa.array([b for _, b in edges], type=pa.int64())})
+    a = (minlabel_components(rd.from_arrow(t), rounds=2).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    b = (minlabel_components(rd.from_arrow(t), rounds=50).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
