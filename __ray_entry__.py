@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel_stages": r.user_funnel_stages,
         "events_value_outliers": r.events_value_outliers,
         "users_pareto_front": r.users_pareto_front,
+        "event_type_cooccurrence": r.event_type_cooccurrence,
+        "user_value_trend_stats": r.user_value_trend_stats,
         "events_value_quantiles_cont": r.events_value_quantiles_cont,
         "events_value_winsorized": r.events_value_winsorized,
         "user_type_diversity": r.user_type_diversity,
@@ -611,6 +613,40 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
                              AND CURRENT ROW) AS range_avg_cents
             FROM events
+        """,
+        "event_type_cooccurrence": """
+            -- market-basket co-occurrence with per-type user counts
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+                 per AS (SELECT event_type,
+                                CAST(COUNT(*) AS BIGINT) AS n_users
+                         FROM ut GROUP BY event_type)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_both,
+                   ANY_VALUE(pa.n_users) AS n_a,
+                   ANY_VALUE(pb.n_users) AS n_b
+            FROM ut a
+            JOIN ut b ON a.user_id = b.user_id
+                      AND a.event_type < b.event_type
+            JOIN per pa ON pa.event_type = a.event_type
+            JOIN per pb ON pb.event_type = b.event_type
+            GROUP BY a.event_type, b.event_type
+        """,
+        "user_value_trend_stats": """
+            -- OLS sufficient statistics in exact int64: x = seconds
+            -- since 2024-01-01, y = integer cents
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sum_x,
+                   CAST(SUM(y) AS BIGINT) AS sum_y,
+                   CAST(SUM(x*y) AS BIGINT) AS sum_xy,
+                   CAST(SUM(x*x) AS BIGINT) AS sum_x2,
+                   CAST(SUM(y*y) AS BIGINT) AS sum_y2
+            FROM (SELECT user_id,
+                         CAST(date_diff('second',
+                              TIMESTAMP '2024-01-01', ts) AS BIGINT) AS x,
+                         CAST(ROUND(value*100) AS BIGINT) AS y
+                  FROM events)
+            GROUP BY user_id
         """,
         "users_pareto_front": """
             -- 2-D skyline / Pareto frontier under strict dominance

@@ -1933,6 +1933,118 @@ def user_range_avg_30m(sf_dir: str) -> Dataset:
     return _user_range_minmax(sf_dir, "mean", "range_avg_cents")
 
 
+def event_type_cooccurrence(sf_dir: str, num_partitions: int = 2
+                            ) -> Dataset:
+    """Market-basket co-occurrence: for every unordered event-type pair,
+    how many users produced BOTH (plus each type's own user count, so
+    lift/confidence are one division away — kept integer for the hash
+    gate). Shape: distinct (user, type) via groupby, a user-keyed
+    self-join for the pairs, and a types-sized count table attached by
+    broadcast-free joins; the distinct table is |users|·|types| rows and
+    everything stays key-partitioned, so the op survives any user
+    cardinality (type cardinality is the small side by construction)."""
+    from ..traverse import drop_empty_blocks
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type"])
+    ut = drop_empty_blocks(
+        ev.groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="_c")),
+        pa.schema([("user_id", pa.int64()), ("event_type", pa.string()),
+                   ("_c", pa.int64())])
+    ).select_columns(["user_id", "event_type"])
+    per_type = (ut.groupby("event_type")
+                .aggregate(Count(alias_name="n_users")))
+    right = ut.map_batches(
+        lambda t: pa.table({"user2": t.column("user_id"),
+                            "type_b": t.column("event_type")}),
+        batch_format="pyarrow")
+    pairs = drop_empty_blocks(ut.join(
+        right, join_type="inner", num_partitions=num_partitions,
+        on=("user_id",), right_on=("user2",)))
+
+    def ordered(t: pa.Table) -> pa.Table:
+        keep = pc.less(t.column("event_type"), t.column("type_b"))
+        t = t.filter(keep)
+        return pa.table({"type_a": t.column("event_type"),
+                         "type_b": t.column("type_b")})
+
+    both = (pairs.map_batches(ordered, batch_format="pyarrow")
+            .groupby(["type_a", "type_b"])
+            .aggregate(Count(alias_name="n_both")))
+    ca = per_type.map_batches(
+        lambda t: pa.table({"ta": t.column("event_type"),
+                            "n_a": pc.cast(t.column("n_users"),
+                                           pa.int64())}),
+        batch_format="pyarrow")
+    cb = per_type.map_batches(
+        lambda t: pa.table({"tb": t.column("event_type"),
+                            "n_b": pc.cast(t.column("n_users"),
+                                           pa.int64())}),
+        batch_format="pyarrow")
+    out = drop_empty_blocks(both).join(
+        drop_empty_blocks(ca), join_type="inner",
+        num_partitions=num_partitions, on=("type_a",), right_on=("ta",))
+    out = drop_empty_blocks(out).join(
+        drop_empty_blocks(cb), join_type="inner",
+        num_partitions=num_partitions, on=("type_b",), right_on=("tb",))
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "type_a": t.column("type_a"),
+            "type_b": t.column("type_b"),
+            "n_both": pc.cast(t.column("n_both"), pa.int64()),
+            "n_a": t.column("n_a"),
+            "n_b": t.column("n_b")})
+
+    return drop_empty_blocks(
+        out.map_batches(final, batch_format="pyarrow"),
+        pa.schema([("type_a", pa.string()), ("type_b", pa.string()),
+                   ("n_both", pa.int64()), ("n_a", pa.int64()),
+                   ("n_b", pa.int64())]))
+
+
+def user_value_trend_stats(sf_dir: str) -> Dataset:
+    """Grouped OLS sufficient statistics — the distributed-regression
+    shape: per user, exact-int64 (n, Σx, Σy, Σxy, Σx², Σy²) with
+    x = seconds since 2024-01-01 and y = cents. Slope / intercept /
+    correlation are pure post-processing of these six integers, so the
+    heavy pass is ONE map-side partial + one small groupby (no float
+    accumulation, no second pass) and the result hash-matches SQL."""
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
+    base_us = pd.Timestamp("2024-01-01").value // 1_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        x = (us - base_us) // 1_000_000
+        y = _cents(t.column("value")).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "n": pa.array(np.ones(len(x), dtype=np.int64)),
+            "sum_x": pa.array(x),
+            "sum_y": pa.array(y),
+            "sum_xy": pa.array(x * y),
+            "sum_x2": pa.array(x * x),
+            "sum_y2": pa.array(y * y)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_x", alias_name="sum_x"),
+                      Sum("sum_y", alias_name="sum_y"),
+                      Sum("sum_xy", alias_name="sum_xy"),
+                      Sum("sum_x2", alias_name="sum_x2"),
+                      Sum("sum_y2", alias_name="sum_y2")))
+
+    def norm(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t.column("user_id")}
+        for c in ("n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"):
+            cols[c] = pc.cast(t.column(c), pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(norm, batch_format="pyarrow")
+
+
 def users_pareto_front(sf_dir: str) -> Dataset:
     """Multi-criteria top set: users not dominated on (total spend,
     event count) — the 2-D skyline. One distributed groupby builds the

@@ -643,3 +643,45 @@ def test_minlabel_early_stop_equals_full_rounds():
     b = (minlabel_components(rd.from_arrow(t), rounds=50).to_pandas()
          .sort_values("node").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_event_type_cooccurrence_vs_duckdb(events_dir):
+    sf_dir, df = events_dir
+    got = (r.event_type_cooccurrence(sf_dir).to_pandas()
+           .sort_values(["type_a", "type_b"]).reset_index(drop=True))
+    want = _duck(df, """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+             per AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+                     FROM ut GROUP BY event_type)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both,
+               ANY_VALUE(pa.n_users) AS n_a, ANY_VALUE(pb.n_users) AS n_b
+        FROM ut a JOIN ut b ON a.user_id = b.user_id
+                           AND a.event_type < b.event_type
+        JOIN per pa ON pa.event_type = a.event_type
+        JOIN per pb ON pb.event_type = b.event_type
+        GROUP BY a.event_type, b.event_type
+        ORDER BY type_a, type_b
+    """)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_user_value_trend_stats_slope_recoverable(events_dir):
+    """The six sufficient statistics must reproduce numpy's per-user
+    OLS slope (the point of shipping them)."""
+    sf_dir, df = events_dir
+    got = (r.user_value_trend_stats(sf_dir).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    base = pd.Timestamp("2024-01-01")
+    for _, row in got.iterrows():
+        sub = df[df["user_id"] == row["user_id"]]
+        x = ((sub["ts"] - base).dt.total_seconds()).to_numpy()
+        y = np.round(sub["value"].to_numpy() * 100).astype(np.int64)
+        n = len(sub)
+        assert row["n"] == n
+        num = row["n"] * row["sum_xy"] - row["sum_x"] * row["sum_y"]
+        den = row["n"] * row["sum_x2"] - row["sum_x"] ** 2
+        if den:
+            slope = num / den
+            want = np.polyfit(x, y, 1)[0]
+            assert abs(slope - want) < 1e-6 * max(1.0, abs(want))
