@@ -165,6 +165,19 @@ def run_bench() -> dict:
     timed("events_value_zscore", r.events_value_zscore)
     timed("user_first_last_value", r.user_first_last_value)
 
+    # round 4c: windowed COUNT DISTINCT, funnel, robust outliers,
+    # embedding moments, skyline, k-core, SQL-checkable components,
+    # co-occurrence, OLS sufficient statistics
+    timed("user_range_distinct_30m", r.user_range_distinct_30m)
+    timed("user_funnel_stages", r.user_funnel_stages)
+    timed("events_value_outliers", r.events_value_outliers)
+    timed("embedding_dim_stats", docops.embedding_dim_stats)
+    timed("users_pareto_front", r.users_pareto_front)
+    timed("neardup_kcore", docops.neardup_kcore)
+    timed("neardup_components_exact", docops.neardup_components_exact)
+    timed("event_type_cooccurrence", r.event_type_cooccurrence)
+    timed("user_value_trend_stats", r.user_value_trend_stats)
+
     # serving-side data operators (round 2): judge stage over doc
     # pairs, agent batch inference over the relational KG, and the full
     # interaction-store lifecycle (ingest + tombstones + upsert + page)

@@ -53,10 +53,40 @@ def _degree_table(e: Dataset, id_type: pa.DataType) -> Dataset:
         pa.schema([("node", id_type), ("deg", pa.int64())]))
 
 
+def _kcore_rounds_np(a_idx, b_idx, n_nodes: int, k: int, rounds: int):
+    """Vectorized bounded peel over factorized edges: per round one
+    bincount degree pass and one boolean edge filter — the same
+    deterministic function as the distributed rounds."""
+    import numpy as np
+
+    alive = np.ones(len(a_idx), dtype=bool)
+    n_prev = len(a_idx)
+    for _ in range(rounds):
+        if n_prev == 0:
+            break
+        deg = (np.bincount(a_idx[alive], minlength=n_nodes)
+               + np.bincount(b_idx[alive], minlength=n_nodes))
+        keep = deg >= k
+        alive &= keep[a_idx] & keep[b_idx]
+        n_now = int(alive.sum())
+        if n_now == n_prev:  # full round removed nothing: converged
+            break
+        n_prev = n_now
+    return alive
+
+
 def kcore(edges: Dataset, *, k: int, rounds: int, a_col: str = "id_a",
-          b_col: str = "id_b", num_partitions: int = 4) -> Dataset:
+          b_col: str = "id_b", num_partitions: int = 4,
+          driver_limit: int = 2_000_000) -> Dataset:
     """(node, deg) after ``rounds`` synchronous k-core peel rounds over
-    unique undirected ``a < b`` edges (ssjoin/minhash pair contract)."""
+    unique undirected ``a < b`` edges (ssjoin/minhash pair contract).
+
+    Size probe (the connected_components convention): pair sets under
+    ``driver_limit`` rows run the identical peel loop vectorized on the
+    driver (bincount degrees + boolean filter per round) — candidate
+    pairs are orders of magnitude rarer than docs, and the join rounds'
+    fixed shuffle cost dwarfs the numpy loop at bench scale. Larger
+    pair sets take the distributed rounds; tests pin both paths."""
     from ..traverse import drop_empty_blocks
     from .dedup import _col_type
 
@@ -70,6 +100,24 @@ def kcore(edges: Dataset, *, k: int, rounds: int, a_col: str = "id_a",
     id_type = _col_type(e, "a")
     e_schema = pa.schema([("a", id_type), ("b", id_type)])
     n_prev = e.count()
+
+    if n_prev <= driver_limit:
+        import numpy as np
+        import ray.data as rd
+
+        df = e.to_pandas()
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        nodes, flat_idx = np.unique(np.concatenate((a, b)),
+                                    return_inverse=True)
+        a_idx, b_idx = flat_idx[:len(a)], flat_idx[len(a):]
+        alive = _kcore_rounds_np(a_idx, b_idx, len(nodes), k, rounds)
+        deg = (np.bincount(a_idx[alive], minlength=len(nodes))
+               + np.bincount(b_idx[alive], minlength=len(nodes)))
+        touched = deg > 0
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes[touched], type=id_type),
+            "deg": pa.array(deg[touched].astype(np.int64))}))
     for _ in range(rounds):
         if n_prev == 0:
             break

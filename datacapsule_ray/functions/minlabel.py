@@ -29,14 +29,40 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 
+def _minlabel_rounds_np(a_idx, b_idx, node_ids, rounds: int):
+    """Vectorized bounded min-label propagation over factorized edges:
+    the same deterministic function as the distributed join rounds, run
+    where the whole edge set already sits (np.minimum.at is the
+    scatter-min the groupby-MIN performs per round)."""
+    import numpy as np
+
+    lbl = node_ids.copy()
+    for _ in range(rounds):
+        new = lbl.copy()
+        np.minimum.at(new, a_idx, lbl[b_idx])
+        np.minimum.at(new, b_idx, lbl[a_idx])
+        if (new == lbl).all():  # monotone: unchanged == converged
+            break
+        lbl = new
+    return lbl
+
+
 def minlabel_components(edges: Dataset, *, rounds: int,
                         a_col: str = "id_a", b_col: str = "id_b",
-                        num_partitions: int = 4) -> Dataset:
+                        num_partitions: int = 4,
+                        driver_limit: int = 2_000_000) -> Dataset:
     """(node, lbl) after ``rounds`` synchronous min-label rounds over
     unique undirected ``a < b`` edges; lbl init = node id. Nodes with
     no edge never change their label and are not emitted (the caller
     overlays isolated ids as their own components if it needs them —
-    they are a streaming identity map, not a propagation problem)."""
+    they are a streaming identity map, not a propagation problem).
+
+    Size probe (the connected_components convention): pair sets under
+    ``driver_limit`` rows run the identical round loop vectorized on
+    the driver — near-dup candidate pairs are orders of magnitude rarer
+    than docs, and 8 join rounds over a bench-sized graph cost ~50x the
+    numpy loop in fixed shuffle overhead. Larger pair sets take the
+    distributed join rounds; tests pin both paths to each other."""
     from ..traverse import drop_empty_blocks
     from .dedup import _col_type
 
@@ -52,6 +78,21 @@ def minlabel_components(edges: Dataset, *, rounds: int,
     if e.count() == 0:
         import ray.data as rd
         return rd.from_arrow(lbl_schema.empty_table())
+
+    if e.count() <= driver_limit:
+        import numpy as np
+        import ray.data as rd
+
+        df = e.to_pandas()
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        nodes, flat_idx = np.unique(np.concatenate((a, b)),
+                                    return_inverse=True)
+        a_idx, b_idx = flat_idx[:len(a)], flat_idx[len(a):]
+        lbl = _minlabel_rounds_np(a_idx, b_idx, nodes, rounds)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, type=id_type),
+            "lbl": pa.array(lbl, type=id_type)}))
 
     def explode_nodes(t: pa.Table) -> pa.Table:
         nodes = pa.concat_arrays([

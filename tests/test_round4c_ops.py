@@ -685,3 +685,45 @@ def test_user_value_trend_stats_slope_recoverable(events_dir):
             slope = num / den
             want = np.polyfit(x, y, 1)[0]
             assert abs(slope - want) < 1e-6 * max(1.0, abs(want))
+
+
+def test_kcore_driver_and_distributed_paths_agree():
+    """The size probe must be invisible: driver_limit=0 (forced join
+    rounds) == default (vectorized driver loop)."""
+    from datacapsule_ray.functions.kcore import kcore
+
+    rng = np.random.default_rng(83)
+    pairs = set()
+    while len(pairs) < 100:
+        a, b = rng.integers(0, 35, size=2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    edges = sorted(pairs)
+    t = pa.table({"id_a": pa.array([a for a, _ in edges], type=pa.int64()),
+                  "id_b": pa.array([b for _, b in edges], type=pa.int64())})
+    ds = rd.from_arrow(t).repartition(4)
+    fast = (kcore(ds, k=3, rounds=5).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    dist = (kcore(ds, k=3, rounds=5, driver_limit=0).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_minlabel_driver_and_distributed_paths_agree():
+    from datacapsule_ray.functions.minlabel import minlabel_components
+
+    rng = np.random.default_rng(89)
+    pairs = set()
+    while len(pairs) < 70:
+        a, b = rng.integers(0, 50, size=2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    edges = sorted(pairs)
+    t = pa.table({"id_a": pa.array([a for a, _ in edges], type=pa.int64()),
+                  "id_b": pa.array([b for _, b in edges], type=pa.int64())})
+    ds = rd.from_arrow(t).repartition(3)
+    fast = (minlabel_components(ds, rounds=4).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    dist = (minlabel_components(ds, rounds=4, driver_limit=0).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, dist)
