@@ -279,9 +279,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # A sampling driver checks the FIRST ~50 entries: front-load the
     # queries with no recorded driver-green round yet, then the stalest
     # greens (r1 before r2 before r3), so every query earns a recent
-    # driver row; per-query coverage is indexed in COVERAGE.md.
+    # driver row; per-query coverage is indexed in COVERAGE.md. Within
+    # the never-checked group (57 entries > the ~50 sample as of r4c),
+    # SQL-oracled queries sort before rows-only ones — a hash-checked
+    # driver row is the stronger evidence, rows-only entries lose least
+    # by waiting a round.
+    oracles = oracle_sql()
     return dict(sorted(q.items(),
-                       key=lambda kv: _DRIVER_GREEN_ROUND.get(kv[0], 0)))
+                       key=lambda kv: (_DRIVER_GREEN_ROUND.get(kv[0], 0),
+                                       0 if kv[0] in oracles else 1)))
 
 
 # last driver-green round per query (CORRECTNESS_r01..r03; green = rows+
