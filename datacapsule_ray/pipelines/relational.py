@@ -1939,9 +1939,9 @@ def event_type_cooccurrence(sf_dir: str, num_partitions: int = 2
     how many users produced BOTH (plus each type's own user count, so
     lift/confidence are one division away — kept integer for the hash
     gate). Shape: distinct (user, type) via groupby, a user-keyed
-    self-join for the pairs, and a types-sized count table attached by
-    broadcast-free joins; the distinct table is |users|·|types| rows and
-    everything stays key-partitioned, so the op survives any user
+    self-join for the pairs, and the types-sized count dict stamped on
+    in the final map; the distinct table is |users|·|types| rows and
+    the wide ops stay user-key-partitioned, so the op survives any user
     cardinality (type cardinality is the small side by construction)."""
     from ..traverse import drop_empty_blocks
 
@@ -1952,8 +1952,13 @@ def event_type_cooccurrence(sf_dir: str, num_partitions: int = 2
         pa.schema([("user_id", pa.int64()), ("event_type", pa.string()),
                    ("_c", pa.int64())])
     ).select_columns(["user_id", "event_type"])
-    per_type = (ut.groupby("event_type")
-                .aggregate(Count(alias_name="n_users")))
+    # per-type user counts are |event types|-sized BY CONSTRUCTION (the
+    # domain of the pairing key, not of users) — a driver dict, not a
+    # join side; the user-keyed self-join below is the only wide op
+    per_df = (ut.groupby("event_type")
+              .aggregate(Count(alias_name="n_users")).to_pandas())
+    n_of = dict(zip(per_df["event_type"],
+                    per_df["n_users"].astype(np.int64)))
     right = ut.map_batches(
         lambda t: pa.table({"user2": t.column("user_id"),
                             "type_b": t.column("event_type")}),
@@ -1971,33 +1976,19 @@ def event_type_cooccurrence(sf_dir: str, num_partitions: int = 2
     both = (pairs.map_batches(ordered, batch_format="pyarrow")
             .groupby(["type_a", "type_b"])
             .aggregate(Count(alias_name="n_both")))
-    ca = per_type.map_batches(
-        lambda t: pa.table({"ta": t.column("event_type"),
-                            "n_a": pc.cast(t.column("n_users"),
-                                           pa.int64())}),
-        batch_format="pyarrow")
-    cb = per_type.map_batches(
-        lambda t: pa.table({"tb": t.column("event_type"),
-                            "n_b": pc.cast(t.column("n_users"),
-                                           pa.int64())}),
-        batch_format="pyarrow")
-    out = drop_empty_blocks(both).join(
-        drop_empty_blocks(ca), join_type="inner",
-        num_partitions=num_partitions, on=("type_a",), right_on=("ta",))
-    out = drop_empty_blocks(out).join(
-        drop_empty_blocks(cb), join_type="inner",
-        num_partitions=num_partitions, on=("type_b",), right_on=("tb",))
 
     def final(t: pa.Table) -> pa.Table:
+        ta = t.column("type_a").to_numpy(zero_copy_only=False)
+        tb = t.column("type_b").to_numpy(zero_copy_only=False)
         return pa.table({
             "type_a": t.column("type_a"),
             "type_b": t.column("type_b"),
             "n_both": pc.cast(t.column("n_both"), pa.int64()),
-            "n_a": t.column("n_a"),
-            "n_b": t.column("n_b")})
+            "n_a": pa.array([n_of[x] for x in ta], type=pa.int64()),
+            "n_b": pa.array([n_of[x] for x in tb], type=pa.int64())})
 
     return drop_empty_blocks(
-        out.map_batches(final, batch_format="pyarrow"),
+        both.map_batches(final, batch_format="pyarrow"),
         pa.schema([("type_a", pa.string()), ("type_b", pa.string()),
                    ("n_both", pa.int64()), ("n_a", pa.int64()),
                    ("n_b", pa.int64())]))
