@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_triangles": docops.neardup_triangles,
         "neardup_kcore": docops.neardup_kcore,
         "neardup_components_exact": docops.neardup_components_exact,
+        "neardup_cluster_sizes": docops.neardup_cluster_sizes,
         # Bloom membership pre-filter composed with the exact verify —
         # output-identical to incremental_dedup_docs, same oracle
         "incremental_dedup_bloom": docops.incremental_dedup_bloom,
@@ -1603,4 +1604,10 @@ def oracle_sql() -> dict[str, str]:
     prop.append("""
         SELECT node AS doc_id, CAST(lbl AS BIGINT) AS component FROM l8""")
     out["neardup_components_exact"] = "".join(prop)
+    # dedup-QA histogram on top of the same propagation
+    out["neardup_cluster_sizes"] = "".join(prop[:-1]) + """,
+        comp AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                 FROM l8 GROUP BY lbl)
+        SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM comp GROUP BY cluster_size"""
     return out

@@ -162,6 +162,43 @@ def neardup_components_exact(sf_dir: str, rounds: int = 8) -> Dataset:
         batch_format="pyarrow")
 
 
+def neardup_cluster_sizes(sf_dir: str, rounds: int = 8) -> Dataset:
+    """Dup-cluster size histogram — the dedup-QA table (how much mass
+    sits in 2-doc pairs vs giant cliques decides the dedup strategy):
+    (cluster_size, n_clusters) over the exact Jaccard>=0.9 components.
+    Two node-keyed groupbys on top of ``neardup_components_exact``'s
+    bounded min-label propagation; output is at most |distinct sizes|
+    rows, so nothing downstream is ever large."""
+    from ..functions.minlabel import minlabel_components
+    from ..traverse import drop_empty_blocks
+
+    pairs = ssjoin.jaccard_ssjoin(_docs(sf_dir, ["doc_id", "text"]),
+                                  tau_num=9, tau_den=10)
+    lab = minlabel_components(pairs, rounds=rounds)
+    sizes = drop_empty_blocks(
+        lab.groupby("lbl").count(),
+        pa.schema([("lbl", pa.int64()), ("count()", pa.int64())]))
+
+    def rename(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"cluster_size": pc.cast(t.column("count()"),
+                                                 pa.int64())})
+
+    hist = (sizes.map_batches(rename, batch_format="pyarrow")
+            .groupby("cluster_size").count())
+
+    def final(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "cluster_size": t.column("cluster_size"),
+            "n_clusters": pc.cast(t.column("count()"), pa.int64())})
+
+    return drop_empty_blocks(
+        hist.map_batches(final, batch_format="pyarrow"),
+        pa.schema([("cluster_size", pa.int64()),
+                   ("n_clusters", pa.int64())]))
+
+
 def doc_rolling_fingerprints(sf_dir: str) -> Dataset:
     """Winnowed rolling-hash fingerprints, one row per (doc, fingerprint)
     — the local-similarity channel for plagiarism-style matching."""

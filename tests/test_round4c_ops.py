@@ -727,3 +727,35 @@ def test_minlabel_driver_and_distributed_paths_agree():
     dist = (minlabel_components(ds, rounds=4, driver_limit=0).to_pandas()
             .sort_values("node").reset_index(drop=True))
     pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_neardup_cluster_sizes_histogram_shape(tmp_path):
+    """Planted corpus: one 3-doc near-dup clique + one pair + singletons
+    -> histogram {3: 1, 2: 1}; singletons never appear (edge-touched
+    nodes only)."""
+    from datacapsule_ray.pipelines.docops import neardup_cluster_sizes
+
+    texts = {
+        0: "alpha beta gamma delta epsilon",
+        1: "alpha beta gamma delta epsilon",
+        2: "alpha beta gamma delta epsilon",
+        10: "zeta eta theta iota kappa",
+        11: "zeta eta theta iota kappa",
+        20: "totally different words here now",
+        21: "another unrelated document text",
+    }
+    df = pd.DataFrame({
+        "doc_id": np.array(list(texts), dtype=np.int64),
+        "text": list(texts.values()),
+        "lang": ["en"] * len(texts),
+        "source": ["src0"] * len(texts),
+        "n_chars": np.array([len(t) for t in texts.values()],
+                            dtype=np.int64),
+    })
+    d = os.path.join(tmp_path, "documents.parquet")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "part-0.parquet"))
+    got = (neardup_cluster_sizes(str(tmp_path)).to_pandas()
+           .sort_values("cluster_size").reset_index(drop=True))
+    assert dict(zip(got["cluster_size"], got["n_clusters"])) == {2: 1, 3: 1}
