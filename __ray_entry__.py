@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_kcore": docops.neardup_kcore,
         "neardup_components_exact": docops.neardup_components_exact,
         "neardup_cluster_sizes": docops.neardup_cluster_sizes,
+        "doc_oov_stats": docops.doc_oov_stats,
         # Bloom membership pre-filter composed with the exact verify —
         # output-identical to incremental_dedup_docs, same oracle
         "incremental_dedup_bloom": docops.incremental_dedup_bloom,
@@ -654,6 +655,31 @@ def oracle_sql() -> dict[str, str]:
                          CAST(ROUND(value*100) AS BIGINT) AS y
                   FROM events)
             GROUP BY user_id
+        """,
+        "doc_oov_stats": r"""
+            -- per-doc OOV occurrence mass vs the df>=3 vocabulary
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '')) AS token
+                FROM documents),
+            occ AS MATERIALIZED (
+                SELECT doc_id, token, COUNT(*) AS c
+                FROM toks GROUP BY doc_id, token),
+            df AS (SELECT token, COUNT(*) AS df FROM occ GROUP BY token),
+            vocab AS (SELECT token FROM df WHERE df >= 3),
+            tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens
+                    FROM occ GROUP BY doc_id),
+            oov AS (SELECT o.doc_id, CAST(SUM(o.c) AS BIGINT) AS n_oov
+                    FROM occ o LEFT JOIN vocab v USING (token)
+                    WHERE v.token IS NULL GROUP BY o.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(x.n_oov, 0) AS BIGINT) AS n_oov
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN oov x USING (doc_id)
         """,
         "users_pareto_front": """
             -- 2-D skyline / Pareto frontier under strict dominance

@@ -460,6 +460,118 @@ def doc_top_terms(sf_dir: str) -> Dataset:
     return text.top_distinctive_terms(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def doc_oov_stats(sf_dir: str, min_df: int = 3,
+                  num_partitions: int = 2) -> Dataset:
+    """Tokenizer-coverage statistics: per doc, total token occurrences
+    and how many fall outside the corpus vocabulary (tokens appearing
+    in >= ``min_df`` docs) — the OOV-rate gate of a training-data
+    pipeline. One vectorized explode gives exact per-(doc, token)
+    occurrence rows (each doc lives in one block, so block partials are
+    final); document frequency is a token-keyed groupby over those
+    rows; OOV mass is a token-keyed LEFT ANTI join against the
+    vocabulary (kept distributed — a real vocabulary outgrows any
+    broadcast) plus one doc-keyed sum. Docs with zero tokens surface
+    with (0, 0) via a final doc-keyed left join from the corpus."""
+    import pyarrow.compute as pc
+
+    from ..traverse import drop_empty_blocks
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        flat = toks.flatten()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.all():
+            flat = flat.filter(pa.array(keep))
+            parent = parent[keep]
+        if not len(flat):
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "token": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        grp, counts = np.unique(parent * k + codes, return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(ids[grp // k]),
+            "token": enc.dictionary.take(pa.array(grp % k)),
+            "c": pa.array(counts.astype(np.int64))})
+
+    occ_schema = pa.schema([("doc_id", pa.int64()),
+                            ("token", pa.string()), ("c", pa.int64())])
+    occ = drop_empty_blocks(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        occ_schema).materialize()
+    from ray.data.aggregate import Count
+
+    vocab = drop_empty_blocks(
+        occ.groupby("token").aggregate(Count(alias_name="_df"))
+        .filter(expr=f"_df >= {min_df}").select_columns(["token"]),
+        pa.schema([("token", pa.string())]))
+    tot = drop_empty_blocks(
+        occ.groupby("doc_id").sum("c")
+        .map_batches(lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc.cast(t.column("sum(c)"), pa.int64())}),
+            batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())]))
+    oov = drop_empty_blocks(
+        occ.join(vocab, join_type="left_anti",
+                 num_partitions=num_partitions, on=("token",))
+        .groupby("doc_id").sum("c")
+        .map_batches(lambda t: pa.table({
+            "oov_doc": t.column("doc_id"),
+            "n_oov": pc.cast(t.column("sum(c)"), pa.int64())}),
+            batch_format="pyarrow"),
+        pa.schema([("oov_doc", pa.int64()), ("n_oov", pa.int64())])
+    ).materialize()
+    base = drop_empty_blocks(
+        _docs(sf_dir, ["doc_id"]).join(
+            tot, join_type="left_outer", num_partitions=num_partitions,
+            on=("doc_id",)),
+        pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())]))
+    if oov.count() == 0:
+        # fully-in-vocabulary corpus: joining against an all-empty
+        # right side crashes the hash-shuffle aggregator (kcore note)
+        def final0(t: pa.Table) -> pa.Table:
+            filled = pc.fill_null(pc.cast(t.column("n_tokens"),
+                                          pa.int64()), 0)
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "n_tokens": filled,
+                "n_oov": pa.array(np.zeros(t.num_rows, dtype=np.int64))})
+
+        return base.map_batches(final0, batch_format="pyarrow")
+    out = drop_empty_blocks(
+        base.join(oov, join_type="left_outer",
+                  num_partitions=num_partitions,
+                  on=("doc_id",), right_on=("oov_doc",)))
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc.fill_null(pc.cast(t.column("n_tokens"),
+                                             pa.int64()), 0),
+            "n_oov": pc.fill_null(pc.cast(t.column("n_oov"),
+                                          pa.int64()), 0)})
+
+    return drop_empty_blocks(
+        out.map_batches(final, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                   ("n_oov", pa.int64())]))
+
+
 def sample_docs_hash(sf_dir: str) -> Dataset:
     """Deterministic ~1/16 uniform sample: keep docs whose id-hash first
     hex digit is '0'. Reproducible across runs/engines (the property a

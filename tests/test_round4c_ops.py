@@ -759,3 +759,57 @@ def test_neardup_cluster_sizes_histogram_shape(tmp_path):
     got = (neardup_cluster_sizes(str(tmp_path)).to_pandas()
            .sort_values("cluster_size").reset_index(drop=True))
     assert dict(zip(got["cluster_size"], got["n_clusters"])) == {2: 1, 3: 1}
+
+
+def test_doc_oov_stats_planted_vocab(tmp_path):
+    """min_df=3 vocabulary: tokens in >=3 docs are in-vocab; rare
+    tokens count toward n_oov with their occurrence mass; an empty doc
+    surfaces as (0, 0)."""
+    from datacapsule_ray.pipelines.docops import doc_oov_stats
+
+    texts = {
+        0: "common common rare1",
+        1: "common other",
+        2: "common other",
+        3: "other rare2 rare2",
+        4: "",
+    }
+    df = pd.DataFrame({
+        "doc_id": np.array(list(texts), dtype=np.int64),
+        "text": list(texts.values()),
+        "lang": ["en"] * len(texts),
+        "source": ["src0"] * len(texts),
+        "n_chars": np.array([len(t) for t in texts.values()],
+                            dtype=np.int64),
+    })
+    d = os.path.join(tmp_path, "documents.parquet")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "part-0.parquet"))
+    got = (doc_oov_stats(str(tmp_path), min_df=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # vocab: common (3 docs), other (3 docs); rare1/rare2 OOV
+    assert got["n_tokens"].tolist() == [3, 2, 2, 3, 0]
+    assert got["n_oov"].tolist() == [1, 0, 0, 2, 0]
+
+
+def test_doc_oov_stats_all_in_vocab(tmp_path):
+    """Fully-in-vocabulary corpus exercises the empty-OOV short
+    circuit."""
+    from datacapsule_ray.pipelines.docops import doc_oov_stats
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["same words here"] * 4,
+        "lang": ["en"] * 4,
+        "source": ["src0"] * 4,
+        "n_chars": np.full(4, 15, dtype=np.int64),
+    })
+    d = os.path.join(tmp_path, "documents.parquet")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "part-0.parquet"))
+    got = (doc_oov_stats(str(tmp_path), min_df=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["n_tokens"].tolist() == [3, 3, 3, 3]
+    assert got["n_oov"].tolist() == [0, 0, 0, 0]
