@@ -282,7 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # queries with no recorded driver-green round yet, then the stalest
     # greens (r1 before r2 before r3), so every query earns a recent
     # driver row; per-query coverage is indexed in COVERAGE.md. Within
-    # the never-checked group (57 entries > the ~50 sample as of r4c),
+    # the never-checked group (59 entries > the ~50 sample as of r4c),
     # SQL-oracled queries sort before rows-only ones — a hash-checked
     # driver row is the stronger evidence, rows-only entries lose least
     # by waiting a round.
