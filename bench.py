@@ -177,6 +177,8 @@ def run_bench() -> dict:
     timed("neardup_components_exact", docops.neardup_components_exact)
     timed("event_type_cooccurrence", r.event_type_cooccurrence)
     timed("user_value_trend_stats", r.user_value_trend_stats)
+    timed("neardup_cluster_sizes", docops.neardup_cluster_sizes)
+    timed("doc_oov_stats", docops.doc_oov_stats)
 
     # serving-side data operators (round 2): judge stage over doc
     # pairs, agent batch inference over the relational KG, and the full
