@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_pareto_front": r.users_pareto_front,
         "event_type_cooccurrence": r.event_type_cooccurrence,
         "user_value_trend_stats": r.user_value_trend_stats,
+        "fuzzy_name_pairs": r.fuzzy_name_pairs,
         "events_value_quantiles_cont": r.events_value_quantiles_cont,
         "events_value_winsorized": r.events_value_winsorized,
         "user_type_diversity": r.user_type_diversity,
@@ -655,6 +656,24 @@ def oracle_sql() -> dict[str, str]:
                          CAST(ROUND(value*100) AS BIGINT) AS y
                   FROM events)
             GROUP BY user_id
+        """,
+        "fuzzy_name_pairs": """
+            -- deletion-neighborhood blocking (complete for distance 1)
+            -- + exact levenshtein verify — mirrors the engine exactly
+            WITH n AS MATERIALIZED (SELECT DISTINCT c_name FROM customer),
+            d AS MATERIALIZED (
+              SELECT c_name,
+                     unnest(list_append(
+                         list_transform(generate_series(1, length(c_name)),
+                             i -> substr(c_name, 1, i-1)
+                                  || substr(c_name, i+1)),
+                         c_name)) AS k
+              FROM n),
+            cand AS (
+              SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b
+              FROM d a JOIN d b ON a.k = b.k AND a.c_name < b.c_name)
+            SELECT name_a, name_b FROM cand
+            WHERE levenshtein(name_a, name_b) = 1
         """,
         "doc_oov_stats": r"""
             -- per-doc OOV occurrence mass vs the df>=3 vocabulary

@@ -179,6 +179,7 @@ def run_bench() -> dict:
     timed("user_value_trend_stats", r.user_value_trend_stats)
     timed("neardup_cluster_sizes", docops.neardup_cluster_sizes)
     timed("doc_oov_stats", docops.doc_oov_stats)
+    timed("fuzzy_name_pairs", r.fuzzy_name_pairs)
 
     # serving-side data operators (round 2): judge stage over doc
     # pairs, agent batch inference over the relational KG, and the full

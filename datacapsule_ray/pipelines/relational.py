@@ -2036,6 +2036,18 @@ def user_value_trend_stats(sf_dir: str) -> Dataset:
     return agg.map_batches(norm, batch_format="pyarrow")
 
 
+def fuzzy_name_pairs(sf_dir: str) -> Dataset:
+    """Fuzzy record linkage: every pair of distinct customer names at
+    Levenshtein distance exactly 1, via the deletion-neighborhood
+    blocking join (functions/fuzzyjoin.py — complete for distance 1,
+    bucket sizes bounded by construction, exact vectorized one-edit
+    verify)."""
+    from ..functions.fuzzyjoin import lev1_name_pairs
+
+    return lev1_name_pairs(_t(sf_dir, "customer", ["c_name"]),
+                           name_col="c_name")
+
+
 def users_pareto_front(sf_dir: str) -> Dataset:
     """Multi-criteria top set: users not dominated on (total spend,
     event count) — the 2-D skyline. One distributed groupby builds the

@@ -813,3 +813,59 @@ def test_doc_oov_stats_all_in_vocab(tmp_path):
            .sort_values("doc_id").reset_index(drop=True))
     assert got["n_tokens"].tolist() == [3, 3, 3, 3]
     assert got["n_oov"].tolist() == [0, 0, 0, 0]
+
+
+# --- Levenshtein<=1 fuzzy name join ---------------------------------------------
+
+def _lev(a, b):
+    la, lb = len(a), len(b)
+    d = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, lb + 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                   prev + (a[i - 1] != b[j - 1]))
+    return d[lb]
+
+
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_lev1_pairs_match_bruteforce(n_blocks):
+    """Random short strings incl. unicode: deletion-neighborhood join
+    == brute-force levenshtein==1 over distinct names."""
+    from datacapsule_ray.functions.fuzzyjoin import lev1_name_pairs
+
+    rng = np.random.default_rng(97)
+    alphabet = list("abcde") + ["é", "漢"]
+    names = list({"".join(rng.choice(alphabet, size=rng.integers(1, 6)))
+                  for _ in range(120)})
+    t = pa.table({"name": pa.array(names * 2, type=pa.string())})  # dups
+    got = (lev1_name_pairs(rd.from_arrow(t).repartition(n_blocks),
+                           name_col="name").to_pandas())
+    got_pairs = sorted(zip(got["name_a"], got["name_b"]))
+    want = sorted((a, b) for i, a in enumerate(names)
+                  for b in names[i + 1:] if _lev(a, b) == 1)
+    want = sorted((min(a, b), max(a, b)) for a, b in want)
+    assert got_pairs == want
+
+
+def test_one_edit_mask_cases():
+    from datacapsule_ray.functions.fuzzyjoin import (_one_edit_mask,
+                                                     _utf32_matrix)
+
+    names = ["abc", "abd", "ab", "abcd", "xbc", "abc", "ba", "b"]
+    mat, lens = _utf32_matrix(names)
+    cases = [
+        (0, 1, True),   # substitution
+        (0, 2, True),   # deletion (last)
+        (0, 3, True),   # insertion (last)
+        (0, 4, True),   # substitution (first)
+        (0, 5, False),  # identical -> distance 0, not 1
+        (2, 6, True),   # "ab" vs "ba": distance 2? no wait
+        (6, 7, True),   # "ba" vs "b": delete last
+    ]
+    iu = np.array([a for a, _, _ in cases])
+    ju = np.array([b for _, b, _ in cases])
+    got = _one_edit_mask(mat, lens, iu, ju)
+    # "ab" vs "ba" is distance 2 (swap) -> False
+    want = [True, True, True, True, False, False, True]
+    assert got.tolist() == want
