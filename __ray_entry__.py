@@ -641,8 +641,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.event_type, b.event_type
         """,
         "user_value_trend_stats": """
-            -- OLS sufficient statistics in exact int64: x = seconds
-            -- since 2024-01-01, y = integer cents
+            -- OLS sufficient statistics in exact int64: x = hour
+            -- buckets rebased to the user's first event (keeps every
+            -- intermediate and reported sum provably inside int64 —
+            -- second-resolution x*x wraps for active users), y = cents
             SELECT user_id,
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(x) AS BIGINT) AS sum_x,
@@ -651,10 +653,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(x*x) AS BIGINT) AS sum_x2,
                    CAST(SUM(y*y) AS BIGINT) AS sum_y2
             FROM (SELECT user_id,
-                         CAST(date_diff('second',
-                              TIMESTAMP '2024-01-01', ts) AS BIGINT) AS x,
-                         CAST(ROUND(value*100) AS BIGINT) AS y
-                  FROM events)
+                         xh - MIN(xh) OVER (PARTITION BY user_id) AS x,
+                         y
+                  FROM (SELECT user_id,
+                               CAST(date_diff('hour',
+                                    TIMESTAMP '2024-01-01', ts)
+                                    AS BIGINT) AS xh,
+                               CAST(ROUND(value*100) AS BIGINT) AS y
+                        FROM events))
             GROUP BY user_id
         """,
         "fuzzy_name_pairs": """

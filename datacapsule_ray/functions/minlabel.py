@@ -14,8 +14,10 @@ pytest; the shipped query uses rounds=8 vs a measured max eccentricity
 of 7 across the sf0.001–sf0.1 corpora).
 
 Labels only ever decrease, so convergence is detected by an unchanged
-label SUM (one cheap aggregate, no diff join); early-stopped rounds are
-no-ops in the oracle, keeping parity exact. Each round is two
+label SUM (one cheap aggregate, no diff join) when ids are numeric;
+string-id graphs simply run the full fixed round count (the early stop
+is an optimization only). Early-stopped rounds are no-ops in the
+oracle, keeping parity exact. Each round is two
 edge-keyed hash joins (attach each endpoint's current label to its
 neighbor) plus one node-keyed groupby-MIN — the standard distributed
 label-propagation CC, O(rounds · |E|) shuffle volume, nothing on the
@@ -107,7 +109,14 @@ def minlabel_components(edges: Dataset, *, rounds: int,
             "node": t.column("node"),
             "lbl": pc.cast(t.column("min(lbl)"), id_type)}),
             batch_format="pyarrow"), lbl_schema).materialize()
-    prev_sum = labels.sum("lbl")
+    # The label-sum early stop is numeric-only; for string node ids
+    # (which the driver path and _col_type fully support) just run the
+    # contractually fixed number of rounds — early stop is purely an
+    # optimization, and converged rounds are no-ops, so the result is
+    # identical either way.
+    numeric_lbl = (pa.types.is_integer(id_type)
+                   or pa.types.is_floating(id_type))
+    prev_sum = labels.sum("lbl") if numeric_lbl else None
 
     def proj(node_col: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -133,8 +142,9 @@ def minlabel_components(edges: Dataset, *, rounds: int,
                 "node": t.column("node"),
                 "lbl": pc.cast(t.column("min(lbl)"), id_type)}),
                 batch_format="pyarrow"), lbl_schema).materialize()
-        s = labels.sum("lbl")
-        if s == prev_sum:  # labels are monotone: equal sum == converged
-            break
-        prev_sum = s
+        if numeric_lbl:
+            s = labels.sum("lbl")
+            if s == prev_sum:  # monotone labels: equal sum == converged
+                break
+            prev_sum = s
     return labels

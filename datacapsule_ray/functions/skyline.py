@@ -46,12 +46,14 @@ def _skyline_block(t: pa.Table, x_col: str, y_col: str) -> pa.Table:
     grp_id = np.cumsum(new_grp) - 1
     starts = np.flatnonzero(new_grp)
     grp_max = y[starts]                      # y desc within group
-    best_before = np.empty(len(starts), dtype=y.dtype)
-    best_before[0] = (np.iinfo(y.dtype).min if y.dtype.kind in "iu"
-                      else -np.inf)
+    # The max-x group's frontier point is kept unconditionally (nothing
+    # has greater x, so nothing can dominate it) — no running-max
+    # sentinel, which would be dtype-dependent (iinfo(...).min is 0 for
+    # unsigned, undefined for bool) and wrongly drop a y==sentinel point.
+    strict = np.ones(len(starts), dtype=bool)
     if len(starts) > 1:
-        np.maximum.accumulate(grp_max[:-1], out=best_before[1:])
-    keep = (y == grp_max[grp_id]) & (grp_max[grp_id] > best_before[grp_id])
+        strict[1:] = grp_max[1:] > np.maximum.accumulate(grp_max[:-1])
+    keep = (y == grp_max[grp_id]) & strict[grp_id]
     return srt.filter(pa.array(keep))
 
 

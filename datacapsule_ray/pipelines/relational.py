@@ -1997,21 +1997,33 @@ def event_type_cooccurrence(sf_dir: str, num_partitions: int = 2
 def user_value_trend_stats(sf_dir: str) -> Dataset:
     """Grouped OLS sufficient statistics — the distributed-regression
     shape: per user, exact-int64 (n, Σx, Σy, Σxy, Σx², Σy²) with
-    x = seconds since 2024-01-01 and y = cents. Slope / intercept /
-    correlation are pure post-processing of these six integers, so the
-    heavy pass is ONE map-side partial + one small groupby (no float
-    accumulation, no second pass) and the result hash-matches SQL."""
+    x = HOURS since the user's first event (hour-bucket rebased) and
+    y = cents. Slope / intercept / correlation are pure post-processing
+    of these six integers, so the heavy pass is ONE map-side partial +
+    one small groupby (no float accumulation, no second pass) and the
+    result hash-matches SQL.
+
+    Overflow discipline: the map-side partial accumulates x relative to
+    a global epoch, which at second resolution wraps int64 for a user
+    with a few thousand events a year out (x ~ 3e7, x² ~ 1e15).
+    Hour buckets bound the *intermediate* Σx² at n·x_max² — safe up to
+    ~1e7 events/user even at a 100-year span — and the per-user rebase
+    to min(x) (an extra Min in the same groupby + an exact integer
+    shift: Σx' = Σx − n·m, Σx'y = Σxy − m·Σy,
+    Σx'² = Σx² − 2mΣx + nm²) keeps the *reported* stats small without a
+    second shuffle."""
     ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
     base_us = pd.Timestamp("2024-01-01").value // 1_000
 
     def partial(t: pa.Table) -> pa.Table:
         us = t.column("ts").to_numpy(zero_copy_only=False) \
             .astype("datetime64[us]").view(np.int64)
-        x = (us - base_us) // 1_000_000
+        x = (us - base_us) // 3_600_000_000  # hour buckets
         y = _cents(t.column("value")).to_numpy(zero_copy_only=False)
         return pa.table({
             "user_id": t.column("user_id"),
             "n": pa.array(np.ones(len(x), dtype=np.int64)),
+            "min_x": pa.array(x),
             "sum_x": pa.array(x),
             "sum_y": pa.array(y),
             "sum_xy": pa.array(x * y),
@@ -2021,19 +2033,36 @@ def user_value_trend_stats(sf_dir: str) -> Dataset:
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("user_id")
            .aggregate(Sum("n", alias_name="n"),
+                      Min("min_x", alias_name="min_x"),
                       Sum("sum_x", alias_name="sum_x"),
                       Sum("sum_y", alias_name="sum_y"),
                       Sum("sum_xy", alias_name="sum_xy"),
                       Sum("sum_x2", alias_name="sum_x2"),
                       Sum("sum_y2", alias_name="sum_y2")))
 
-    def norm(t: pa.Table) -> pa.Table:
-        cols = {"user_id": t.column("user_id")}
-        for c in ("n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"):
-            cols[c] = pc.cast(t.column(c), pa.int64())
-        return pa.table(cols)
+    def shift(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = pc.cast(t.column("min_x"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sx = pc.cast(t.column("sum_x"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sy = pc.cast(t.column("sum_y"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sxy = pc.cast(t.column("sum_xy"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sx2 = pc.cast(t.column("sum_x2"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "n": pa.array(n),
+            "sum_x": pa.array(sx - n * m),
+            "sum_y": pa.array(sy),
+            "sum_xy": pa.array(sxy - m * sy),
+            "sum_x2": pa.array(sx2 - 2 * m * sx + n * m * m),
+            "sum_y2": pc.cast(t.column("sum_y2"), pa.int64())})
 
-    return agg.map_batches(norm, batch_format="pyarrow")
+    return agg.map_batches(shift, batch_format="pyarrow")
 
 
 def fuzzy_name_pairs(sf_dir: str) -> Dataset:
@@ -2149,26 +2178,38 @@ def user_funnel_stages(sf_dir: str, num_partitions: int = 2) -> pd.DataFrame:
             .groupby("user_id").aggregate(Min("ts", alias_name=ts_out)))
 
     def after(prev: Dataset, prev_ts: str, etype: str,
-              ts_out: str) -> Dataset:
-        joined = drop_empty_blocks(
-            ev.filter(expr=f"event_type == '{etype}'")).join(
+              ts_out: str) -> Dataset | None:
+        # Ray 2.49's hash join crashes ("No match for key field" in the
+        # shuffle aggregator) when either side is entirely empty, and a
+        # corpus can legitimately have zero events of a stage's type (or
+        # zero users surviving the previous stage). Probe both sides —
+        # metadata-only counts on the already-materialized datasets —
+        # and short-circuit the stage to None (n_users = 0).
+        stage_ev = drop_empty_blocks(
+            ev.filter(expr=f"event_type == '{etype}'"))
+        if stage_ev.count() == 0:
+            return None
+        joined = stage_ev.join(
             prev.select_columns(["user_id", prev_ts]), join_type="inner",
             num_partitions=num_partitions, on=("user_id",))
 
         def strictly_after(t: pa.Table) -> pa.Table:
             return t.filter(pc.greater(t.column("ts"), t.column(prev_ts)))
 
-        return drop_empty_blocks(
+        out = drop_empty_blocks(
             joined.map_batches(strictly_after, batch_format="pyarrow")
             .groupby("user_id").aggregate(Min("ts", alias_name=ts_out)))
+        return out if out.count() > 0 else None
 
     t1 = first_of("view", ev, "ts1")
-    t2 = after(t1, "ts1", "click", "ts2")
-    t3 = after(t2, "ts2", "purchase", "ts3")
+    n1 = t1.count()
+    t2 = after(t1, "ts1", "click", "ts2") if n1 else None
+    n2 = t2.count() if t2 is not None else 0
+    t3 = after(t2, "ts2", "purchase", "ts3") if n2 else None
+    n3 = t3.count() if t3 is not None else 0
     return pd.DataFrame({
         "stage": ["1_view", "2_click_after_view", "3_purchase_after_click"],
-        "n_users": np.array([t1.count(), t2.count(), t3.count()],
-                            dtype=np.int64),
+        "n_users": np.array([n1, n2, n3], dtype=np.int64),
     })
 
 

@@ -675,7 +675,11 @@ def test_user_value_trend_stats_slope_recoverable(events_dir):
     base = pd.Timestamp("2024-01-01")
     for _, row in got.iterrows():
         sub = df[df["user_id"] == row["user_id"]]
-        x = ((sub["ts"] - base).dt.total_seconds()).to_numpy()
+        # x = hour buckets rebased to the user's first event (the r5
+        # int64-overflow-safe definition)
+        x = (((sub["ts"] - base).dt.total_seconds() // 3600)
+             .astype(np.int64).to_numpy())
+        x = x - x.min()
         y = np.round(sub["value"].to_numpy() * 100).astype(np.int64)
         n = len(sub)
         assert row["n"] == n
