@@ -283,26 +283,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # queries with no recorded driver-green round yet, then the stalest
     # greens (r1 before r2 before r3), so every query earns a recent
     # driver row; per-query coverage is indexed in COVERAGE.md. Within
-    # the never-checked group (59 entries > the ~50 sample as of r4c),
-    # SQL-oracled queries sort before rows-only ones — a hash-checked
-    # driver row is the stronger evidence, rows-only entries lose least
-    # by waiting a round.
+    # a same-round group, SQL-oracled queries sort before rows-only ones
+    # — a hash-checked driver row is the stronger evidence, rows-only
+    # entries lose least by waiting a round.
     oracles = oracle_sql()
     return dict(sorted(q.items(),
                        key=lambda kv: (_DRIVER_GREEN_ROUND.get(kv[0], 0),
                                        0 if kv[0] in oracles else 1)))
 
 
-# last driver-green round per query (CORRECTNESS_r01..r03; green = rows+
+# last driver-green round per query (CORRECTNESS_r01..r04; green = rows+
 # schema+hash match, or the documented rows-only check). Queries absent
-# here have never had a driver row — they sort first. user_rolling_value's
-# r3 row was the oracle-CAST hash failure fixed this round, so it re-queues.
+# here have never had a driver row — they sort first: as of r5 that is
+# exactly the 10 queries VERDICT r4 asked to land in the next sample
+# window (neardup_components_exact, neardup_cluster_sizes, doc_oov_stats,
+# incremental_dedup_bloom, media_resize_plan, frame_sample_plan,
+# neardup_embeddings_kmeans, kmeans_clusters_embeddings,
+# kg_reference_demo18_triples, kg_nl_sql_family_counts).
 _DRIVER_GREEN_ROUND = {
     "agent_nation_customers": 3,
     "approx_distinct_users": 3,
     "approx_value_quantiles": 3,
     "brand_nation_revenue": 3,
     "cluster_assign_embeddings": 3,
+    "customers_with_orders": 4,
     "customers_without_orders": 3,
     "decontaminate_docs": 3,
     "dedup_exact_docs": 3,
@@ -311,6 +315,7 @@ _DRIVER_GREEN_ROUND = {
     "dedup_minhash_docs": 2,
     "dedup_simhash_docs": 2,
     "distinct_users_by_type": 3,
+    "doc_chunk_dedup": 4,
     "doc_fingerprint": 3,
     "doc_lang_marker_counts": 3,
     "doc_pack_plan": 2,
@@ -322,17 +327,29 @@ _DRIVER_GREEN_ROUND = {
     "doc_top_bigrams": 3,
     "doc_top_terms": 3,
     "doc_top_tokens": 3,
+    "docs_normalized": 4,
     "docs_redacted": 3,
+    "embedding_dim_stats": 4,
+    "event_type_cooccurrence": 4,
     "events_asof_purchase": 3,
     "events_asof_purchase_left": 3,
     "events_daily": 3,
     "events_daily_pivot": 3,
     "events_in_windows": 3,
+    "events_in_windows_dist": 4,
     "events_mode_value": 3,
     "events_page2": 3,
     "events_sliding_2h": 3,
+    "events_value_mad": 4,
+    "events_value_outliers": 4,
     "events_value_quantiles": 3,
+    "events_value_quantiles_cont": 4,
+    "events_value_stats": 4,
+    "events_value_winsorized": 4,
+    "events_value_zscore": 4,
     "frame_sample": 1,
+    "fuzzy_name_pairs": 4,
+    "incremental_dedup_docs": 4,
     "interactions_page": 3,
     "judge_scores": 3,
     "kg_adjacency": 1,
@@ -345,16 +362,22 @@ _DRIVER_GREEN_ROUND = {
     "kg_numerical_traits": 1,
     "kg_rel_degree": 3,
     "kg_rel_nodes": 3,
+    "kg_rel_pagerank": 4,
     "kg_rel_triples": 3,
     "kg_relation_vectors": 1,
     "kg_species": 1,
     "kg_triples": 1,
     "media_features": 1,
+    "mixture_sample_docs": 4,
     "neardup_embeddings": 2,
+    "neardup_kcore": 4,
+    "neardup_triangles": 4,
     "order_priority_count": 3,
     "part_brand_stats": 3,
     "q1_pricing_summary": 3,
     "revenue_by_nation": 3,
+    "revenue_cube": 4,
+    "revenue_rollup": 4,
     "sample_docs_hash": 3,
     "sample_docs_stratified": 3,
     "sim_ivf_exhaustive_topk": 2,
@@ -363,11 +386,41 @@ _DRIVER_GREEN_ROUND = {
     "source_cap_docs": 3,
     "split_docs_hash": 3,
     "ssjoin_jaccard_docs": 3,
+    "ssjoin_ngram_docs": 4,
     "supplier_nation_balance": 3,
     "top10_customers": 3,
     "top3_orders_per_customer": 3,
+    "training_mix_docs": 4,
+    "user_day_streaks": 4,
+    "user_event_ntile4": 4,
     "user_event_paths": 3,
+    "user_event_rownum": 4,
+    "user_first_last_value": 4,
+    "user_funnel_stages": 4,
+    "user_next_value": 4,
+    "user_prev_value": 4,
+    "user_range_avg_30m": 4,
+    "user_range_count_30m": 4,
+    "user_range_distinct_30m": 4,
+    "user_range_max_30m": 4,
+    "user_range_min_30m": 4,
+    "user_range_sum_30m": 4,
+    "user_rolling_max": 4,
+    "user_rolling_mean": 4,
+    "user_rolling_min": 4,
+    "user_rolling_value": 4,
+    "user_running_value": 4,
     "user_sessions": 3,
+    "user_type_diversity": 4,
+    "user_value_cume_dist": 4,
+    "user_value_dense_rank": 4,
+    "user_value_percent_rank": 4,
+    "user_value_rank": 4,
+    "user_value_trend_stats": 4,
+    "user_weekly_retention": 4,
+    "users_click_and_purchase": 4,
+    "users_click_not_purchase": 4,
+    "users_pareto_front": 4,
 }
 
 

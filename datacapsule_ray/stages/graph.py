@@ -215,22 +215,35 @@ def _local_node_best(batch: pa.Table,
     The fixed-width rank prefix makes lexicographic MIN == min((prio,
     seq)) — so the global merge is a single *native vectorized*
     ``groupby(node_id).aggregate(Min(packed))`` instead of per-group
-    Python (the map_groups version was the pipeline's hottest stage)."""
-    df = batch.select(_NODE_ATTRS + ["prio", "seq"]).to_pandas()
-    df = df.sort_values(["prio", "seq"], kind="stable").drop_duplicates(
-        "node_id", keep="first"
-    )
-    rank = (df["prio"].astype(str)
-            + df["seq"].map(lambda s: format(s, "015d")))
-    packed = rank
+    Python (the map_groups version was the pipeline's hottest stage).
+
+    Pure Arrow (r4 verdict item 3): the rank prefix is built with
+    ``utf8_lpad`` over a cast (== ``format(seq, "015d")`` for the
+    non-negative seq contract), the payload join is one
+    ``binary_join_element_wise``, and the in-batch best is Arrow's
+    native ``group_by(node_id).min(packed)`` — the packed string is
+    already the full comparison key, so string MIN == best (prio, seq).
+    Only the per-batch DISTINCT node_ids are boxed to pandas, and only
+    because ``_hash128`` is pandas-keyed."""
+    import pyarrow.compute as pc
+
+    t = batch.select(_NODE_ATTRS + ["prio", "seq"])
+    rank = pc.binary_join_element_wise(
+        pc.cast(t.column("prio"), pa.string()),
+        pc.utf8_lpad(pc.cast(t.column("seq"), pa.string()), 15, "0"), "")
+    parts = [rank]
     for c in _PAYLOAD_COLS:
-        packed = packed + _SEP + df[c].fillna(_NULL)
-    packed = packed + _SEP + df["node_id"]  # ride the key in the payload
-    h1, h2 = _hash128(df["node_id"])
+        parts.append(pc.fill_null(t.column(c), _NULL))
+    parts.append(t.column("node_id"))  # ride the key in the payload
+    packed = pc.binary_join_element_wise(*parts, _SEP)
+    best = (pa.table({"node_id": t.column("node_id"), "packed": packed})
+            .group_by("node_id").aggregate([("packed", "min")]))
+    h1, h2 = _hash128(best.column("node_id").to_pandas())
+    packed_best = best.column("packed_min")
     mask = _key_range_mask(h1, key_filter)
     if mask is not None:
         h1, h2 = h1[mask], h2[mask]
-        packed = packed[mask]
+        packed_best = packed_best.filter(pa.array(mask))
     if len(h1) == 0:  # typed empty: an all-null 'packed' column would
         # give this block a null-typed schema that fails to unify with
         # the string-typed non-empty blocks in the sort/union downstream
@@ -239,9 +252,8 @@ def _local_node_best(batch: pa.Table,
             "h2": pa.array([], type=pa.int64()),
             "packed": pa.array([], type=pa.string()),
         })
-    return pa.Table.from_pandas(
-        pd.DataFrame({"h1": h1, "h2": h2, "packed": packed}),
-        preserve_index=False)
+    return pa.table({"h1": pa.array(h1), "h2": pa.array(h2),
+                     "packed": packed_best})
 
 
 def _unpack_nodes(batch: pa.Table) -> pa.Table:
@@ -304,16 +316,19 @@ def build_adjacency(edges: Dataset, chunk_size: int = 1024,
     import ray
 
     def local_count(batch: pa.Table) -> pa.Table:
-        s = batch.column("src").to_pandas()
-        h1, h2 = _hash128(s)
-        df = pd.DataFrame({"h1": h1, "h2": h2, "src": s})
-        g = df.groupby(["h1", "h2"], sort=False)
-        return pa.Table.from_pandas(pd.DataFrame({
-            "h1": g["h1"].first().to_numpy(),
-            "h2": g["h2"].first().to_numpy(),
-            "src": g["src"].first().to_numpy(),
-            "degree": g.size().to_numpy().astype(np.int64),
-        }), preserve_index=False)
+        # Arrow-native degree partial (r4 verdict item 3): group first,
+        # then hash only the per-batch DISTINCT srcs (the one pandas
+        # boxing _hash128 requires) — strictly less work than hashing
+        # every row.
+        import pyarrow.compute as pc
+
+        g = (pa.table({"src": batch.column("src")})
+             .group_by("src").aggregate([("src", "count")]))
+        h1, h2 = _hash128(g.column("src").to_pandas())
+        return pa.table({
+            "h1": pa.array(h1), "h2": pa.array(h2),
+            "src": g.column("src"),
+            "degree": pc.cast(g.column("src_count"), pa.int64())})
 
     deg_partial = edges.select_columns(["src"]).map_batches(
         local_count, batch_format="pyarrow", batch_size=65536)
