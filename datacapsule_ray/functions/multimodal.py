@@ -2,12 +2,22 @@
 
 Images/audio/video are carried as ``binary`` columns with metadata
 structs; decode / feature-extract / resize / frame-sample run as
-actor-pool ``map_batches`` stages. The decode libraries (PIL/cv2/
-torchaudio) are not in this container, so the codec call is stubbed
-behind ``decoder="fake"`` (deterministic bytes-derived features) or
-raises ``NotImplementedError`` for ``decoder="real"`` — the Ray-side
-plumbing (schema, batch sizing, actor signature, output layout) is real
-and tested.
+actor-pool ``map_batches`` stages. Two decoder backends:
+
+- ``decoder="fake"`` — deterministic bytes-derived stand-in (no pixel
+  decode; any payload works). The default for the synthetic gate
+  corpora, whose payloads are not images.
+- ``decoder="real"`` — an actual bytes→pixels path via the stdlib/
+  numpy PPM/PGM/BMP codec (functions/imagecodec.py): features come
+  from a decoded integer-luma grid, resize decodes, nearest-neighbor
+  resamples and re-encodes real pixels. Formats needing a codec
+  library (JPEG/PNG/video) are undecodable here; a row that fails
+  decode follows the M11 errors-become-data convention — the extractor
+  emits an all-zero feature (real features are unit-norm, so norm 0 ==
+  decode failure) and the resizer emits a null payload with the
+  meta-planned geometry — rather than killing a 100-TB job on one
+  corrupt blob. Video frame *extraction* stays NotImplementedError:
+  no container format this stack can parse without a codec library.
 
 Batch sizes for binary payloads must stay small (payload × batch ×
 concurrency bounded by worker heap — SURVEY.md §4 memory notes).
@@ -43,20 +53,47 @@ class MediaFeatureExtractor:
     """Actor-pool stage: media rows → (media_ref, kind, feature[D]).
 
     __init__ is where a real model would load (once per actor); __call__
-    decodes + embeds one small batch. Use batch_size≈32-256 for media."""
+    decodes + embeds one small batch. Use batch_size≈32-256 for media.
+
+    ``decoder="real"``: decode pixels (PPM/PGM/BMP), integer-luma
+    grayscale, nearest-resample to a g×g grid with g = ceil(√out_dim),
+    flatten the first out_dim cells, center and L2-normalize — a real
+    deterministic pixels→vector featurizer (the model slot). Decode
+    failure → all-zero vector (norm 0 flags it; real features are
+    unit-norm)."""
 
     def __init__(self, out_dim: int = 32, decoder: str = "fake") -> None:
         if decoder not in ("fake", "real"):
             raise ValueError(decoder)
-        if decoder == "real":  # pragma: no cover - no codec libs in container
-            raise NotImplementedError(
-                "real decoders (PIL/cv2/torchaudio) are not available in "
-                "this environment; use decoder='fake'")
+        self.decoder = decoder
         self.out_dim = out_dim
+        self.grid = int(np.ceil(np.sqrt(out_dim)))
+
+    def _real_decode(self, payload: bytes) -> np.ndarray:
+        from .imagecodec import (ImageDecodeError, decode_image, gray_luma,
+                                 resize_nearest)
+
+        try:
+            px = decode_image(payload)
+        except ImageDecodeError:
+            return np.zeros(self.out_dim, dtype=np.float32)
+        g = gray_luma(resize_nearest(px, self.grid, self.grid))
+        v = g.ravel()[: self.out_dim].astype(np.float32)
+        if len(v) < self.out_dim:  # out_dim < grid² never; keep safe
+            v = np.pad(v, (0, self.out_dim - len(v)))
+        v = v - v.mean()
+        n = np.linalg.norm(v)
+        if n == 0.0:  # flat image: direction undefined, pick e0
+            v = np.zeros(self.out_dim, dtype=np.float32)
+            v[0] = 1.0
+            return v
+        return v / n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        feats = np.stack([_fake_decode(p or b"", self.out_dim) for p in payloads]) \
+        fn = (self._real_decode if self.decoder == "real"
+              else lambda p: _fake_decode(p, self.out_dim))
+        feats = np.stack([fn(p or b"") for p in payloads]) \
             if payloads else np.zeros((0, self.out_dim), dtype=np.float32)
         return pa.table({
             "media_ref": batch.column("media_ref"),
@@ -75,7 +112,11 @@ class FrameSampler:
 
     def __init__(self, every_ms: int = 1000, decoder: str = "fake") -> None:
         if decoder == "real":  # pragma: no cover
-            raise NotImplementedError("no video codec in this environment")
+            raise NotImplementedError(
+                "video frame extraction needs a container/codec parser "
+                "(mp4/mkv/h264) that no stdlib path provides; still-image "
+                "payloads have a real path via MediaFeatureExtractor/"
+                "MediaResizer (functions/imagecodec.py)")
         if decoder != "fake":
             # fail fast on typos, like the sibling actors
             raise ValueError(decoder)
@@ -106,9 +147,11 @@ class FrameSampler:
 
 
 def extract_media_features(ds: Dataset, out_dim: int = 32,
-                           concurrency=(1, 4), batch_size: int = 64) -> Dataset:
+                           concurrency=(1, 4), batch_size: int = 64,
+                           decoder: str = "fake") -> Dataset:
     return ds.map_batches(MediaFeatureExtractor,
-                          fn_constructor_kwargs={"out_dim": out_dim},
+                          fn_constructor_kwargs={"out_dim": out_dim,
+                                                 "decoder": decoder},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
 
@@ -125,18 +168,20 @@ class MediaResizer:
     """Actor-pool stage: media rows → aspect-preserving resize into a
     (max_w, max_h) box. The geometry is PURE INTEGER arithmetic (cross-
     multiplied comparison + floor division), so the plan half is exact
-    and SQL-checkable; the pixel resample itself is the stubbed codec
-    call (``decoder="fake"`` emits a deterministic bytes-derived stand-
-    in payload, ``"real"`` raises — no PIL/cv2 in this container)."""
+    and SQL-checkable. ``decoder="fake"`` emits a deterministic
+    bytes-derived stand-in payload sized by the *metadata* geometry;
+    ``decoder="real"`` decodes the payload (PPM/PGM/BMP —
+    functions/imagecodec.py), plans from the DECODED dimensions (pixels
+    are ground truth on the real path; metadata can lie),
+    nearest-resamples and re-encodes as P6 PPM. A real-path decode
+    failure emits a null payload with the metadata-planned geometry
+    (errors-become-data, like the extractor's zero vector)."""
 
     def __init__(self, max_w: int = 224, max_h: int = 224,
                  decoder: str = "fake") -> None:
         if decoder not in ("fake", "real"):
             raise ValueError(decoder)
-        if decoder == "real":  # pragma: no cover - no codec libs here
-            raise NotImplementedError(
-                "real resize (PIL/cv2) is not available in this "
-                "environment; use decoder='fake'")
+        self.decoder = decoder
         self.max_w = int(max_w)
         self.max_h = int(max_h)
 
@@ -149,20 +194,36 @@ class MediaResizer:
         return max(1, (w * self.max_h) // h), self.max_h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder == "real":
+            from .imagecodec import (ImageDecodeError, decode_image,
+                                     encode_ppm, resize_nearest)
         metas = batch.column("meta").to_pylist()
         payloads = batch.column("payload").to_pylist()
         in_w, in_h, out_w, out_h, out_payload = [], [], [], [], []
         for meta, payload in zip(metas, payloads):
-            w = (meta or {}).get("width") or 1
-            h = (meta or {}).get("height") or 1
-            ow, oh = self.plan(w, h)
+            if self.decoder == "real":
+                try:
+                    px = decode_image(payload or b"")
+                    h, w = px.shape[:2]
+                    ow, oh = self.plan(w, h)
+                    out_payload.append(
+                        encode_ppm(resize_nearest(px, ow, oh)))
+                except ImageDecodeError:
+                    w = (meta or {}).get("width") or 1
+                    h = (meta or {}).get("height") or 1
+                    ow, oh = self.plan(w, h)
+                    out_payload.append(None)
+            else:
+                w = (meta or {}).get("width") or 1
+                h = (meta or {}).get("height") or 1
+                ow, oh = self.plan(w, h)
+                out_payload.append(hashlib.sha1(
+                    (payload or b"") + ow.to_bytes(4, "big")
+                    + oh.to_bytes(4, "big")).digest())
             in_w.append(w)
             in_h.append(h)
             out_w.append(ow)
             out_h.append(oh)
-            out_payload.append(hashlib.sha1(
-                (payload or b"") + ow.to_bytes(4, "big")
-                + oh.to_bytes(4, "big")).digest())
         return pa.table({
             "media_ref": batch.column("media_ref"),
             "in_w": pa.array(in_w, type=pa.int32()),
@@ -174,9 +235,11 @@ class MediaResizer:
 
 
 def resize_media(ds: Dataset, max_w: int = 224, max_h: int = 224,
-                 concurrency=(1, 4), batch_size: int = 64) -> Dataset:
+                 concurrency=(1, 4), batch_size: int = 64,
+                 decoder: str = "fake") -> Dataset:
     return ds.map_batches(MediaResizer,
                           fn_constructor_kwargs={"max_w": max_w,
-                                                 "max_h": max_h},
+                                                 "max_h": max_h,
+                                                 "decoder": decoder},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)

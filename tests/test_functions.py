@@ -258,8 +258,13 @@ def test_multimodal_plumbing():
     by_ref = frames.groupby("media_ref").size()
     assert by_ref["m1"] == 3 and by_ref["m2"] == 4  # ceil(duration/1000)
 
+    # decoder="real" is a working pixel path since r5
+    # (tests/test_imagecodec.py); video frame extraction remains the
+    # one guarded stub, and typos still fail fast
     with pytest.raises(NotImplementedError):
-        mm.MediaFeatureExtractor(decoder="real")
+        mm.FrameSampler(decoder="real")
+    with pytest.raises(ValueError):
+        mm.MediaFeatureExtractor(decoder="reall")
 
 
 def _brute_jaccard_pairs(df: pd.DataFrame, tau: float):
@@ -586,8 +591,9 @@ def test_media_resizer_plan_geometry():
     assert r.plan(224, 224) == (224, 224)    # exact fit
     assert r.plan(0, 100) == (2, 224)        # degenerate width clamps to 1
     assert r.plan(10000, 1) == (224, 1)      # extreme aspect floors to >=1
-    with pytest.raises(NotImplementedError):
-        mm.MediaResizer(decoder="real")
+    with pytest.raises(ValueError):
+        mm.MediaResizer(decoder="reall")  # typo fails fast; "real" works
+        # (pixel path covered in tests/test_imagecodec.py)
     out = mm.resize_media(rd.from_arrow(pa.table({
         "media_ref": ["m1"], "kind": ["image"], "payload": [b"xyz"],
         "meta": [{"width": 640, "height": 200, "duration_ms": 0}],
