@@ -276,6 +276,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hot_node_neighbors": _kg_hot_node_neighbors,
         "kg_reference_demo18_triples": _kg_reference_demo18_triples,
         "kg_nl_sql_family_counts": _kg_nl_sql_family_counts,
+        # round-5 additions: registered AFTER the never-driver-checked
+        # r4 queries so the tie-break (stable sort, same round-0 group)
+        # keeps those 10 at the head of the sample window
+        "revenue_grouping_sets": r.revenue_grouping_sets,
+        "events_daily_unpivot": r.events_daily_unpivot,
         "kg_entity_vectors": lambda sf: _kg_outputs(sf)["entity_vectors"].drop_columns(["embedding"]),
         "kg_relation_vectors": lambda sf: _kg_outputs(sf)["relation_vectors"].drop_columns(["embedding"]),
     }
@@ -1011,6 +1016,37 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem
             GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "revenue_grouping_sets": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   COALESCE(CAST(ship_year AS VARCHAR), 'ALL') AS ship_year,
+                   CAST(SUM(rev_c) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_rows
+            FROM (SELECT l_returnflag, l_linestatus,
+                         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT)
+                             AS ship_year,
+                         CAST(ROUND(l_extendedprice*(1-l_discount)*100)
+                              AS BIGINT) AS rev_c
+                  FROM lineitem)
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag, ship_year),
+                                    (ship_year), ())
+        """,
+        "events_daily_unpivot": """
+            WITH p AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS day,
+                     COUNT(*) FILTER (event_type = 'click')    AS n_click,
+                     COUNT(*) FILTER (event_type = 'view')     AS n_view,
+                     COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                     COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+                     COUNT(*) FILTER (event_type = 'error')    AS n_error
+              FROM events GROUP BY 1)
+            SELECT day, substring(name, 3) AS event_type,
+                   CAST(value AS BIGINT) AS n_events
+            FROM (UNPIVOT p ON n_click, n_view, n_purchase, n_signup,
+                               n_error
+                  INTO NAME name VALUE value)
         """,
         "events_value_zscore": """
             -- mirrored IEEE tree over exact integer sums (see

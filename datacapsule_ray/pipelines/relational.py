@@ -666,10 +666,24 @@ def brand_nation_revenue(sf_dir: str, num_partitions: int = 8) -> Dataset:
 
 # --- KG construction over relational inputs (SQL-checkable) -----------------
 
+_REL_TRIPLES_CACHE: dict[str, Dataset] = {}
+
+
 def kg_rel_triples(sf_dir: str) -> Dataset:
     """Flat-map triple emission over the region→nation→customer→orders
     containment chain — the reference's taxonomy-chain operator (M3)
-    expressed over relational input so DuckDB can oracle-check it."""
+    expressed over relational input so DuckDB can oracle-check it.
+    Materialized ONCE per input dir (the `_jaccard_pairs`/_KG_CACHE
+    convention): the triple table is the shared intermediate that
+    degree/pagerank/node queries fan out from, and it is orders-sized
+    — cheap to keep in the object store while each consumer streams."""
+    if sf_dir not in _REL_TRIPLES_CACHE:
+        _REL_TRIPLES_CACHE[sf_dir] = _kg_rel_triples_build(
+            sf_dir).materialize()
+    return _REL_TRIPLES_CACHE[sf_dir]
+
+
+def _kg_rel_triples_build(sf_dir: str) -> Dataset:
     region = _t(sf_dir, "region").to_pandas()
     nation = _t(sf_dir, "nation").to_pandas()
     rn = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
@@ -1385,6 +1399,28 @@ def events_daily_pivot(sf_dir: str) -> Dataset:
             .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types]))
 
 
+def events_daily_unpivot(sf_dir: str) -> Dataset:
+    """UNPIVOT (wide→long reshape) — the inverse of
+    ``events_daily_pivot``: each wide row (day, n_click, n_view, …)
+    melts into one (day, event_type, n_events) row per measure column,
+    zero counts included (UNPIVOT keeps non-null zeros, unlike a plain
+    GROUP BY which would drop empty combinations). Pure per-batch
+    column stacking: no shuffle beyond the pivot's own days-sized
+    groupby; output stays a streaming Dataset at |days|×|types| rows."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = events_daily_pivot(sf_dir)
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.concat_tables([
+            pa.table({"day": t.column("day"),
+                      "event_type": pa.array([ty] * n, type=pa.string()),
+                      "n_events": t.column(f"n_{ty}")})
+            for ty in types])
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
 def events_mode_value(sf_dir: str) -> pd.DataFrame:
     """Exact per-type mode of value-in-cents (deterministic tiebreak:
     smallest value) via the distributed histogram (quantiles module)."""
@@ -1755,6 +1791,70 @@ def revenue_cube(sf_dir: str) -> pd.DataFrame:
     out["n_rows"] = out["n_rows"].astype(np.int64)
     return out.sort_values(["l_returnflag", "l_linestatus"],
                            ignore_index=True)
+
+
+def _reaggregate_grouping_sets(finest: pd.DataFrame, key_cols: list,
+                               sets: tuple, measure_cols: list
+                               ) -> pd.DataFrame:
+    """Generalized GROUPING SETS re-aggregation: ``finest`` is the
+    keys-sized aggregate at the union-of-all-keys grain (the ONE
+    shuffle whose cardinality scales with data); each requested set is
+    an additive driver-side re-sum of it, aggregated-out key levels
+    rendered 'ALL'. ROLLUP and CUBE are the two special cases of this
+    (`revenue_rollup` / `revenue_cube` above); this takes arbitrary
+    key subsets, so e.g. ((a,b),(a,c),(c,),()) needs no second pass
+    over the fact table either."""
+    frames = []
+    for s in sets:
+        keep = [c for c in key_cols if c in s]
+        if keep:
+            g = finest.groupby(keep, as_index=False)[measure_cols].sum()
+        else:
+            g = pd.DataFrame([finest[measure_cols].sum()])
+        for c in key_cols:
+            if c not in s:
+                g[c] = "ALL"
+        frames.append(g[key_cols + measure_cols])
+    out = pd.concat(frames, ignore_index=True)
+    for c in measure_cols:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(key_cols, ignore_index=True)
+
+
+def revenue_grouping_sets(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY GROUPING SETS ((returnflag, linestatus),
+    (returnflag, ship_year), (ship_year), ()): arbitrary-subset
+    grouping lattice — the generalization ROLLUP/CUBE can't express
+    (mixes two dimension pairs that are not nested). One finest-grain
+    shuffle at (returnflag, linestatus, ship_year); every set is an
+    additive re-aggregation of that keys-sized result."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_shipdate",
+             "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(1.0, t.column("l_discount")))
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "ship_year": pc.cast(pc.year(t.column("l_shipdate")),
+                                 pa.int64()),
+            "rev_c": _cents(rev)})
+
+    finest = (ds.map_batches(prep, batch_format="pyarrow")
+              .groupby(["l_returnflag", "l_linestatus", "ship_year"])
+              .aggregate(Sum("rev_c", alias_name="revenue_cents"),
+                         Count(alias_name="n_rows"))
+              .to_pandas())  # |rf|×|ls|×|years| rows — keys-sized
+    finest["ship_year"] = finest["ship_year"].astype(np.int64).astype(str)
+    return _reaggregate_grouping_sets(
+        finest, ["l_returnflag", "l_linestatus", "ship_year"],
+        (("l_returnflag", "l_linestatus"),
+         ("l_returnflag", "ship_year"),
+         ("ship_year",),
+         ()),
+        ["revenue_cents", "n_rows"])
 
 
 def kg_rel_pagerank(sf_dir: str, iters: int = 3) -> Dataset:
