@@ -283,6 +283,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_unpivot": r.events_daily_unpivot,
         "kg_entity_vectors": lambda sf: _kg_outputs(sf)["entity_vectors"].drop_columns(["embedding"]),
         "kg_relation_vectors": lambda sf: _kg_outputs(sf)["relation_vectors"].drop_columns(["embedding"]),
+        # round-5b additions: reachability (BFS levels / transitive
+        # closure), binning, profiling, corr-from-partials, importance
+        # sampling, rank-with-ties top-k
+        "neardup_bfs_levels": docops.neardup_bfs_levels,
+        "weighted_sample_docs": docops.weighted_sample_docs,
+        "events_value_histogram": r.events_value_histogram,
+        "events_profile": r.events_profile,
+        "events_hour_value_corr": r.events_hour_value_corr,
+        "top_orders_with_ties": r.top_orders_with_ties,
+        "kg_taxonomy_closure": r.kg_taxonomy_closure,
     }
     # A sampling driver checks the FIRST ~50 entries: front-load the
     # queries with no recorded driver-green round yet, then the stalest
@@ -1745,6 +1755,118 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS doc_id, CAST(lbl AS BIGINT) AS component FROM l8""")
     out["neardup_components_exact"] = "".join(prop)
     # dedup-QA histogram on top of the same propagation
+    # bounded BFS (6 hops >= measured pair-graph eccentricity) from the
+    # dup graph's minimum doc id: hop-bounded WITH RECURSIVE over the
+    # same ssjoin base; UNION dedups (node, hop) states so the
+    # recursion terminates, MIN(hop) is the BFS level
+    out["neardup_bfs_levels"] = r"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(
+                       regexp_split_to_array(text, '\s+'),
+                       x -> x <> '')) AS ts
+            FROM documents
+        ), ne AS MATERIALIZED (SELECT * FROM toks WHERE len(ts) > 0),
+        pairs AS MATERIALIZED (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+            WHERE 10 * len(list_intersect(a.ts, b.ts))
+                  >= 9 * (len(a.ts) + len(b.ts)
+                          - len(list_intersect(a.ts, b.ts)))
+        ),
+        edges AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs
+                               UNION ALL SELECT b, a FROM pairs),
+        walk(node, hop) AS (
+            SELECT (SELECT MIN(a) FROM pairs), CAST(0 AS BIGINT)
+            UNION
+            SELECT e.v, w.hop + 1
+            FROM walk w JOIN edges e ON e.u = w.node
+            WHERE w.hop < 6
+        )
+        SELECT node, MIN(hop) AS hop FROM walk GROUP BY node
+    """
+    # layered containment chain: depth-bounded recursion, UNION ALL
+    # mirrors the engine's join-per-level exactly (no dedup on either
+    # side; depth is unique per pair because the chain is a DAG of
+    # strict layers)
+    out["kg_taxonomy_closure"] = f"""
+        WITH RECURSIVE triples AS MATERIALIZED ({_KG_REL_TRIPLES_SQL}),
+        cl(anc, de, depth) AS (
+            SELECT subj, obj, CAST(1 AS BIGINT) FROM triples
+            UNION ALL
+            SELECT c.anc, t.obj, c.depth + 1
+            FROM cl c JOIN triples t ON t.subj = c.de
+            WHERE c.depth < 3
+        )
+        SELECT anc, de, depth FROM cl
+    """
+    out["events_value_histogram"] = """
+        SELECT c // 500 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(c) AS BIGINT) AS sum_value_c
+        FROM (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c FROM events)
+        GROUP BY bucket
+    """
+    out["events_profile"] = """
+        SELECT 'event_type' AS col_name,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct,
+               CAST(COUNT(*) - COUNT(event_type) AS BIGINT) AS n_null
+        FROM events
+        UNION ALL
+        SELECT 'props', COUNT(DISTINCT props), COUNT(*) - COUNT(props)
+        FROM events
+        UNION ALL
+        SELECT 'user_id', COUNT(DISTINCT user_id),
+               COUNT(*) - COUNT(user_id)
+        FROM events
+    """
+    out["events_hour_value_corr"] = """
+        -- mirrored IEEE tree over exact integer sums (the
+        -- events_value_zscore convention)
+        WITH p AS (SELECT event_type,
+                          CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+                          CAST(ROUND(value * 100) AS BIGINT) AS c
+                   FROM events),
+        s AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(SUM(h) AS DOUBLE) AS sh,
+                     CAST(SUM(c) AS DOUBLE) AS sc,
+                     CAST(SUM(h * h) AS DOUBLE) AS shh,
+                     CAST(SUM(c * c) AS DOUBLE) AS scc,
+                     CAST(SUM(h * c) AS DOUBLE) AS shc
+              FROM p GROUP BY event_type)
+        SELECT event_type,
+               (n * shc - sh * sc)
+                   / (sqrt(n * shh - sh * sh) * sqrt(n * scc - sc * sc))
+                   AS corr_hv
+        FROM s
+    """
+    out["top_orders_with_ties"] = """
+        SELECT o_custkey, o_orderkey, price_b, rnk FROM (
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10000
+                       AS price_b,
+                   CAST(rank() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                // 10000 DESC) AS BIGINT) AS rnk
+            FROM orders)
+        WHERE rnk <= 2
+    """
+    # the uniform draw is the first 8 md5 hex digits read as a uint32,
+    # reconstructed digit-by-digit (no hex->int builtin shared by both
+    # engines); threshold arithmetic is double on both sides
+    _digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1)"
+        f" * CAST({16 ** (8 - i)} AS BIGINT)" for i in range(1, 9))
+    out["weighted_sample_docs"] = f"""
+        WITH h AS (SELECT doc_id, n_chars,
+                          md5(CAST(doc_id AS VARCHAR)) AS hx
+                   FROM documents)
+        SELECT doc_id, n_chars FROM h
+        WHERE CAST({_digits} AS DOUBLE)
+              < LEAST(1.0, CAST(n_chars AS DOUBLE) / 2000.0)
+                * 4294967296.0
+    """
     out["neardup_cluster_sizes"] = "".join(prop[:-1]) + """,
         comp AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS cluster_size
                  FROM l8 GROUP BY lbl)

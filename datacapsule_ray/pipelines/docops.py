@@ -213,6 +213,42 @@ def neardup_cluster_sizes(sf_dir: str, rounds: int = 8) -> Dataset:
                    ("n_clusters", pa.int64())]))
 
 
+def neardup_bfs_levels(sf_dir: str, max_hops: int = 6) -> Dataset:
+    """BFS hop levels from the dup graph's minimum doc id — "how far
+    does this duplication neighborhood reach" (the traversal J3 face
+    over the neardup family's shared pair graph). Bounded min-plus
+    propagation mirrored by a hop-bounded WITH RECURSIVE oracle; runs
+    on the memoized exact Jaccard>=0.9 pair Dataset, so the ssjoin is
+    never recomputed."""
+    from ..functions.bfslevels import bfs_levels
+
+    return bfs_levels(_jaccard_pairs(sf_dir), max_hops=max_hops)
+
+
+def weighted_sample_docs(sf_dir: str, scale_chars: int = 2000) -> Dataset:
+    """Deterministic importance sampling: keep each doc with
+    probability min(1, n_chars/scale_chars) decided by its id-hash —
+    the size-weighted Bernoulli a training mix uses to upsample long
+    documents, with the split_docs_hash reproducibility properties
+    (stable across runs/engines, no shuffle, adding docs never flips
+    old decisions). The first 8 md5 hex digits read as a uint32 are
+    the uniform draw; the SQL oracle reconstructs the same integer
+    digit-by-digit."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        hexes = _id_hexes(batch)
+        u = np.array([int(h[:8], 16) for h in hexes], dtype=np.float64)
+        n = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        w = np.minimum(1.0, n / float(scale_chars)) * 4294967296.0
+        return batch.filter(pa.array(u < w))
+
+    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        keep, batch_format="pyarrow")
+
+
 def doc_rolling_fingerprints(sf_dir: str) -> Dataset:
     """Winnowed rolling-hash fingerprints, one row per (doc, fingerprint)
     — the local-similarity channel for plagiarism-style matching."""

@@ -2359,3 +2359,202 @@ def user_value_cume_dist(sf_dir: str) -> Dataset:
     return cume_dist(ds.map_batches(prep, batch_format="pyarrow"),
                      group_col="user_id", order_cols=["cents"],
                      id_col="event_id", out_col="value_cume_dist")
+
+
+def events_value_histogram(sf_dir: str, bucket_c: int = 500) -> Dataset:
+    """Fixed-width binning (width_bucket semantics): $5 buckets over
+    value-in-cents with per-bucket count and exact integer sum — the
+    histogram/profiling operator a data-quality sweep runs before
+    choosing thresholds. One block-local Arrow pre-aggregate then a
+    tiny groupby (bucket cardinality is bounded by the value range, so
+    the shuffle moves O(buckets x blocks) rows, never the events)."""
+    ds = _t(sf_dir, "events", ["value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = _cents(t.column("value"))
+        bucket = pc.divide(c, bucket_c)  # ints >= 0: trunc == floor
+        part = pa.table({"bucket": bucket, "c": c}).group_by(
+            "bucket").aggregate([("c", "sum"), ("c", "count")])
+        return pa.table({
+            "bucket": part.column("bucket"),
+            "sum_c": pc.cast(part.column("c_sum"), pa.int64()),
+            "n": pc.cast(part.column("c_count"), pa.int64())})
+
+    agg = ds.map_batches(prep, batch_format="pyarrow").groupby(
+        "bucket").aggregate(Sum("sum_c"), Sum("n"))
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": t.column("bucket"),
+            "n_events": pc.cast(t.column("sum(n)"), pa.int64()),
+            "sum_value_c": pc.cast(t.column("sum(sum_c)"), pa.int64())})
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def events_profile(sf_dir: str) -> pd.DataFrame:
+    """Schema profiling: per-column null count and exact distinct count
+    over the events dimensions — the dataset-card table. Distincts run
+    as block-local ``pc.unique`` partials exploded into (col, val)
+    pairs, then ONE global distinct+count shuffle over the already
+    locally-deduplicated pairs (at 100 TB swap the exact count for the
+    HLL sketch in functions/sketches.py; the plumbing is identical).
+    Output is 3 rows — driver-side assembly is O(columns)."""
+    cols = ["user_id", "event_type", "props"]
+    ds = _t(sf_dir, "events", cols)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in cols:
+            u = pc.unique(pc.cast(t.column(c), pa.string()))
+            u = u.drop_null()
+            names.append(pa.array([c] * len(u), type=pa.string()))
+            vals.append(u)
+        return pa.table({"col_name": pa.concat_arrays(names),
+                         "val": pa.concat_arrays(
+                             [v.combine_chunks() if hasattr(v, "combine_chunks")
+                              else v for v in vals])})
+
+    nd = (ds.map_batches(pairs, batch_format="pyarrow")
+          .groupby(["col_name", "val"]).count()
+          .groupby("col_name").count().to_pandas())
+    nd = nd.rename(columns={"count()": "n_distinct"})[
+        ["col_name", "n_distinct"]]
+
+    def null_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "col_name": pa.array(cols, type=pa.string()),
+            "nn": pa.array([t.column(c).null_count for c in cols],
+                           type=pa.int64())})
+
+    nulls = (ds.map_batches(null_partial, batch_format="pyarrow")
+             .groupby("col_name").sum("nn").to_pandas())
+    nulls = nulls.rename(columns={"sum(nn)": "n_null"})
+    out = nd.merge(nulls, on="col_name")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    out["n_null"] = out["n_null"].astype("int64")
+    return out.sort_values("col_name").reset_index(drop=True)
+
+
+def events_hour_value_corr(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation of hour-of-day vs value per event type,
+    computed from exact integer sum partials with a mirrored IEEE
+    float tree (the events_value_zscore convention) so the result is
+    bit-identical to the SQL oracle regardless of row order. Scale
+    bound: sum(c*c) with c = value cents stays inside int64 up to
+    ~9e5 rows per type at c~1e5 per cent^2 row — document-scale
+    corpora rebase c first (see user_value_trend_stats)."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = pc.cast(pc.hour(t.column("ts")), pa.int64())
+        c = _cents(t.column("value"))
+        part = pa.table({
+            "event_type": t.column("event_type"),
+            "h": h, "c": c,
+            "hh": pc.multiply(h, h), "cc": pc.multiply(c, c),
+            "hc": pc.multiply(h, c),
+        }).group_by("event_type").aggregate(
+            [("h", "sum"), ("c", "sum"), ("hh", "sum"),
+             ("cc", "sum"), ("hc", "sum"), ("h", "count")])
+        return pa.table({
+            "event_type": part.column("event_type"),
+            "sh": part.column("h_sum"), "sc": part.column("c_sum"),
+            "shh": part.column("hh_sum"), "scc": part.column("cc_sum"),
+            "shc": part.column("hc_sum"),
+            "n": pc.cast(part.column("h_count"), pa.int64())})
+
+    agg = ds.map_batches(prep, batch_format="pyarrow").groupby(
+        "event_type").aggregate(
+            Sum("sh"), Sum("sc"), Sum("shh"), Sum("scc"), Sum("shc"),
+            Sum("n")).to_pandas()
+    n = agg["sum(n)"].to_numpy().astype(np.float64)
+    sh = agg["sum(sh)"].to_numpy().astype(np.float64)
+    sc = agg["sum(sc)"].to_numpy().astype(np.float64)
+    shh = agg["sum(shh)"].to_numpy().astype(np.float64)
+    scc = agg["sum(scc)"].to_numpy().astype(np.float64)
+    shc = agg["sum(shc)"].to_numpy().astype(np.float64)
+    # mirrored tree: (n*shc - sh*sc) / (sqrt(n*shh - sh*sh) *
+    #                                   sqrt(n*scc - sc*sc))
+    corr = (n * shc - sh * sc) / (np.sqrt(n * shh - sh * sh)
+                                  * np.sqrt(n * scc - sc * sc))
+    return pd.DataFrame({"event_type": agg["event_type"],
+                         "corr_hv": corr}).sort_values(
+        "event_type").reset_index(drop=True)
+
+
+def top_orders_with_ties(sf_dir: str, k: int = 2) -> Dataset:
+    """Per-customer top-k orders by price bucket KEEPING TIES — SQL
+    ``RANK() <= k``, the "everyone on the podium" semantics that
+    ROW_NUMBER-based top-k (top3_orders_per_customer) cannot express.
+    Prices bucket to whole hundred-dollar steps so rank ties actually
+    recur; the tiny rnk<=k survivor set joins back for its payload."""
+    from ..functions.window import rank_window
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        price_b = pc.divide(_cents(t.column("o_totalprice")), 10000)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_custkey": t.column("o_custkey"),
+            "price_b": price_b,
+            "neg_b": pc.negate_checked(price_b)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    ranked = rank_window(prepped, group_col="o_custkey",
+                         order_cols=["neg_b"], id_col="o_orderkey",
+                         method="rank", out_col="rnk")
+    hits = ranked.filter(expr=f"rnk <= {k}")
+    joined = prepped.join(hits, join_type="inner", num_partitions=4,
+                          on=("o_orderkey",))
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "o_orderkey": t.column("o_orderkey"),
+            "price_b": t.column("price_b"),
+            "rnk": pc.cast(t.column("rnk"), pa.int64())})
+
+    return joined.map_batches(final, batch_format="pyarrow")
+
+
+def kg_taxonomy_closure(sf_dir: str, max_depth: int = 3) -> Dataset:
+    """Transitive closure (ancestor, descendant, depth) of the KG
+    containment chain — the reference's taxonomy-path traversal
+    (`react_tools.py` walking 种→属→科 upward) as a set-at-a-time
+    operator: depth-1 edges are the memoized triple table, each deeper
+    level is one distributed hash join of the previous level against
+    the edges. The chain is layered (region→nation→customer→order) so
+    depth is unique per pair and the result is ~3x the edge count, not
+    combinatorial."""
+    triples = kg_rel_triples(sf_dir)
+
+    def as_level(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "anc": pc.cast(t.column("subj"), pa.string()),
+            "de": pc.cast(t.column("obj"), pa.string()),
+            "depth": pa.array([1] * len(t), type=pa.int64())})
+
+    level = triples.map_batches(as_level,
+                                batch_format="pyarrow").materialize()
+    out = level
+    for _ in range(max_depth - 1):
+        nxt = level.join(triples, join_type="inner", num_partitions=8,
+                         on=("de",), right_on=("subj",))
+
+        def extend(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "anc": t.column("anc"),
+                "de": pc.cast(t.column("obj"), pa.string()),
+                "depth": pc.add(t.column("depth"), 1)})
+
+        from ..traverse import drop_empty_blocks
+        level = drop_empty_blocks(
+            nxt.map_batches(extend, batch_format="pyarrow"),
+            pa.schema([("anc", pa.string()), ("de", pa.string()),
+                       ("depth", pa.int64())])).materialize()
+        if level.count() == 0:
+            break
+        out = out.union(level)
+    return out

@@ -1,0 +1,122 @@
+"""Round-5b operators: BFS levels, taxonomy closure, binning,
+profiling, corr-from-partials, rank-with-ties, importance sampling."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from tests.conftest import SF_DIR
+
+
+def _edges(pairs):
+    a, b = zip(*pairs)
+    return rd.from_arrow(pa.table({
+        "id_a": pa.array(a, type=pa.int64()),
+        "id_b": pa.array(b, type=pa.int64())}))
+
+
+class TestBfsLevels:
+    def test_path_graph_levels(self):
+        from datacapsule_ray.functions.bfslevels import bfs_levels
+
+        # 1-2-3-4-5 path plus isolated pair 10-11
+        got = bfs_levels(_edges([(1, 2), (2, 3), (3, 4), (4, 5),
+                                 (10, 11)]), max_hops=3).to_pandas()
+        lv = dict(zip(got["node"], got["hop"]))
+        assert lv == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is 4 hops: clipped
+
+    def test_driver_vs_distributed_parity(self):
+        from datacapsule_ray.functions.bfslevels import bfs_levels
+
+        rng = np.random.default_rng(7)
+        pairs = {(int(min(a, b)), int(max(a, b)))
+                 for a, b in rng.integers(0, 40, size=(60, 2)) if a != b}
+        e = list(pairs)
+        drv = bfs_levels(_edges(e), max_hops=4).to_pandas()
+        dst = bfs_levels(_edges(e), max_hops=4,
+                         driver_limit=0).to_pandas()
+        d1 = dict(zip(drv["node"], drv["hop"]))
+        d2 = dict(zip(dst["node"], dst["hop"]))
+        assert d1 == d2
+
+    def test_seed_override_and_empty(self):
+        from datacapsule_ray.functions.bfslevels import bfs_levels
+
+        got = bfs_levels(_edges([(1, 2), (2, 3)]), max_hops=2,
+                         seed=3).to_pandas()
+        assert dict(zip(got["node"], got["hop"])) == {3: 0, 2: 1, 1: 2}
+        empty = _edges([(1, 2)]).filter(expr="id_a > 100")
+        assert bfs_levels(empty, max_hops=2).count() == 0
+
+
+def test_taxonomy_closure_layers():
+    from datacapsule_ray.pipelines import relational as r
+
+    cl = r.kg_taxonomy_closure(SF_DIR).to_pandas()
+    n1 = len(r.kg_rel_triples(SF_DIR).to_pandas())
+    by_depth = cl.groupby("depth").size().to_dict()
+    assert by_depth[1] == n1
+    assert set(by_depth) == {1, 2, 3}
+    # layered chain: depth-3 paths are exactly region->order, one per order
+    d3 = cl[cl["depth"] == 3]
+    assert d3["de"].str.startswith("order-").all()
+
+
+def test_top_orders_with_ties_structure():
+    from datacapsule_ray.pipelines import relational as r
+
+    got = r.top_orders_with_ties(SF_DIR).to_pandas()
+    assert (got["rnk"] >= 1).all() and (got["rnk"] <= 2).all()
+    # rank 1 rows hold the per-customer max bucket
+    mx = got.groupby("o_custkey")["price_b"].max()
+    r1 = got[got["rnk"] == 1]
+    assert (r1.set_index("o_custkey")["price_b"]
+            == mx.loc[r1["o_custkey"]].to_numpy()).all()
+    # SQL RANK semantics: if a customer has t>=2 rank-1 ties, it has
+    # no rank-2 rows
+    t1 = r1.groupby("o_custkey").size()
+    for cust, n in t1.items():
+        if n >= 2:
+            assert not ((got["o_custkey"] == cust)
+                        & (got["rnk"] == 2)).any()
+
+
+def test_weighted_sample_keeps_all_long_docs():
+    from datacapsule_ray.pipelines import docops
+
+    got = docops.weighted_sample_docs(SF_DIR).to_pandas()
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "n_chars"]).to_pandas()
+    long_ids = set(docs[docs["n_chars"] >= 2000]["doc_id"])
+    assert long_ids <= set(got["doc_id"])
+    # deterministic: a second run returns the identical id set
+    again = docops.weighted_sample_docs(SF_DIR).to_pandas()
+    assert set(got["doc_id"]) == set(again["doc_id"])
+
+
+def test_events_profile_shape():
+    from datacapsule_ray.pipelines import relational as r
+
+    got = r.events_profile(SF_DIR)
+    assert list(got["col_name"]) == ["event_type", "props", "user_id"]
+    assert (got["n_null"] == 0).all()
+    assert (got["n_distinct"] > 0).all()
+
+
+def test_events_hour_value_corr_bounds():
+    from datacapsule_ray.pipelines import relational as r
+
+    got = r.events_hour_value_corr(SF_DIR)
+    assert (got["corr_hv"].abs() <= 1.0 + 1e-12).all()
+
+
+def test_events_value_histogram_totals():
+    from datacapsule_ray.pipelines import relational as r
+
+    got = r.events_value_histogram(SF_DIR).to_pandas()
+    ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["value"]).to_pandas()
+    assert got["n_events"].sum() == len(ev)
+    assert (got["bucket"] >= 0).all()
