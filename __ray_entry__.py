@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # closure), binning, profiling, corr-from-partials, importance
         # sampling, rank-with-ties top-k
         "neardup_bfs_levels": docops.neardup_bfs_levels,
+        "ssjoin_cosine_docs": docops.ssjoin_cosine_docs,
         "weighted_sample_docs": docops.weighted_sample_docs,
         "events_value_histogram": r.events_value_histogram,
         "events_profile": r.events_profile,
@@ -1755,6 +1756,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS doc_id, CAST(lbl AS BIGINT) AS component FROM l8""")
     out["neardup_components_exact"] = "".join(prop)
     # dedup-QA histogram on top of the same propagation
+    # binary cosine (Ochiai): keep test squared into integers, n_union
+    # still reported so the output schema matches the Jaccard join
+    out["ssjoin_cosine_docs"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(
+                       regexp_split_to_array(text, '\s+'),
+                       x -> x <> '')) AS ts
+            FROM documents
+        ), ne AS (SELECT * FROM toks WHERE len(ts) > 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.ts, b.ts)) AS n_inter,
+               len(a.ts) + len(b.ts)
+                   - len(list_intersect(a.ts, b.ts)) AS n_union
+        FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+        WHERE 400 * len(list_intersect(a.ts, b.ts))
+                  * len(list_intersect(a.ts, b.ts))
+              >= 361 * len(a.ts) * len(b.ts)
+    """
     # bounded BFS (6 hops >= measured pair-graph eccentricity) from the
     # dup graph's minimum doc id: hop-bounded WITH RECURSIVE over the
     # same ssjoin base; UNION dedups (node, hop) states so the

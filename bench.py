@@ -185,6 +185,17 @@ def run_bench() -> dict:
     timed("revenue_grouping_sets", r.revenue_grouping_sets)
     timed("events_daily_unpivot", r.events_daily_unpivot)
 
+    # round 5b: reachability (BFS levels over the memoized dup graph,
+    # taxonomy closure), binning/profiling/corr, ties top-k, sampling
+    timed("neardup_bfs_levels", docops.neardup_bfs_levels)
+    timed("kg_taxonomy_closure", r.kg_taxonomy_closure)
+    timed("events_value_histogram", r.events_value_histogram)
+    timed("events_profile", r.events_profile)
+    timed("events_hour_value_corr", r.events_hour_value_corr)
+    timed("top_orders_with_ties", r.top_orders_with_ties)
+    timed("weighted_sample_docs", docops.weighted_sample_docs)
+    timed("ssjoin_cosine_docs", docops.ssjoin_cosine_docs)
+
     # serving-side data operators (round 2): judge stage over doc
     # pairs, agent batch inference over the relational KG, and the full
     # interaction-store lifecycle (ingest + tombstones + upsert + page)

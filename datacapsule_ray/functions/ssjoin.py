@@ -181,17 +181,34 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
                    text_col: str = "text", id_col: str = "doc_id",
                    df_cutoff: int = 32, max_bucket: int = 4096,
                    num_partitions: int = 4, broadcast_cap: int = 2_000_000,
-                   ngram: int = 1, stats: dict | None = None) -> Dataset:
-    """All pairs (id_a < id_b) with token-set Jaccard >= tau_num/tau_den.
+                   ngram: int = 1, stats: dict | None = None,
+                   measure: str = "jaccard") -> Dataset:
+    """All pairs (id_a < id_b) with token-set similarity >=
+    tau_num/tau_den under ``measure``:
+
+    - ``"jaccard"``: |inter| / |union|; prefix length
+      ``n - ceil(tau*n) + 1`` (Bayardo/Ma/Srikant 2007, Table 1).
+    - ``"cosine"``: |inter| / sqrt(|a|*|b|) (binary/Ochiai cosine);
+      prefix length ``n - ceil(tau^2*n) + 1`` — complete because
+      cos >= tau implies the size filter ``|b| >= tau^2*|a|`` and
+      hence ``inter >= tau^2 * max(|a|, |b|)`` (same reference).
 
     Returns (id_a, id_b, n_inter, n_union) — exact integers, so a SQL
-    oracle over the same tokenization matches hash-for-hash. Empty
-    documents (no tokens) never pair (J would be 0/0). ``ngram > 1``
-    joins on word-shingle sets instead of token sets (exact n-gram
-    Jaccard — the shingle complement of the MinHash estimate)."""
+    oracle over the same tokenization matches hash-for-hash (the cosine
+    keep test squares both sides: ``tau_den^2 * inter^2 >= tau_num^2 *
+    |a| * |b|``, exact in int64 while sets stay < 2^26 tokens). Empty
+    documents (no tokens) never pair. ``ngram > 1`` joins on
+    word-shingle sets instead of token sets (exact n-gram similarity —
+    the shingle complement of the MinHash estimate)."""
     if not (0 < tau_num <= tau_den):
         raise ValueError("tau must satisfy 0 < tau_num/tau_den <= 1")
+    if measure not in ("jaccard", "cosine"):
+        raise ValueError("measure must be 'jaccard' or 'cosine'")
     tau_num, tau_den = int(tau_num), int(tau_den)
+    # prefix-length fraction: tau for jaccard, tau^2 for cosine
+    pfx_num, pfx_den = ((tau_num, tau_den) if measure == "jaccard"
+                        else (tau_num * tau_num, tau_den * tau_den))
+    cosine = measure == "cosine"
     # ONE global sort by set_hash feeds everything downstream: the
     # identical-group enumeration scans the sorted blocks in place
     # (presorted _bucket_verify), and reps fall out of a per-block
@@ -271,7 +288,7 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
             if e == s:
                 continue
             n = int(sizes[i])
-            p = n - (-((-tau_num * n) // tau_den)) + 1  # n - ceil + 1
+            p = n - (-((-pfx_num * n) // pfx_den)) + 1  # n - ceil + 1
             order = np.lexsort((flat[s:e], dfv[s:e]))
             prefix = flat[s:e][order[:max(p, 1)]]
             out_ptok.append(prefix)
@@ -329,7 +346,11 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
         iu, ju = np.triu_indices(m, 1)
         ia = inter_i[iu, ju]
         union = sizes[iu] + sizes[ju] - ia
-        keep = tau_den * ia >= tau_num * union
+        if cosine:
+            keep = (tau_den * tau_den * ia * ia
+                    >= tau_num * tau_num * sizes[iu] * sizes[ju])
+        else:
+            keep = tau_den * ia >= tau_num * union
         code = ia[keep].astype(np.float64) * _IU_BASE + union[keep]
         return hs[iu[keep]], hs[ju[keep]], code, dropped
 

@@ -137,6 +137,18 @@ def ssjoin_jaccard_docs(sf_dir: str) -> Dataset:
     return _jaccard_pairs(sf_dir)
 
 
+def ssjoin_cosine_docs(sf_dir: str) -> Dataset:
+    """EXACT binary-cosine (Ochiai) >= 0.95 self-join — the set-cosine
+    face of the same prefix-filter machinery (shorter prefixes than the
+    equivalent Jaccard: ceil(tau^2 n) vs ceil(tau n)), with the keep
+    test squared into pure int64 so the SQL oracle matches bit-exactly.
+    Catches asymmetric-size near-dups Jaccard misses (a doc plus its
+    50%-longer superset can have cos 0.95 but J 0.65)."""
+    return ssjoin.jaccard_ssjoin(
+        _docs(sf_dir, ["doc_id", "text"]),
+        tau_num=19, tau_den=20, measure="cosine")
+
+
 def neardup_triangles(sf_dir: str) -> "pd.DataFrame":
     """Dup-cluster transitivity audit: exact triangle/wedge counts on
     the low-degree part of the exact Jaccard>=0.9 graph (hub mass

@@ -120,3 +120,58 @@ def test_events_value_histogram_totals():
                          columns=["value"]).to_pandas()
     assert got["n_events"].sum() == len(ev)
     assert (got["bucket"] >= 0).all()
+
+
+@pytest.mark.parametrize("n_blocks", [1, 4])
+def test_cosine_ssjoin_matches_bruteforce(n_blocks):
+    import math
+
+    from datacapsule_ray.functions.ssjoin import jaccard_ssjoin
+
+    rng = np.random.default_rng(11)
+    vocab = ["w%d" % i for i in range(20)]
+    rows = []
+    for did in range(50):
+        k = int(rng.integers(3, 18))
+        rows.append((did, " ".join(rng.choice(vocab, size=k))))
+    # asymmetric-size plant: superset doc — high cosine, lower Jaccard
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    rows[40] = (40, base)
+    rows[41] = (41, base + " w10")
+
+    tau = 0.8
+    ref = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a = set(rows[i][1].split())
+            b = set(rows[j][1].split())
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            # integer test, same algebra as the engine
+            if 25 * inter * inter >= 16 * len(a) * len(b):
+                ref[(rows[i][0], rows[j][0])] = (inter, len(a | b))
+    assert (40, 41) in ref  # the plant fires
+    a40 = set(rows[40][1].split())
+    a41 = set(rows[41][1].split())
+    assert len(a40 & a41) / math.sqrt(len(a40) * len(a41)) >= tau
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [d for d, _ in rows],
+        "text": [t for _, t in rows],
+    })).repartition(n_blocks)
+    got = jaccard_ssjoin(ds, tau_num=4, tau_den=5,
+                         measure="cosine").to_pandas()
+    got_map = {(min(a, b), max(a, b)): (i, u) for a, b, i, u in
+               zip(got["id_a"], got["id_b"], got["n_inter"],
+                   got["n_union"])}
+    assert got_map == ref
+
+
+def test_cosine_ssjoin_rejects_bad_measure():
+    from datacapsule_ray.functions.ssjoin import jaccard_ssjoin
+
+    with pytest.raises(ValueError):
+        jaccard_ssjoin(rd.from_arrow(pa.table({"doc_id": [1],
+                                               "text": ["a"]})),
+                       measure="dice")
