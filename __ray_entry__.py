@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling, rank-with-ties top-k
         "neardup_bfs_levels": docops.neardup_bfs_levels,
         "ssjoin_cosine_docs": docops.ssjoin_cosine_docs,
+        "kg_rel_ppr": r.kg_rel_ppr,
         "weighted_sample_docs": docops.weighted_sample_docs,
         "events_value_histogram": r.events_value_histogram,
         "events_profile": r.events_profile,
@@ -1756,6 +1757,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS doc_id, CAST(lbl AS BIGINT) AS component FROM l8""")
     out["neardup_components_exact"] = "".join(prop)
     # dedup-QA histogram on top of the same propagation
+    # personalized PageRank, teleport restricted to the region roots:
+    # kg_rel_pagerank's all-int64 fixed-point spec with pr_0 = unit*[v
+    # in S] and base = 0.15*unit*[v in S]; 3 unrolled iterations
+    _ppr = [f"""
+        WITH triples AS MATERIALIZED ({_KG_REL_TRIPLES_SQL}),
+        edges AS (SELECT subj AS src, obj AS dst FROM triples),
+        outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        seeds AS (SELECT DISTINCT r_name AS node FROM region),
+        flagged AS (SELECT n.node,
+                           CASE WHEN s.node IS NULL THEN 0 ELSE 1 END
+                               AS sv
+                    FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+        pr0 AS (SELECT node, CAST(sv * 1000000000 AS BIGINT) AS pr
+                FROM flagged)"""]
+    for i in range(3):
+        _ppr.append(f""",
+        c{i + 1} AS (SELECT e.dst AS node,
+                     CAST(SUM((p.pr * 85) // (100 * o.d)) AS BIGINT)
+                         AS c
+              FROM edges e
+              JOIN pr{i} p ON e.src = p.node
+              JOIN outdeg o ON e.src = o.src
+              GROUP BY e.dst),
+        pr{i + 1} AS (SELECT f.node,
+                      CAST(f.sv * 150000000 + COALESCE(c.c, 0)
+                           AS BIGINT) AS pr
+               FROM flagged f LEFT JOIN c{i + 1} c USING (node))""")
+    _ppr.append("""
+        SELECT node, pr FROM pr3""")
+    out["kg_rel_ppr"] = "".join(_ppr)
     # binary cosine (Ochiai): keep test squared into integers, n_union
     # still reported so the output schema matches the Jaccard join
     out["ssjoin_cosine_docs"] = r"""

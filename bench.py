@@ -195,6 +195,7 @@ def run_bench() -> dict:
     timed("top_orders_with_ties", r.top_orders_with_ties)
     timed("weighted_sample_docs", docops.weighted_sample_docs)
     timed("ssjoin_cosine_docs", docops.ssjoin_cosine_docs)
+    timed("kg_rel_ppr", r.kg_rel_ppr)
 
     # serving-side data operators (round 2): judge stage over doc
     # pairs, agent batch inference over the relational KG, and the full

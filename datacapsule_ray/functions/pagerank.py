@@ -138,3 +138,121 @@ def pagerank_fixed(edges: Dataset, *, src_col: str = "src",
             pa.schema([("node", pa.string()), ("pr", pa.int64())]))
         pr = with_in.union(no_in)
     return pr
+
+
+def personalized_pagerank_fixed(edges: Dataset, seeds: Dataset, *,
+                                src_col: str = "src",
+                                dst_col: str = "dst", iters: int = 3,
+                                unit: int = UNIT,
+                                num_partitions: int = 4) -> Dataset:
+    """Personalized PageRank: ``pagerank_fixed``'s fixed-point integer
+    spec with the teleport mass restricted to ``seeds`` (one 'node'
+    column) — "centrality as seen from these roots", the
+    recommendation/relevance flavor of the centrality family:
+
+        pr_0(v)   = unit                     if v in S else 0
+        pr_k+1(v) = [v in S]*floor(0.15*unit)
+                  + Sum_{u->v} pr_k(u)*85 // (100*outdeg(u))
+
+    All-int64 arithmetic (order-independent sums -> SQL-oracle
+    hash-exact, the pagerank_fixed rationale). Every node of the edge
+    set is emitted, including pr=0 nodes unreached from the seeds.
+    Per iteration: one hash join (pr on src), one groupby-sum, one
+    left join onto the seed-flagged node set — O(iters) edge-sized
+    shuffles, nothing driver-resident."""
+    import ray.data as rd  # noqa: F401  (parity with pagerank_fixed)
+
+    from ..traverse import drop_empty_blocks as _deb
+
+    base = (15 * unit) // 100
+
+    def pick(cols: dict[str, str]):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({new: t.column(old)
+                             for old, new in cols.items()})
+        return fn
+
+    e = edges.map_batches(pick({src_col: "src", dst_col: "dst"}),
+                          batch_format="pyarrow").materialize()
+
+    def local_distinct(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return (t.select([col]).group_by([col], use_threads=False)
+                    .aggregate([]))
+        return fn
+
+    nodes = _deb(
+        e.map_batches(local_distinct("src"), batch_format="pyarrow")
+        .map_batches(pick({"src": "node"}), batch_format="pyarrow")
+        .union(e.map_batches(local_distinct("dst"),
+                             batch_format="pyarrow")
+               .map_batches(pick({"dst": "node"}),
+                            batch_format="pyarrow"))
+        .groupby("node").count()
+        .map_batches(lambda t: t.select(["node"]),
+                     batch_format="pyarrow"),
+        pa.schema([("node", pa.string())]))
+
+    def mark_seed(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "sv": pa.array(np.ones(t.num_rows,
+                                                dtype=np.int64))})
+
+    seed_marked = seeds.select_columns(["node"]).map_batches(
+        mark_seed, batch_format="pyarrow")
+    # seed flag attached ONCE; every iteration reuses these blocks
+    flagged = _deb(nodes.join(seed_marked, join_type="left_outer",
+                              num_partitions=num_partitions,
+                              on=("node",)),
+                   pa.schema([("node", pa.string()),
+                              ("sv", pa.int64())])).map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "sv": pc.fill_null(t.column("sv"), 0)}),
+        batch_format="pyarrow").materialize()
+
+    def init_pr(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node"),
+            "pr": pc.multiply(t.column("sv"),
+                              pa.scalar(unit, type=pa.int64()))})
+
+    pr = flagged.map_batches(init_pr, batch_format="pyarrow")
+    if iters <= 0:
+        return pr
+
+    outdeg = e.groupby("src").count().map_batches(
+        lambda t: t.rename_columns(["src", "outdeg"]),
+        batch_format="pyarrow")
+    e_deg = _deb(e.join(outdeg, join_type="inner",
+                        num_partitions=num_partitions, on=("src",)))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        p = t.column("pr").to_numpy(zero_copy_only=False)
+        d = t.column("outdeg").to_numpy(zero_copy_only=False)
+        return pa.table({"dst": t.column("dst"),
+                         "c": pa.array((p * 85) // (100 * d))})
+
+    for _ in range(iters):
+        j = _deb(e_deg.join(pr, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=("src",), right_on=("node",)))
+        contribs = _deb(
+            j.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst").sum("c"),
+            pa.schema([("dst", pa.string()), ("sum(c)", pa.int64())]))
+        pr = _deb(flagged.join(contribs, join_type="left_outer",
+                               num_partitions=num_partitions,
+                               on=("node",), right_on=("dst",)),
+                  pa.schema([("node", pa.string()), ("sv", pa.int64()),
+                             ("sum(c)", pa.int64())])).map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "pr": pc.add(
+                    pc.multiply(t.column("sv"),
+                                pa.scalar(base, type=pa.int64())),
+                    pc.cast(pc.fill_null(t.column("sum(c)"), 0),
+                            pa.int64()))}),
+            batch_format="pyarrow")
+    return pr.map_batches(lambda t: t.select(["node", "pr"]),
+                          batch_format="pyarrow")

@@ -1870,6 +1870,25 @@ def kg_rel_pagerank(sf_dir: str, iters: int = 3) -> Dataset:
                           iters=iters)
 
 
+def kg_rel_ppr(sf_dir: str, iters: int = 3) -> Dataset:
+    """Personalized PageRank seeded at the region roots of the
+    relational KG — "relevance from these entry points" (the
+    recommendation flavor of centrality; the reference's seeded
+    neighbor expansion in `react_tools.py` asks the same question one
+    hop at a time). Same all-int64 fixed-point spec as
+    kg_rel_pagerank, so the unrolled-CTE oracle stays hash-exact."""
+    from ..functions.pagerank import personalized_pagerank_fixed
+
+    edges = kg_rel_triples(sf_dir).map_batches(
+        lambda t: t.select(["subj", "obj"]), batch_format="pyarrow")
+    seeds = _t(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: pa.table({"node": pc.cast(t.column("r_name"),
+                                            pa.string())}),
+        batch_format="pyarrow")
+    return personalized_pagerank_fixed(edges, seeds, src_col="subj",
+                                       dst_col="obj", iters=iters)
+
+
 def _distinct_users_of(sf_dir: str, event_type: str) -> Dataset:
     """Globally distinct user_ids having an event of the given type:
     per-batch local dedup, then one keys-sized groupby."""

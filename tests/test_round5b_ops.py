@@ -175,3 +175,42 @@ def test_cosine_ssjoin_rejects_bad_measure():
         jaccard_ssjoin(rd.from_arrow(pa.table({"doc_id": [1],
                                                "text": ["a"]})),
                        measure="dice")
+
+
+class TestPersonalizedPagerank:
+    def _edges_tbl(self, pairs):
+        s, d = zip(*pairs)
+        return rd.from_arrow(pa.table({
+            "src": pa.array(s, type=pa.string()),
+            "dst": pa.array(d, type=pa.string())}))
+
+    def test_seeds_all_equals_global_pagerank(self):
+        from datacapsule_ray.functions.pagerank import (
+            pagerank_fixed, personalized_pagerank_fixed)
+
+        pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+                 ("d", "a")]
+        e = self._edges_tbl(pairs)
+        allnodes = rd.from_arrow(pa.table({
+            "node": pa.array(["a", "b", "c", "d"], type=pa.string())}))
+        glob = pagerank_fixed(e, iters=3).to_pandas()
+        pers = personalized_pagerank_fixed(e, allnodes,
+                                           iters=3).to_pandas()
+        assert (dict(zip(glob["node"], glob["pr"]))
+                == dict(zip(pers["node"], pers["pr"])))
+
+    def test_unreached_nodes_are_zero(self):
+        from datacapsule_ray.functions.pagerank import (
+            personalized_pagerank_fixed)
+
+        # two components; seed only in the first
+        e = self._edges_tbl([("a", "b"), ("x", "y")])
+        seeds = rd.from_arrow(pa.table({
+            "node": pa.array(["a"], type=pa.string())}))
+        got = personalized_pagerank_fixed(e, seeds, iters=3).to_pandas()
+        pr = dict(zip(got["node"], got["pr"]))
+        assert set(pr) == {"a", "b", "x", "y"}
+        assert pr["x"] == 0 and pr["y"] == 0
+        assert pr["a"] == 150_000_000  # base only (no in-edges)
+        # b receives a's damped mass each round, holds no teleport
+        assert pr["b"] > 0 and pr["b"] != pr["a"]
