@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_bfs_levels": docops.neardup_bfs_levels,
         "ssjoin_cosine_docs": docops.ssjoin_cosine_docs,
         "kg_rel_ppr": r.kg_rel_ppr,
+        "events_value_gini": r.events_value_gini,
         "weighted_sample_docs": docops.weighted_sample_docs,
         "events_value_histogram": r.events_value_histogram,
         "events_profile": r.events_profile,
@@ -1757,6 +1758,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS doc_id, CAST(lbl AS BIGINT) AS component FROM l8""")
     out["neardup_components_exact"] = "".join(prop)
     # dedup-QA histogram on top of the same propagation
+    out["events_value_gini"] = """
+        -- sorted-rank Gini from integer sufficient statistics;
+        -- mirrored IEEE division tree (the corr/zscore convention)
+        WITH p AS (SELECT event_type, event_id,
+                          CAST(ROUND(value * 100) AS BIGINT) AS c
+                   FROM events),
+        r AS (SELECT event_type, c,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY c, event_id) AS rn
+              FROM p),
+        s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(c) AS BIGINT) AS s,
+                     CAST(SUM(rn * c) AS BIGINT) AS sr
+              FROM r GROUP BY event_type)
+        SELECT event_type,
+               (2.0 * sr) / CAST(n * s AS DOUBLE)
+                   - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+        FROM s
+    """
     # personalized PageRank, teleport restricted to the region roots:
     # kg_rel_pagerank's all-int64 fixed-point spec with pr_0 = unit*[v
     # in S] and base = 0.15*unit*[v in S]; 3 unrolled iterations

@@ -196,6 +196,7 @@ def run_bench() -> dict:
     timed("weighted_sample_docs", docops.weighted_sample_docs)
     timed("ssjoin_cosine_docs", docops.ssjoin_cosine_docs)
     timed("kg_rel_ppr", r.kg_rel_ppr)
+    timed("events_value_gini", r.events_value_gini)
 
     # serving-side data operators (round 2): judge stage over doc
     # pairs, agent batch inference over the relational KG, and the full

@@ -1857,6 +1857,61 @@ def revenue_grouping_sets(sf_dir: str) -> pd.DataFrame:
         ["revenue_cents", "n_rows"])
 
 
+def events_value_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of value per event type — the inequality/
+    concentration profile of a measure column (is revenue spread
+    evenly or does a tail of whale events carry it?). Computed from
+    integer sufficient statistics via the sorted-rank identity
+    G = 2*Sum(i*x_(i))/(n*Sum(x)) - (n+1)/n: one distributed
+    row_number over (c, event_id), one groupby of int64 partials, and
+    a mirrored IEEE division tree — hash-exact vs the SQL oracle.
+    Rank ties over equal c permute equal x values, so Sum(i*x) is
+    tie-order invariant. Scale bound: n*Sum(c) must fit int64
+    (~10^9 rows/type at c~10^5) — the corr/trend-stats convention."""
+    from ..functions.window import row_number
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "c": _cents(t.column("value"))})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    rn = row_number(prepped, group_col="event_type",
+                    order_cols=["c", "event_id"], id_col="event_id",
+                    out_col="rn")
+    joined = prepped.join(rn, join_type="inner", num_partitions=4,
+                          on=("event_id",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        part = pa.table({
+            "event_type": t.column("event_type"),
+            "c": t.column("c"),
+            "rc": pc.multiply(pc.cast(t.column("rn"), pa.int64()),
+                              t.column("c")),
+        }).group_by("event_type").aggregate(
+            [("c", "sum"), ("rc", "sum"), ("c", "count")])
+        return pa.table({
+            "event_type": part.column("event_type"),
+            "s": part.column("c_sum"), "sr": part.column("rc_sum"),
+            "n": pc.cast(part.column("c_count"), pa.int64())})
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type").aggregate(Sum("s"), Sum("sr"),
+                                Sum("n")).to_pandas()
+    n = agg["sum(n)"].to_numpy()
+    s = agg["sum(s)"].to_numpy()
+    sr = agg["sum(sr)"].to_numpy()
+    # mirrored tree: (2.0*sr)/double(n*s) - double(n+1)/double(n)
+    gini = ((2.0 * sr.astype(np.float64)) / (n * s).astype(np.float64)
+            - (n + 1).astype(np.float64) / n.astype(np.float64))
+    return pd.DataFrame({"event_type": agg["event_type"],
+                         "gini": gini}).sort_values(
+        "event_type").reset_index(drop=True)
+
+
 def kg_rel_pagerank(sf_dir: str, iters: int = 3) -> Dataset:
     """Fixed-point integer PageRank over the relational KG edge table
     (the kg_rel_triples containment graph) — graph centrality as a

@@ -214,3 +214,26 @@ class TestPersonalizedPagerank:
         assert pr["a"] == 150_000_000  # base only (no in-edges)
         # b receives a's damped mass each round, holds no teleport
         assert pr["b"] > 0 and pr["b"] != pr["a"]
+
+
+def test_events_value_gini_bounds_and_pandas_parity():
+    from datacapsule_ray.pipelines import relational as r
+
+    got = r.events_value_gini(SF_DIR)
+    assert ((got["gini"] >= 0) & (got["gini"] < 1)).all()
+    # pandas oracle: same sorted-rank identity per type
+    import pandas as pd
+    ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_id", "event_type",
+                                  "value"]).to_pandas()
+    ev["c"] = (ev["value"] * 100).round().astype("int64")
+    ref = {}
+    for et, g in ev.groupby("event_type"):
+        x = g.sort_values(["c", "event_id"])["c"].to_numpy()
+        n = len(x)
+        i = np.arange(1, n + 1, dtype=np.int64)
+        ref[et] = ((2.0 * np.int64((i * x).sum()))
+                   / np.float64(np.int64(n) * x.sum())
+                   - np.float64(n + 1) / np.float64(n))
+    for et, gv in zip(got["event_type"], got["gini"]):
+        assert abs(ref[et] - gv) < 1e-12
