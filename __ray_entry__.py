@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ssjoin_cosine_docs": docops.ssjoin_cosine_docs,
         "kg_rel_ppr": r.kg_rel_ppr,
         "events_value_gini": r.events_value_gini,
+        "embedding_top_pc": docops.embedding_top_pc,
         "weighted_sample_docs": docops.weighted_sample_docs,
         "events_value_histogram": r.events_value_histogram,
         "events_profile": r.events_profile,

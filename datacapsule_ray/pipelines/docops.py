@@ -762,6 +762,25 @@ def embedding_dim_stats(sf_dir: str, dim: int = 64) -> Dataset:
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def embedding_top_pc(sf_dir: str, dim: int = 64,
+                     iters: int = 8) -> "pd.DataFrame":
+    """Dominant PCA direction of the embedding corpus via distributed
+    power iteration (functions/linalg.py) — the drift-axis/whitening
+    probe of an embedding QA pass. One pass per iteration; each block
+    ships a d-float partial, vectors never leave the workers. Rows-only
+    oracle story (iterative float linear algebra has no SQL form);
+    numpy eigendecomposition parity is pinned by pytest."""
+    from ..functions.linalg import top_principal_direction
+
+    v, lam, n = top_principal_direction(
+        _emb(sf_dir, ["embedding"]), dim=dim, iters=iters)
+    return pd.DataFrame({
+        "i": np.arange(dim, dtype=np.int64),
+        "loading": v,
+        "eigenvalue": np.full(dim, lam),
+        "n_rows": np.full(dim, n, dtype=np.int64)})
+
+
 def cluster_assign_embeddings(sf_dir: str, k: int = 8) -> Dataset:
     """Fixed-centroid nearest-neighbor assignment (the SQL-checkable
     half of k-means): centroids are the embeddings of the k smallest

@@ -106,6 +106,15 @@ def main() -> None:
 
     t0 = time.perf_counter()
     st = {}
+    n_pairs = ssjoin.jaccard_ssjoin(docs(), tau_num=19, tau_den=20,
+                                    measure="cosine", stats=st).count()
+    report["ssjoin_cosine"] = {
+        "pairs": int(n_pairs),
+        "dropped_rows": int(st.get("dropped_rows", 0)),
+        "wall_s": round(time.perf_counter() - t0, 2)}
+
+    t0 = time.perf_counter()
+    st = {}
     n_pairs = dedup.minhash_lsh_pairs(docs(), threshold=0.7,
                                       stats=st).count()
     report["minhash_lsh"] = {"pairs": int(n_pairs),

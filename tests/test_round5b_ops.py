@@ -237,3 +237,41 @@ def test_events_value_gini_bounds_and_pandas_parity():
                    - np.float64(n + 1) / np.float64(n))
     for et, gv in zip(got["event_type"], got["gini"]):
         assert abs(ref[et] - gv) < 1e-12
+
+
+class TestTopPrincipalDirection:
+    def test_matches_numpy_eigendecomposition(self):
+        from datacapsule_ray.functions.linalg import (
+            top_principal_direction)
+
+        rng = np.random.default_rng(3)
+        # anisotropic cloud: strong direction planted along a random axis
+        d, n = 16, 400
+        axis = rng.normal(size=d)
+        axis /= np.linalg.norm(axis)
+        x = (rng.normal(size=(n, 1)) * 5.0) @ axis[None, :]
+        x = x + rng.normal(size=(n, d)) * 0.3 + 2.0  # offset: centering matters
+        ds = rd.from_arrow(pa.table({
+            "embedding": pa.array([row.astype(np.float32) for row in x],
+                                  type=pa.list_(pa.float32()))}))
+        ds = ds.repartition(4)
+        v, lam, cnt = top_principal_direction(ds, dim=d, iters=30)
+        assert cnt == n
+        xc = x.astype(np.float32).astype(np.float64)
+        xc = xc - xc.mean(axis=0)
+        w, vecs = np.linalg.eigh(xc.T @ xc)
+        top = vecs[:, -1]
+        if top[np.argmax(np.abs(top))] < 0:
+            top = -top
+        assert abs(abs(v @ top) - 1.0) < 1e-6
+        assert abs(lam - w[-1]) / w[-1] < 1e-6
+
+    def test_degenerate_constant_rows(self):
+        from datacapsule_ray.functions.linalg import (
+            top_principal_direction)
+
+        ds = rd.from_arrow(pa.table({
+            "embedding": pa.array([[1.0, 2.0]] * 10,
+                                  type=pa.list_(pa.float32()))}))
+        v, lam, n = top_principal_direction(ds, dim=2, iters=4)
+        assert lam == 0.0 and n == 10
