@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rel_ppr": r.kg_rel_ppr,
         "events_value_gini": r.events_value_gini,
         "embedding_top_pc": docops.embedding_top_pc,
+        "diverse_sample_embeddings": docops.diverse_sample_embeddings,
         "weighted_sample_docs": docops.weighted_sample_docs,
         "events_value_histogram": r.events_value_histogram,
         "events_profile": r.events_profile,
@@ -1759,6 +1760,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS doc_id, CAST(lbl AS BIGINT) AS component FROM l8""")
     out["neardup_components_exact"] = "".join(prop)
     # dedup-QA histogram on top of the same propagation
+    out["diverse_sample_embeddings"] = r"""
+        WITH cent AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+            FROM embeddings ORDER BY vec_id LIMIT 8),
+        assign AS (
+            SELECT e.vec_id,
+                   CAST((SELECT cid FROM cent
+                         ORDER BY list_distance(
+                             CAST(e.embedding AS DOUBLE[]), cemb), cid
+                         LIMIT 1) AS BIGINT) AS centroid_id
+            FROM embeddings e),
+        ranked AS (
+            SELECT centroid_id, vec_id,
+                   row_number() OVER (
+                       PARTITION BY centroid_id
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                       AS rn
+            FROM assign)
+        SELECT centroid_id, vec_id FROM ranked WHERE rn <= 5
+    """
     out["events_value_gini"] = """
         -- sorted-rank Gini from integer sufficient statistics;
         -- mirrored IEEE division tree (the corr/zscore convention)

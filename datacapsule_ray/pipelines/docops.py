@@ -794,6 +794,40 @@ def cluster_assign_embeddings(sf_dir: str, k: int = 8) -> Dataset:
                                     out_col="centroid_id")
 
 
+def diverse_sample_embeddings(sf_dir: str, k: int = 8,
+                              cap: int = 5) -> Dataset:
+    """Cluster-capped diversity sampling: nearest-centroid assignment
+    (the SQL-checkable cluster_assign_embeddings face) then at most
+    ``cap`` rows per cell chosen by id-hash order — the "spread the
+    sample across embedding space" selection a training mix uses
+    instead of uniform sampling, with the split_docs_hash determinism
+    properties. One assignment pass + one range-partitioned sort;
+    output is k*cap rows."""
+    from ..functions import clustering
+    from ..functions.text import md5_hex_batch
+    from ..functions.topk import per_group_topk
+
+    emb = _emb(sf_dir, ["vec_id", "embedding"])
+    ids, cents = clustering.seed_centroids(emb, k)
+    assigned = clustering.kmeans_assign(emb, cents, labels=ids,
+                                        out_col="centroid_id")
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        h = md5_hex_batch(pc.cast(t.column("vec_id"), pa.string()))
+        return pa.table({"centroid_id": t.column("centroid_id"),
+                         "vec_id": t.column("vec_id"),
+                         "h": pa.array(h, type=pa.string())})
+
+    picked = per_group_topk(
+        assigned.map_batches(add_hash, batch_format="pyarrow"),
+        group_col="centroid_id", order_cols=["h", "vec_id"],
+        descending=[False, False], k=cap)
+    return picked.map_batches(
+        lambda t: t.select(["centroid_id", "vec_id"]),
+        batch_format="pyarrow")
+
+
 def kmeans_clusters_embeddings(sf_dir: str, k: int = 8,
                                iters: int = 5) -> Dataset:
     """Full Lloyd's k-means (iterative — rows-only driver check; exact

@@ -275,3 +275,16 @@ class TestTopPrincipalDirection:
                                   type=pa.list_(pa.float32()))}))
         v, lam, n = top_principal_direction(ds, dim=2, iters=4)
         assert lam == 0.0 and n == 10
+
+
+def test_diverse_sample_embeddings_caps_cells():
+    from datacapsule_ray.pipelines import docops
+
+    got = docops.diverse_sample_embeddings(SF_DIR).to_pandas()
+    per_cell = got.groupby("centroid_id").size()
+    assert (per_cell <= 5).all()
+    assert got["vec_id"].is_unique
+    # deterministic across runs
+    again = docops.diverse_sample_embeddings(SF_DIR).to_pandas()
+    assert sorted(map(tuple, got.to_numpy().tolist())) == \
+        sorted(map(tuple, again.to_numpy().tolist()))
