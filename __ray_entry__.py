@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ssjoin_cosine_docs": docops.ssjoin_cosine_docs,
         "kg_rel_ppr": r.kg_rel_ppr,
         "events_value_gini": r.events_value_gini,
+        "cohort_value_triangle": r.cohort_value_triangle,
         "embedding_top_pc": docops.embedding_top_pc,
         "diverse_sample_embeddings": docops.diverse_sample_embeddings,
         "weighted_sample_docs": docops.weighted_sample_docs,
@@ -1760,6 +1761,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS doc_id, CAST(lbl AS BIGINT) AS component FROM l8""")
     out["neardup_components_exact"] = "".join(prop)
     # dedup-QA histogram on top of the same propagation
+    out["cohort_value_triangle"] = """
+        WITH ev AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)/86400) AS BIGINT) // 7 AS week,
+                 CAST(ROUND(value * 100) AS BIGINT) AS c
+          FROM events),
+        firsts AS (
+          SELECT user_id, MIN(week) AS cohort_week
+          FROM ev GROUP BY user_id)
+        SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+               CAST(SUM(e.c) AS BIGINT) AS value_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM ev e JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    """
     out["diverse_sample_embeddings"] = r"""
         WITH cent AS (
             SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb

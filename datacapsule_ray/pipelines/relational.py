@@ -1857,6 +1857,70 @@ def revenue_grouping_sets(sf_dir: str) -> pd.DataFrame:
         ["revenue_cents", "n_rows"])
 
 
+def cohort_value_triangle(sf_dir: str,
+                          num_partitions: int = 4) -> Dataset:
+    """Cohort LTV triangle: exact integer value per (first-activity
+    week, week offset) — user_weekly_retention's measure-carrying
+    sibling (how much each weekly cohort SPENDS as it ages, the table
+    an LTV model trains on). Same plan shape: per-batch MIN(week)
+    partials -> users-sized cohort groupby -> one distributed hash
+    join -> (cohort, offset)-keyed integer-sum groupby with block-local
+    Arrow pre-aggregation."""
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def week_partial(t: pa.Table) -> pa.Table:
+        part = pa.table({
+            "user_id": t.column("user_id"),
+            "w": pa.array(_epoch_week(t.column("ts"))),
+        }).group_by("user_id", use_threads=False).aggregate(
+            [("w", "min")])
+        return pa.table({"user_id": part.column("user_id"),
+                         "cohort_week": part.column("w_min")})
+
+    cohorts = (ds.map_batches(week_partial, batch_format="pyarrow")
+               .groupby("user_id")
+               .aggregate(Min("cohort_week", alias_name="cohort_week")))
+
+    def to_weeks(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "week": pa.array(_epoch_week(t.column("ts"))),
+                         "c": _cents(t.column("value"))})
+
+    from ..traverse import drop_empty_blocks as _deb
+
+    joined = _deb(ds.map_batches(to_weeks, batch_format="pyarrow").join(
+        cohorts, join_type="inner", num_partitions=num_partitions,
+        on=("user_id",)))
+
+    def local_sum(t: pa.Table) -> pa.Table:
+        part = pa.table({
+            "cohort_week": t.column("cohort_week"),
+            "week_offset": pc.subtract(t.column("week"),
+                                       t.column("cohort_week")),
+            "c": t.column("c"),
+        }).group_by(["cohort_week", "week_offset"],
+                    use_threads=False).aggregate(
+            [("c", "sum"), ("c", "count")])
+        return pa.table({
+            "cohort_week": part.column("cohort_week"),
+            "week_offset": part.column("week_offset"),
+            "sc": pc.cast(part.column("c_sum"), pa.int64()),
+            "n": pc.cast(part.column("c_count"), pa.int64())})
+
+    agg = (joined.map_batches(local_sum, batch_format="pyarrow")
+           .groupby(["cohort_week", "week_offset"])
+           .aggregate(Sum("sc"), Sum("n")))
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_week": t.column("cohort_week"),
+            "week_offset": t.column("week_offset"),
+            "value_cents": pc.cast(t.column("sum(sc)"), pa.int64()),
+            "n_events": pc.cast(t.column("sum(n)"), pa.int64())})
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
 def events_value_gini(sf_dir: str) -> pd.DataFrame:
     """Gini coefficient of value per event type — the inequality/
     concentration profile of a measure column (is revenue spread

@@ -288,3 +288,15 @@ def test_diverse_sample_embeddings_caps_cells():
     again = docops.diverse_sample_embeddings(SF_DIR).to_pandas()
     assert sorted(map(tuple, got.to_numpy().tolist())) == \
         sorted(map(tuple, again.to_numpy().tolist()))
+
+
+def test_cohort_value_triangle_invariants():
+    from datacapsule_ray.pipelines import relational as r
+
+    got = r.cohort_value_triangle(SF_DIR).to_pandas()
+    ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["value"]).to_pandas()
+    assert got["n_events"].sum() == len(ev)
+    assert (got["week_offset"] >= 0).all()
+    total_c = np.int64((ev["value"] * 100).round().astype("int64").sum())
+    assert got["value_cents"].sum() == total_c
