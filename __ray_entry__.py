@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_gini": r.events_value_gini,
         "cohort_value_triangle": r.cohort_value_triangle,
         "embedding_top_pc": docops.embedding_top_pc,
+        "doc_lm_scores": docops.doc_lm_scores,
         "diverse_sample_embeddings": docops.diverse_sample_embeddings,
         "weighted_sample_docs": docops.weighted_sample_docs,
         "events_value_histogram": r.events_value_histogram,

@@ -200,6 +200,7 @@ def run_bench() -> dict:
     timed("embedding_top_pc", docops.embedding_top_pc)
     timed("diverse_sample_embeddings", docops.diverse_sample_embeddings)
     timed("cohort_value_triangle", r.cohort_value_triangle)
+    timed("doc_lm_scores", docops.doc_lm_scores)
 
     # serving-side data operators (round 2): judge stage over doc
     # pairs, agent batch inference over the relational KG, and the full

@@ -762,6 +762,17 @@ def embedding_dim_stats(sf_dir: str, dim: int = 64) -> Dataset:
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def doc_lm_scores(sf_dir: str) -> Dataset:
+    """Corpus-trained bigram-LM scoring (CCNet-style perplexity
+    filter): every doc's mean negative log2 smoothed bigram
+    probability under the corpus's own counts (functions/lm.py).
+    Rows-only oracle story (log floats); pure-python reference parity
+    pinned by pytest."""
+    from ..functions.lm import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def embedding_top_pc(sf_dir: str, dim: int = 64,
                      iters: int = 8) -> "pd.DataFrame":
     """Dominant PCA direction of the embedding corpus via distributed

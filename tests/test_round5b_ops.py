@@ -300,3 +300,53 @@ def test_cohort_value_triangle_invariants():
     assert (got["week_offset"] >= 0).all()
     total_c = np.int64((ev["value"] * 100).round().astype("int64").sum())
     assert got["value_cents"].sum() == total_c
+
+
+class TestBigramLmScores:
+    def test_matches_pure_python_reference(self):
+        import math
+
+        from datacapsule_ray.functions.lm import bigram_lm_scores
+
+        texts = ["a b c a b", "a b a b", "c c c", "x", "", "q r q r s"]
+        ids = list(range(len(texts)))
+        # pure-python add-one bigram LM over the same corpus
+        from collections import Counter
+        uni, bi = Counter(), Counter()
+        for t in texts:
+            toks = t.split()
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        v = len(uni)
+        ref = {}
+        for i, t in enumerate(texts):
+            toks = t.split()
+            pairs = list(zip(toks, toks[1:]))
+            if not pairs:
+                continue
+            bits = [-math.log2((bi[p] + 1) / (uni[p[0]] + v))
+                    for p in pairs]
+            ref[i] = (len(pairs), sum(bits) / len(pairs))
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string())})).repartition(3)
+        got = bigram_lm_scores(ds).to_pandas()
+        got_map = {d: (n, s) for d, n, s in zip(
+            got["doc_id"], got["n_bigrams"], got["nll_bits"])}
+        assert set(got_map) == set(ref)
+        for k in ref:
+            assert got_map[k][0] == ref[k][0]
+            assert abs(got_map[k][1] - ref[k][1]) < 1e-12
+
+    def test_model_cap_drop_accounting(self):
+        from datacapsule_ray.functions.lm import bigram_lm_scores
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["a b c d e", "a b x y z"],
+                             type=pa.string())}))
+        st = {}
+        out = bigram_lm_scores(ds, model_cap=3, stats=st).to_pandas()
+        assert st["dropped_model_entries"] > 0
+        assert len(out) == 2
