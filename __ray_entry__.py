@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_value_triangle": r.cohort_value_triangle,
         "embedding_top_pc": docops.embedding_top_pc,
         "doc_lm_scores": docops.doc_lm_scores,
+        "dedup_final_docs": docops.dedup_final_docs,
         "diverse_sample_embeddings": docops.diverse_sample_embeddings,
         "weighted_sample_docs": docops.weighted_sample_docs,
         "events_value_histogram": r.events_value_histogram,
@@ -1761,6 +1762,13 @@ def oracle_sql() -> dict[str, str]:
     prop.append("""
         SELECT node AS doc_id, CAST(lbl AS BIGINT) AS component FROM l8""")
     out["neardup_components_exact"] = "".join(prop)
+    # dedup capstone: keep untouched docs + each component's minimum
+    # (same 8-round propagation; identical docs pair at J=1, so exact
+    # dups are subsumed by the near-dup graph)
+    out["dedup_final_docs"] = "".join(prop[:-1]) + """
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN l8 ON l8.node = d.doc_id
+        WHERE l8.lbl IS NULL OR l8.lbl = d.doc_id"""
     # dedup-QA histogram on top of the same propagation
     out["cohort_value_triangle"] = """
         WITH ev AS (

@@ -189,6 +189,40 @@ def neardup_components_exact(sf_dir: str, rounds: int = 8) -> Dataset:
         batch_format="pyarrow")
 
 
+def dedup_final_docs(sf_dir: str, rounds: int = 8,
+                     num_partitions: int = 4) -> Dataset:
+    """The dedup CAPSTONE a corpus pipeline actually ships: the final
+    keep set after the whole near-dup chain — exact Jaccard>=0.9 pair
+    graph (identical docs pair at J=1, so exact dups are subsumed) →
+    bounded min-label components → keep each component's minimum doc id
+    plus every untouched doc. One LEFT join of the corpus ids against
+    the component labels; the labels table is dup-sized, the corpus
+    streams. Fully SQL-expressible: the oracle reuses the unrolled
+    8-round propagation CTE with a final keep filter."""
+    from ..functions.minlabel import minlabel_components
+    from ..traverse import drop_empty_blocks
+
+    pairs = _jaccard_pairs(sf_dir)
+    lab = minlabel_components(pairs, rounds=rounds)
+    ids = _docs(sf_dir, ["doc_id"])
+    joined = drop_empty_blocks(
+        ids.join(lab, join_type="left_outer",
+                 num_partitions=num_partitions,
+                 on=("doc_id",), right_on=("node",)),
+        pa.schema([("doc_id", pa.int64()), ("lbl", pa.int64())]))
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        did = t.column("doc_id")
+        lbl = t.column("lbl")
+        mask = pc.or_kleene(pc.is_null(lbl), pc.equal(lbl, did))
+        return pa.table({"doc_id": did}).filter(
+            pc.fill_null(mask, True))
+
+    return joined.map_batches(keep, batch_format="pyarrow")
+
+
 def neardup_cluster_sizes(sf_dir: str, rounds: int = 8) -> Dataset:
     """Dup-cluster size histogram — the dedup-QA table (how much mass
     sits in 2-doc pairs vs giant cliques decides the dedup strategy):

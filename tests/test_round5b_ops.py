@@ -350,3 +350,15 @@ class TestBigramLmScores:
         out = bigram_lm_scores(ds, model_cap=3, stats=st).to_pandas()
         assert st["dropped_model_entries"] > 0
         assert len(out) == 2
+
+
+def test_dedup_final_docs_keep_semantics():
+    from datacapsule_ray.pipelines import docops
+
+    kept = set(docops.dedup_final_docs(SF_DIR).to_pandas()["doc_id"])
+    comp = docops.neardup_components_exact(SF_DIR).to_pandas()
+    docs = set(rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id"]).to_pandas()["doc_id"])
+    touched = set(comp["doc_id"])
+    canonical = set(comp[comp["doc_id"] == comp["component"]]["doc_id"])
+    assert kept == (docs - touched) | canonical
