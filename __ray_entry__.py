@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rel_ppr": r.kg_rel_ppr,
         "events_value_gini": r.events_value_gini,
         "cohort_value_triangle": r.cohort_value_triangle,
+        "events_value_decile_stats": r.events_value_decile_stats,
         "embedding_top_pc": docops.embedding_top_pc,
         "doc_lm_scores": docops.doc_lm_scores,
         "dedup_final_docs": docops.dedup_final_docs,
@@ -1770,6 +1771,22 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN l8 ON l8.node = d.doc_id
         WHERE l8.lbl IS NULL OR l8.lbl = d.doc_id"""
     # dedup-QA histogram on top of the same propagation
+    out["events_value_decile_stats"] = """
+        -- rank-based equi-depth buckets: 10*(rn-1)//n, all-integer
+        WITH p AS (SELECT event_id,
+                          CAST(ROUND(value * 100) AS BIGINT) AS c
+                   FROM events),
+        r AS (SELECT c,
+                     row_number() OVER (ORDER BY c, event_id) AS rn,
+                     (SELECT COUNT(*) FROM p) AS n
+              FROM p)
+        SELECT (10 * (rn - 1)) // n AS bucket,
+               CAST(MIN(c) AS BIGINT) AS lo_c,
+               CAST(MAX(c) AS BIGINT) AS hi_c,
+               CAST(SUM(c) AS BIGINT) AS sum_c,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM r GROUP BY 1
+    """
     out["cohort_value_triangle"] = """
         WITH ev AS (
           SELECT user_id,

@@ -202,6 +202,7 @@ def run_bench() -> dict:
     timed("cohort_value_triangle", r.cohort_value_triangle)
     timed("doc_lm_scores", docops.doc_lm_scores)
     timed("dedup_final_docs", docops.dedup_final_docs)
+    timed("events_value_decile_stats", r.events_value_decile_stats)
 
     # serving-side data operators (round 2): judge stage over doc
     # pairs, agent batch inference over the relational KG, and the full

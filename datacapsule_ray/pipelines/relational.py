@@ -1857,6 +1857,59 @@ def revenue_grouping_sets(sf_dir: str) -> pd.DataFrame:
         ["revenue_cents", "n_rows"])
 
 
+def events_value_decile_stats(sf_dir: str, buckets: int = 10) -> Dataset:
+    """Equi-DEPTH histogram (decile edges + per-bucket exact stats)
+    over value cents — the complement of events_value_histogram's
+    equi-width bins and the table a range-partitioner or quantile
+    normalizer is built from. Rank-based bucketing (NTILE semantics
+    via ``buckets*(rn-1)//n``) keeps everything integer: one global
+    range-partitioned sort + row_number, then a buckets-sized integer
+    groupby — hash-exact vs the SQL oracle."""
+    from ..functions.window import row_number
+
+    ds = _t(sf_dir, "events", ["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "c": _cents(t.column("value"))})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    n = prepped.count()
+    rn = row_number(prepped, group_col="one",
+                    order_cols=["c", "event_id"], id_col="event_id",
+                    out_col="rn")
+    joined = prepped.join(rn, join_type="inner", num_partitions=4,
+                          on=("event_id",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = pc.divide(pc.multiply(
+            pc.subtract(pc.cast(t.column("rn"), pa.int64()), 1),
+            buckets), n)
+        part = pa.table({"bucket": b, "c": t.column("c")}).group_by(
+            "bucket").aggregate([("c", "min"), ("c", "max"),
+                                 ("c", "sum"), ("c", "count")])
+        return pa.table({
+            "bucket": part.column("bucket"),
+            "lo": part.column("c_min"), "hi": part.column("c_max"),
+            "s": pc.cast(part.column("c_sum"), pa.int64()),
+            "n": pc.cast(part.column("c_count"), pa.int64())})
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "bucket").aggregate(Min("lo"), Max("hi"), Sum("s"), Sum("n"))
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": t.column("bucket"),
+            "lo_c": pc.cast(t.column("min(lo)"), pa.int64()),
+            "hi_c": pc.cast(t.column("max(hi)"), pa.int64()),
+            "sum_c": pc.cast(t.column("sum(s)"), pa.int64()),
+            "n_events": pc.cast(t.column("sum(n)"), pa.int64())})
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
 def cohort_value_triangle(sf_dir: str,
                           num_partitions: int = 4) -> Dataset:
     """Cohort LTV triangle: exact integer value per (first-activity

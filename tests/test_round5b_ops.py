@@ -362,3 +362,18 @@ def test_dedup_final_docs_keep_semantics():
     touched = set(comp["doc_id"])
     canonical = set(comp[comp["doc_id"] == comp["component"]]["doc_id"])
     assert kept == (docs - touched) | canonical
+
+
+def test_events_value_decile_stats_equidepth():
+    from datacapsule_ray.pipelines import relational as r
+
+    got = (r.events_value_decile_stats(SF_DIR).to_pandas()
+           .sort_values("bucket").reset_index(drop=True))
+    n = got["n_events"].sum()
+    assert len(got) == 10
+    # depth within 1 of n/10 (integer NTILE-style split)
+    assert (got["n_events"].sub(n // 10).abs() <= 1).all()
+    # edges are non-decreasing across buckets
+    assert (got["lo_c"] <= got["hi_c"]).all()
+    assert (got["hi_c"].iloc[:-1].to_numpy()
+            <= got["lo_c"].iloc[1:].to_numpy()).all()
