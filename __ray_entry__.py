@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_gini": r.events_value_gini,
         "cohort_value_triangle": r.cohort_value_triangle,
         "events_value_decile_stats": r.events_value_decile_stats,
+        "user_value_autocorr": r.user_value_autocorr,
         "embedding_top_pc": docops.embedding_top_pc,
         "doc_lm_scores": docops.doc_lm_scores,
         "dedup_final_docs": docops.dedup_final_docs,
@@ -1771,6 +1772,38 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN l8 ON l8.node = d.doc_id
         WHERE l8.lbl IS NULL OR l8.lbl = d.doc_id"""
     # dedup-QA histogram on top of the same propagation
+    out["user_value_autocorr"] = """
+        -- lag-1 Pearson autocorrelation from exact integer sums;
+        -- degenerate users filtered by INTEGER variance conditions
+        WITH p AS (SELECT user_id,
+                          CAST(ROUND(value * 100) AS BIGINT) AS c,
+                          LAG(CAST(ROUND(value * 100) AS BIGINT), 1)
+                              OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev
+                   FROM events),
+        q AS (SELECT user_id, prev AS x, c AS y FROM p
+              WHERE prev IS NOT NULL),
+        s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(y * y) AS BIGINT) AS syy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy
+              FROM q GROUP BY user_id
+              HAVING COUNT(*) * SUM(x * x) > SUM(x) * SUM(x)
+                 AND COUNT(*) * SUM(y * y) > SUM(y) * SUM(y)),
+        d AS (SELECT user_id, CAST(n AS DOUBLE) AS n,
+                     CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+                     CAST(sxx AS DOUBLE) AS sxx,
+                     CAST(syy AS DOUBLE) AS syy,
+                     CAST(sxy AS DOUBLE) AS sxy
+              FROM s)
+        SELECT user_id,
+               (n * sxy - sx * sy)
+                   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                   AS autocorr
+        FROM d
+    """
     out["events_value_decile_stats"] = """
         -- rank-based equi-depth buckets: 10*(rn-1)//n, all-integer
         WITH p AS (SELECT event_id,

@@ -1857,6 +1857,76 @@ def revenue_grouping_sets(sf_dir: str) -> pd.DataFrame:
         ["revenue_cents", "n_rows"])
 
 
+def user_value_autocorr(sf_dir: str,
+                        num_partitions: int = 4) -> pd.DataFrame:
+    """Per-user lag-1 autocorrelation of value — the temporal-drift
+    detector (is a user's spend momentum-driven or i.i.d.?): LAG pairs
+    from the distributed lag machinery, then Pearson corr over the
+    (prev, current) pairs from exact integer sum partials with the
+    mirrored IEEE tree (events_hour_value_corr convention). Users
+    whose pair count or variance is degenerate are filtered by the
+    INTEGER conditions n*Sxx > Sx^2 and n*Syy > Sy^2 — exact on both
+    sides, so no NaN ever reaches the hash."""
+    from ..functions.window import lag_lead
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "c": _cents(t.column("value"))})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    lagged = lag_lead(prepped, group_col="user_id",
+                      order_cols=["ts", "event_id"], value_col="c",
+                      offset=1, kind="lag", id_col="event_id",
+                      default=-1, out_col="prev")
+    joined = prepped.join(lagged, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("event_id",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("prev"), -1))
+        x = pc.cast(t.column("prev"), pa.int64())
+        y = t.column("c")
+        part = pa.table({
+            "user_id": t.column("user_id"),
+            "x": x, "y": y,
+            "xx": pc.multiply(x, x), "yy": pc.multiply(y, y),
+            "xy": pc.multiply(x, y),
+        }).group_by("user_id").aggregate(
+            [("x", "sum"), ("y", "sum"), ("xx", "sum"),
+             ("yy", "sum"), ("xy", "sum"), ("x", "count")])
+        return pa.table({
+            "user_id": part.column("user_id"),
+            "sx": part.column("x_sum"), "sy": part.column("y_sum"),
+            "sxx": part.column("xx_sum"), "syy": part.column("yy_sum"),
+            "sxy": part.column("xy_sum"),
+            "n": pc.cast(part.column("x_count"), pa.int64())})
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "user_id").aggregate(Sum("sx"), Sum("sy"), Sum("sxx"),
+                             Sum("syy"), Sum("sxy"),
+                             Sum("n")).to_pandas()
+    n = agg["sum(n)"].to_numpy()
+    sx = agg["sum(sx)"].to_numpy()
+    sy = agg["sum(sy)"].to_numpy()
+    sxx = agg["sum(sxx)"].to_numpy()
+    syy = agg["sum(syy)"].to_numpy()
+    sxy = agg["sum(sxy)"].to_numpy()
+    ok = (n * sxx > sx * sx) & (n * syy > sy * sy)
+    nf, sxf, syf = (a[ok].astype(np.float64) for a in (n, sx, sy))
+    sxxf, syyf, sxyf = (a[ok].astype(np.float64)
+                        for a in (sxx, syy, sxy))
+    ac = (nf * sxyf - sxf * syf) / (np.sqrt(nf * sxxf - sxf * sxf)
+                                    * np.sqrt(nf * syyf - syf * syf))
+    return pd.DataFrame({"user_id": agg["user_id"][ok],
+                         "autocorr": ac}).sort_values(
+        "user_id").reset_index(drop=True)
+
+
 def events_value_decile_stats(sf_dir: str, buckets: int = 10) -> Dataset:
     """Equi-DEPTH histogram (decile edges + per-bucket exact stats)
     over value cents — the complement of events_value_histogram's

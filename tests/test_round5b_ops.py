@@ -377,3 +377,33 @@ def test_events_value_decile_stats_equidepth():
     assert (got["lo_c"] <= got["hi_c"]).all()
     assert (got["hi_c"].iloc[:-1].to_numpy()
             <= got["lo_c"].iloc[1:].to_numpy()).all()
+
+
+def test_user_value_autocorr_bounds_and_pandas_parity():
+    from datacapsule_ray.pipelines import relational as r
+
+    got = r.user_value_autocorr(SF_DIR)
+    assert (got["autocorr"].abs() <= 1.0 + 1e-12).all()
+    ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "value"]).to_pandas()
+    ev["c"] = (ev["value"] * 100).round().astype("int64")
+    ref = {}
+    for uid, g in ev.groupby("user_id"):
+        c = g.sort_values(["ts", "event_id"])["c"].to_numpy()
+        if len(c) < 2:
+            continue
+        x, y = c[:-1].astype(np.int64), c[1:].astype(np.int64)
+        n = np.int64(len(x))
+        sx, sy = x.sum(), y.sum()
+        sxx, syy, sxy = (x * x).sum(), (y * y).sum(), (x * y).sum()
+        if not (n * sxx > sx * sx and n * syy > sy * sy):
+            continue
+        ref[uid] = ((np.float64(n) * sxy - np.float64(sx) * sy)
+                    / (np.sqrt(np.float64(n) * sxx - np.float64(sx) * sx)
+                       * np.sqrt(np.float64(n) * syy
+                                 - np.float64(sy) * sy)))
+    got_map = dict(zip(got["user_id"], got["autocorr"]))
+    assert set(got_map) == set(ref)
+    for k in ref:
+        assert abs(got_map[k] - ref[k]) < 1e-12
