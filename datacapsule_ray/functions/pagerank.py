@@ -38,9 +38,49 @@ from ray.data import Dataset
 UNIT = 1_000_000_000
 
 
+def _pagerank_rounds_np(src_idx, dst_idx, n_nodes: int, sv,
+                        iters: int, unit: int):
+    """Vectorized fixed-point rounds over factorized edges — the same
+    deterministic int64 function as the distributed join rounds (sums
+    are order-independent, so scatter-add == groupby-sum). ``sv`` is
+    the 0/1 teleport mask (all-ones for global PageRank)."""
+    base = (15 * unit) // 100
+    outdeg = np.bincount(src_idx, minlength=n_nodes).astype(np.int64)
+    pr = sv * np.int64(unit)
+    for _ in range(iters):
+        contrib = (pr[src_idx] * 85) // (100 * outdeg[src_idx])
+        acc = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(acc, dst_idx, contrib)
+        pr = sv * np.int64(base) + acc
+    return pr
+
+
+def _driver_pagerank(e: Dataset, sv_of, iters: int, unit: int,
+                     id_type: pa.DataType) -> Dataset:
+    """Driver path for bench-scale graphs (the minlabel/bfs_levels
+    size-probe convention): pulls ONLY the (src, dst) edge rows,
+    factorizes, runs the identical fixed-point rounds vectorized.
+    Distributed joins pay ~10 fixed exchange costs per run, which a
+    165k-edge graph never amortizes; tests pin both paths equal."""
+    import ray.data as rd
+
+    df = e.to_pandas()
+    s = df["src"].to_numpy()
+    d = df["dst"].to_numpy()
+    nodes, flat = np.unique(np.concatenate((s, d)), return_inverse=True)
+    src_idx, dst_idx = flat[:len(s)], flat[len(s):]
+    sv = sv_of(nodes)
+    pr = _pagerank_rounds_np(src_idx, dst_idx, len(nodes), sv, iters,
+                             unit)
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes, type=id_type),
+        "pr": pa.array(pr, type=pa.int64())}))
+
+
 def pagerank_fixed(edges: Dataset, *, src_col: str = "src",
                    dst_col: str = "dst", iters: int = 3,
-                   unit: int = UNIT, num_partitions: int = 4) -> Dataset:
+                   unit: int = UNIT, num_partitions: int = 4,
+                   driver_limit: int = 2_000_000) -> Dataset:
     """(node, pr) after ``iters`` fixed-point iterations."""
     import ray.data as rd
 
@@ -60,6 +100,12 @@ def pagerank_fixed(edges: Dataset, *, src_col: str = "src",
     # clustering.py projection convention)
     e = edges.map_batches(pick({src_col: "src", dst_col: "dst"}),
                           batch_format="pyarrow").materialize()
+    if e.count() <= driver_limit:
+        from .dedup import _col_type
+
+        return _driver_pagerank(
+            e, lambda nodes: np.ones(len(nodes), dtype=np.int64),
+            iters, unit, _col_type(e, "src"))
 
     def local_distinct(col: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -144,7 +190,9 @@ def personalized_pagerank_fixed(edges: Dataset, seeds: Dataset, *,
                                 src_col: str = "src",
                                 dst_col: str = "dst", iters: int = 3,
                                 unit: int = UNIT,
-                                num_partitions: int = 4) -> Dataset:
+                                num_partitions: int = 4,
+                                driver_limit: int = 2_000_000
+                                ) -> Dataset:
     """Personalized PageRank: ``pagerank_fixed``'s fixed-point integer
     spec with the teleport mass restricted to ``seeds`` (one 'node'
     column) — "centrality as seen from these roots", the
@@ -174,6 +222,21 @@ def personalized_pagerank_fixed(edges: Dataset, seeds: Dataset, *,
 
     e = edges.map_batches(pick({src_col: "src", dst_col: "dst"}),
                           batch_format="pyarrow").materialize()
+    if e.count() <= driver_limit and seeds.count() <= driver_limit:
+        from .dedup import _col_type
+
+        seed_vals = np.unique(seeds.select_columns(
+            ["node"]).to_pandas()["node"].to_numpy())
+
+        def sv_of(nodes_arr):
+            if len(seed_vals) == 0:
+                return np.zeros(len(nodes_arr), dtype=np.int64)
+            idx = np.minimum(np.searchsorted(seed_vals, nodes_arr),
+                             len(seed_vals) - 1)
+            return (seed_vals[idx] == nodes_arr).astype(np.int64)
+
+        return _driver_pagerank(e, sv_of, iters, unit,
+                                _col_type(e, "src"))
 
     def local_distinct(col: str):
         def fn(t: pa.Table) -> pa.Table:

@@ -407,3 +407,32 @@ def test_user_value_autocorr_bounds_and_pandas_parity():
     assert set(got_map) == set(ref)
     for k in ref:
         assert abs(got_map[k] - ref[k]) < 1e-12
+
+
+def test_pagerank_driver_vs_distributed_parity():
+    from datacapsule_ray.functions.pagerank import (
+        pagerank_fixed, personalized_pagerank_fixed)
+
+    rng = np.random.default_rng(9)
+    pairs = [("n%d" % a, "n%d" % b)
+             for a, b in rng.integers(0, 30, size=(80, 2)) if a != b]
+    s, d = zip(*pairs)
+    e = rd.from_arrow(pa.table({
+        "src": pa.array(s, type=pa.string()),
+        "dst": pa.array(d, type=pa.string())}))
+    seeds = rd.from_arrow(pa.table({
+        "node": pa.array(["n0", "n5", "n7"], type=pa.string())}))
+
+    drv = pagerank_fixed(e, iters=3).to_pandas()
+    dst = pagerank_fixed(e, iters=3, driver_limit=0).to_pandas()
+    assert dict(zip(drv["node"], drv["pr"])) == \
+        dict(zip(dst["node"], dst["pr"]))
+
+    pdrv = personalized_pagerank_fixed(e, seeds, iters=3).to_pandas()
+    pdst = personalized_pagerank_fixed(e, seeds, iters=3,
+                                       driver_limit=0).to_pandas()
+    assert dict(zip(pdrv["node"], pdrv["pr"])) == \
+        dict(zip(pdst["node"], pdst["pr"]))
+    # seeded result differs from global (teleport restricted)
+    assert dict(zip(pdrv["node"], pdrv["pr"])) != \
+        dict(zip(drv["node"], drv["pr"]))
