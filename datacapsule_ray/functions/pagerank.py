@@ -205,7 +205,9 @@ def personalized_pagerank_fixed(edges: Dataset, seeds: Dataset, *,
     All-int64 arithmetic (order-independent sums -> SQL-oracle
     hash-exact, the pagerank_fixed rationale). Every node of the edge
     set is emitted, including pr=0 nodes unreached from the seeds.
-    Per iteration: one hash join (pr on src), one groupby-sum, one
+    Bench-scale edge sets take the vectorized driver path (the
+    ``_driver_pagerank`` size probe); past ``driver_limit`` each
+    iteration is one hash join (pr on src), one groupby-sum, and one
     left join onto the seed-flagged node set — O(iters) edge-sized
     shuffles, nothing driver-resident."""
     import ray.data as rd  # noqa: F401  (parity with pagerank_fixed)
