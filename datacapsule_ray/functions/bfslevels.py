@@ -97,7 +97,11 @@ def bfs_levels(edges: Dataset, *, max_hops: int,
     # nodes; each round attaches the frontier's hops to its neighbors
     # (two edge-keyed joins) and keeps the per-node minimum.
     if seed is None:
-        seed = e.min("a")
+        # true global min over BOTH endpoint columns — min("a") alone
+        # only equals it for canonical a<b pair lists, and the driver
+        # path (nodes[0] of the unique union) must stay path-equal on
+        # ANY input
+        seed = min(e.min("a"), e.min("b"))
     import ray.data as rd
 
     labels = rd.from_arrow(pa.table({

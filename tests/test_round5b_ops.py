@@ -436,3 +436,15 @@ def test_pagerank_driver_vs_distributed_parity():
     # seeded result differs from global (teleport restricted)
     assert dict(zip(pdrv["node"], pdrv["pr"])) != \
         dict(zip(drv["node"], drv["pr"]))
+
+
+def test_bfs_levels_noncanonical_edges_path_parity():
+    from datacapsule_ray.functions.bfslevels import bfs_levels
+
+    # b < a on some rows: min(id_a) is NOT the global min node
+    e = [(5, 1), (5, 6), (6, 7), (9, 8)]
+    drv = bfs_levels(_edges(e), max_hops=3).to_pandas()
+    dst = bfs_levels(_edges(e), max_hops=3, driver_limit=0).to_pandas()
+    assert dict(zip(drv["node"], drv["hop"])) == \
+        dict(zip(dst["node"], dst["hop"]))
+    assert dict(zip(drv["node"], drv["hop"]))[1] == 0  # true global min
