@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_top_pc": docops.embedding_top_pc,
         "doc_lm_scores": docops.doc_lm_scores,
         "dedup_final_docs": docops.dedup_final_docs,
+        "neardup_minhash_eval": docops.neardup_minhash_eval,
         "diverse_sample_embeddings": docops.diverse_sample_embeddings,
         "weighted_sample_docs": docops.weighted_sample_docs,
         "events_value_histogram": r.events_value_histogram,

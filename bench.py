@@ -204,6 +204,7 @@ def run_bench() -> dict:
     timed("dedup_final_docs", docops.dedup_final_docs)
     timed("events_value_decile_stats", r.events_value_decile_stats)
     timed("user_value_autocorr", r.user_value_autocorr)
+    timed("neardup_minhash_eval", docops.neardup_minhash_eval)
 
     # serving-side data operators (round 2): judge stage over doc
     # pairs, agent batch inference over the relational KG, and the full

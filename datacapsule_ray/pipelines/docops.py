@@ -295,6 +295,33 @@ def weighted_sample_docs(sf_dir: str, scale_chars: int = 2000) -> Dataset:
         keep, batch_format="pyarrow")
 
 
+def neardup_minhash_eval(sf_dir: str) -> "pd.DataFrame":
+    """Dedup-QA scorecard: precision/recall of the MinHash+LSH
+    candidate generator against the EXACT Jaccard>=0.9 pair graph —
+    the measurement that decides band/row parameters before trusting
+    the sketch at scale. One two-key inner join between the two pair
+    sets (both orders of magnitude smaller than the corpus); all
+    outputs are integers (counts + basis points), so the single-row
+    result is deterministic. Rows-only oracle story (the minhash side
+    has no SQL form). On dup-heavy corpora (the driver tables) the
+    sketch's hot-bucket caps drop most candidates and recall is low —
+    the exact signal this scorecard surfaces; realistic-density recall
+    is pinned by the scale_shuffle_probe curve in BASELINE.md."""
+    exact = _jaccard_pairs(sf_dir)
+    cand = dedup_minhash_docs(sf_dir)
+    n_exact = exact.count()
+    n_cand = cand.count()
+    tp = cand.select_columns(["id_a", "id_b"]).join(
+        exact.select_columns(["id_a", "id_b"]), join_type="inner",
+        num_partitions=4, on=("id_a", "id_b")).count()
+    return pd.DataFrame({
+        "n_exact": [n_exact], "n_candidates": [n_cand], "n_tp": [tp],
+        "n_fp": [n_cand - tp], "n_fn": [n_exact - tp],
+        "precision_bp": [10000 * tp // n_cand if n_cand else 0],
+        "recall_bp": [10000 * tp // n_exact if n_exact else 0],
+    }).astype("int64")
+
+
 def doc_rolling_fingerprints(sf_dir: str) -> Dataset:
     """Winnowed rolling-hash fingerprints, one row per (doc, fingerprint)
     — the local-similarity channel for plagiarism-style matching."""

@@ -448,3 +448,20 @@ def test_bfs_levels_noncanonical_edges_path_parity():
     assert dict(zip(drv["node"], drv["hop"])) == \
         dict(zip(dst["node"], dst["hop"]))
     assert dict(zip(drv["node"], drv["hop"]))[1] == 0  # true global min
+
+
+def test_neardup_minhash_eval_consistency():
+    from datacapsule_ray.pipelines import docops
+
+    row = docops.neardup_minhash_eval(SF_DIR).iloc[0]
+    assert row["n_tp"] + row["n_fp"] == row["n_candidates"]
+    assert row["n_tp"] + row["n_fn"] == row["n_exact"]
+    assert 0 <= row["precision_bp"] <= 10000
+    assert 0 <= row["recall_bp"] <= 10000
+    # the driver corpus is dup-HEAVY (tiny vocab, giant dup cliques):
+    # minhash hot-bucket caps drop most candidates there (the logged
+    # designed failure mode), so recall is LOW — which is exactly the
+    # decision signal this scorecard exists to surface. The realistic-
+    # density regime (high recall, 0 drops) is pinned by the
+    # scale_shuffle_probe numbers in BASELINE.md instead.
+    assert row["n_exact"] > 0
