@@ -308,7 +308,7 @@ def neardup_minhash_eval(sf_dir: str) -> "pd.DataFrame":
     the exact signal this scorecard surfaces; realistic-density recall
     is pinned by the scale_shuffle_probe curve in BASELINE.md."""
     exact = _jaccard_pairs(sf_dir)
-    cand = dedup_minhash_docs(sf_dir)
+    cand = dedup_minhash_docs(sf_dir)  # memoized + materialized
     n_exact = exact.count()
     n_cand = cand.count()
     tp = cand.select_columns(["id_a", "id_b"]).join(
@@ -349,10 +349,23 @@ def _typed_pairs(ds: Dataset, value_col: str,
     return out
 
 
+_MINHASH_CACHE: dict[str, Dataset] = {}
+
+
 def dedup_minhash_docs(sf_dir: str) -> Dataset:
-    return _typed_pairs(
-        dedup.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7),
-        "est_jaccard", pa.float64())
+    """MinHash+LSH candidate pairs, materialized ONCE per corpus (the
+    _jaccard_pairs convention) — shared by the QA scorecard
+    (neardup_minhash_eval) and any direct consumer; the candidate set
+    is dup-sized, cheap to pin in the object store."""
+    if sf_dir not in _MINHASH_CACHE:
+        out = _typed_pairs(
+            dedup.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                    threshold=0.7),
+            "est_jaccard", pa.float64())
+        if isinstance(out, Dataset):
+            out = out.materialize()
+        _MINHASH_CACHE[sf_dir] = out
+    return _MINHASH_CACHE[sf_dir]
 
 
 def dedup_minhash_components(sf_dir: str) -> Dataset:
