@@ -1954,7 +1954,10 @@ def oracle_sql() -> dict[str, str]:
             FROM walk w JOIN edges e ON e.u = w.node
             WHERE w.hop < 6
         )
-        SELECT node, MIN(hop) AS hop FROM walk GROUP BY node
+        SELECT node, MIN(hop) AS hop FROM walk
+        WHERE node IS NOT NULL  -- empty pair graph: seed subquery
+                                -- yields NULL; engine emits 0 rows
+        GROUP BY node
     """
     # layered containment chain: depth-bounded recursion, UNION ALL
     # mirrors the engine's join-per-level exactly (no dedup on either

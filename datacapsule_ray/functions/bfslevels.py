@@ -84,8 +84,17 @@ def bfs_levels(edges: Dataset, *, max_hops: int,
         nodes, flat_idx = np.unique(np.concatenate((a, b)),
                                     return_inverse=True)
         a_idx, b_idx = flat_idx[:len(a)], flat_idx[len(a):]
-        seed_idx = 0 if seed is None else int(
-            np.searchsorted(nodes, seed))
+        if seed is None:
+            seed_idx = 0
+        else:
+            pos = int(np.searchsorted(nodes, seed))
+            if pos >= len(nodes) or nodes[pos] != seed:
+                # seed touches no edge: hop-0 singleton, exactly what
+                # the distributed path's no-join-match rounds return
+                return rd.from_arrow(pa.table({
+                    "node": pa.array([seed], type=id_type),
+                    "hop": pa.array([0], type=pa.int64())}))
+            seed_idx = pos
         dist = _bfs_rounds_np(a_idx, b_idx, len(nodes), seed_idx,
                               max_hops)
         keep = dist <= max_hops

@@ -69,11 +69,12 @@ def bigram_lm_scores(ds: Dataset, *, text_col: str = "text",
         if len(frame) > model_cap:
             frame.sort_values(["sum(n)", "g"], ascending=[False, True],
                               inplace=True)
-            dropped += len(frame) - model_cap
+            n_drop = len(frame) - model_cap
+            dropped += n_drop
             frame.drop(frame.index[model_cap:], inplace=True)
             logger.warning("bigram_lm_scores: %s model capped at %d "
                            "(dropped rarest %d entries)", name,
-                           model_cap, len(frame))
+                           model_cap, n_drop)
     if stats is not None:
         stats["dropped_model_entries"] = dropped
         stats["vocab_n"] = vocab_n

@@ -263,8 +263,14 @@ def personalized_pagerank_fixed(edges: Dataset, seeds: Dataset, *,
                          "sv": pa.array(np.ones(t.num_rows,
                                                 dtype=np.int64))})
 
-    seed_marked = seeds.select_columns(["node"]).map_batches(
-        mark_seed, batch_format="pyarrow")
+    # distinct BEFORE the flag join: duplicate seed rows would fan
+    # out the node set and double-count every contribution (the driver
+    # path np.unique-dedups; both paths must agree)
+    seed_marked = (seeds.select_columns(["node"])
+                   .groupby("node").count()
+                   .map_batches(lambda t: t.select(["node"]),
+                                batch_format="pyarrow")
+                   .map_batches(mark_seed, batch_format="pyarrow"))
     # seed flag attached ONCE; every iteration reuses these blocks
     flagged = _deb(nodes.join(seed_marked, join_type="left_outer",
                               num_partitions=num_partitions,

@@ -196,7 +196,9 @@ def jaccard_ssjoin(ds: Dataset, *, tau_num: int = 9, tau_den: int = 10,
     Returns (id_a, id_b, n_inter, n_union) — exact integers, so a SQL
     oracle over the same tokenization matches hash-for-hash (the cosine
     keep test squares both sides: ``tau_den^2 * inter^2 >= tau_num^2 *
-    |a| * |b|``, exact in int64 while sets stay < 2^26 tokens). Empty
+    |a| * |b|``, exact while set sizes stay < 2^24 tokens — the
+    float32 incidence matmul in the bucket verify is the binding
+    bound, not the int64 packing). Empty
     documents (no tokens) never pair. ``ngram > 1`` joins on
     word-shingle sets instead of token sets (exact n-gram similarity —
     the shingle complement of the MinHash estimate)."""

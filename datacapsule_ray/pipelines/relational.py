@@ -1860,8 +1860,10 @@ def revenue_grouping_sets(sf_dir: str) -> pd.DataFrame:
 def user_value_autocorr(sf_dir: str,
                         num_partitions: int = 4) -> pd.DataFrame:
     """Per-user lag-1 autocorrelation of value — the temporal-drift
-    detector (is a user's spend momentum-driven or i.i.d.?): LAG pairs
-    from the distributed lag machinery, then Pearson corr over the
+    detector (is a user's spend momentum-driven or i.i.d.?): null-
+    defaulted LAG pairs from the distributed lag machinery (null = no
+    predecessor, unambiguous for any value range), then Pearson corr
+    over the
     (prev, current) pairs from exact integer sum partials with the
     mirrored IEEE tree (events_hour_value_corr convention). Users
     whose pair count or variance is degenerate are filtered by the
@@ -1882,13 +1884,14 @@ def user_value_autocorr(sf_dir: str,
     lagged = lag_lead(prepped, group_col="user_id",
                       order_cols=["ts", "event_id"], value_col="c",
                       offset=1, kind="lag", id_col="event_id",
-                      default=-1, out_col="prev")
+                      default=None, out_col="prev")
     joined = prepped.join(lagged, join_type="inner",
                           num_partitions=num_partitions,
                           on=("event_id",))
 
     def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.not_equal(t.column("prev"), -1))
+        # null = no predecessor (a genuine -1-cent value must survive)
+        t = t.filter(pc.is_valid(t.column("prev")))
         x = pc.cast(t.column("prev"), pa.int64())
         y = t.column("c")
         part = pa.table({
@@ -2681,6 +2684,10 @@ def events_profile(sf_dir: str) -> pd.DataFrame:
           .groupby("col_name").count().to_pandas())
     nd = nd.rename(columns={"count()": "n_distinct"})[
         ["col_name", "n_distinct"]]
+    # an all-null column contributes zero (col, val) pairs — it must
+    # still report n_distinct = 0, not vanish from the profile
+    nd = (nd.set_index("col_name").reindex(cols, fill_value=0)
+          .reset_index())
 
     def null_partial(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -465,3 +465,57 @@ def test_neardup_minhash_eval_consistency():
     # density regime (high recall, 0 drops) is pinned by the
     # scale_shuffle_probe numbers in BASELINE.md instead.
     assert row["n_exact"] > 0
+
+
+def test_bfs_levels_isolated_seed_both_paths():
+    from datacapsule_ray.functions.bfslevels import bfs_levels
+
+    e = [(10, 20), (20, 30)]
+    for dl in (2_000_000, 0):
+        got = bfs_levels(_edges(e), max_hops=2, seed=99,
+                         driver_limit=dl).to_pandas()
+        assert dict(zip(got["node"], got["hop"])) == {99: 0}, dl
+    # a seed BETWEEN existing node ids (searchsorted insertion point
+    # inside the array) must not alias onto a neighbor
+    got = bfs_levels(_edges(e), max_hops=2, seed=15).to_pandas()
+    assert dict(zip(got["node"], got["hop"])) == {15: 0}
+
+
+def test_personalized_pagerank_duplicate_seeds_both_paths():
+    from datacapsule_ray.functions.pagerank import (
+        personalized_pagerank_fixed)
+
+    e = rd.from_arrow(pa.table({
+        "src": pa.array(["a", "b"], type=pa.string()),
+        "dst": pa.array(["b", "c"], type=pa.string())}))
+    dup_seeds = rd.from_arrow(pa.table({
+        "node": pa.array(["a", "a", "a"], type=pa.string())}))
+    one_seed = rd.from_arrow(pa.table({
+        "node": pa.array(["a"], type=pa.string())}))
+    for dl in (2_000_000, 0):
+        dup = personalized_pagerank_fixed(e, dup_seeds, iters=3,
+                                          driver_limit=dl).to_pandas()
+        ref = personalized_pagerank_fixed(e, one_seed, iters=3,
+                                          driver_limit=dl).to_pandas()
+        assert dict(zip(dup["node"], dup["pr"])) == \
+            dict(zip(ref["node"], ref["pr"])), dl
+        assert len(dup) == 3
+
+
+def test_events_profile_all_null_column(tmp_path):
+    import pyarrow.parquet as pq
+
+    from datacapsule_ray.pipelines import relational as r
+
+    t = pa.table({
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "ts": pa.array([0, 1], type=pa.timestamp("us")),
+        "user_id": pa.array([7, 8], type=pa.int64()),
+        "event_type": pa.array(["a", "b"], type=pa.string()),
+        "value": pa.array([1.0, 2.0]),
+        "props": pa.array([None, None], type=pa.string())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = r.events_profile(str(tmp_path))
+    row = got[got["col_name"] == "props"].iloc[0]
+    assert row["n_distinct"] == 0 and row["n_null"] == 2
+    assert len(got) == 3
