@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_scores": docops.doc_lm_scores,
         "dedup_final_docs": docops.dedup_final_docs,
         "neardup_minhash_eval": docops.neardup_minhash_eval,
+        "docs_snapshot_diff": docops.docs_snapshot_diff,
         "diverse_sample_embeddings": docops.diverse_sample_embeddings,
         "weighted_sample_docs": docops.weighted_sample_docs,
         "events_value_histogram": r.events_value_histogram,
@@ -1855,6 +1856,25 @@ def oracle_sql() -> dict[str, str]:
                        AS rn
             FROM assign)
         SELECT centroid_id, vec_id FROM ranked WHERE rn <= 5
+    """
+    out["docs_snapshot_diff"] = """
+        -- CDC diff of two deterministic snapshots via FULL OUTER JOIN
+        WITH oldsnap AS (
+            SELECT doc_id, md5(text) AS fp_old
+            FROM documents WHERE doc_id % 7 <> 0),
+        newsnap AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                            ELSE text END) AS fp_new
+            FROM documents WHERE doc_id % 3 <> 0),
+        d AS (
+            SELECT doc_id,
+                   CASE WHEN fp_old IS NULL THEN 'added'
+                        WHEN fp_new IS NULL THEN 'removed'
+                        WHEN fp_old <> fp_new THEN 'changed'
+                        END AS change
+            FROM oldsnap FULL OUTER JOIN newsnap USING (doc_id))
+        SELECT doc_id, change FROM d WHERE change IS NOT NULL
     """
     out["events_value_gini"] = """
         -- sorted-rank Gini from integer sufficient statistics;

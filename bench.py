@@ -205,6 +205,7 @@ def run_bench() -> dict:
     timed("events_value_decile_stats", r.events_value_decile_stats)
     timed("user_value_autocorr", r.user_value_autocorr)
     timed("neardup_minhash_eval", docops.neardup_minhash_eval)
+    timed("docs_snapshot_diff", docops.docs_snapshot_diff)
 
     # serving-side data operators (round 2): judge stage over doc
     # pairs, agent batch inference over the relational KG, and the full

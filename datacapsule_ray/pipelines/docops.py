@@ -295,6 +295,71 @@ def weighted_sample_docs(sf_dir: str, scale_chars: int = 2000) -> Dataset:
         keep, batch_format="pyarrow")
 
 
+def docs_snapshot_diff(sf_dir: str, num_partitions: int = 4) -> Dataset:
+    """Snapshot diff (change-data-capture): (doc_id, change) between
+    two deterministic corpus snapshots — 'old' keeps doc_id % 7 != 0,
+    'new' keeps doc_id % 3 != 0 and rewrites every doc_id % 5 == 0
+    text — classifying added / removed / changed by content hash via
+    ONE distributed full-outer join on the key. Unchanged rows are
+    dropped at the join output, so the result is delta-sized: the op
+    a daily-refresh pipeline runs to avoid reprocessing 100 TB when
+    0.1%% changed. Hash = md5(text), the dedup_exact content-key
+    convention, so the SQL oracle mirrors bit-for-bit."""
+    import pyarrow.compute as pc
+
+    from ..functions.text import md5_hex_batch
+    from ..traverse import drop_empty_blocks
+
+    def _mod(col, k: int):
+        # pyarrow.compute has no modulo kernel in this version:
+        # x - (x // k) * k via trunc division (ids are non-negative)
+        q = pc.divide(col, k)
+        return pc.subtract(col, pc.multiply(q, k))
+
+    def snap(keep_mod: int, rewrite: bool, fp_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            did = t.column("doc_id")
+            t = t.filter(pc.not_equal(_mod(did, keep_mod), 0))
+            txt = t.column("text")
+            if rewrite:
+                mod5 = pc.equal(_mod(t.column("doc_id"), 5), 0)
+                txt = pc.if_else(
+                    mod5,
+                    pc.binary_join_element_wise(
+                        pc.cast(txt, pa.string()), "v2", " "),
+                    pc.cast(txt, pa.string()))
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                fp_col: pa.array(md5_hex_batch(txt), type=pa.string())})
+        return fn
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    old = docs.map_batches(snap(7, False, "fp_old"),
+                           batch_format="pyarrow")
+    new = docs.map_batches(snap(3, True, "fp_new"),
+                           batch_format="pyarrow")
+    joined = drop_empty_blocks(
+        old.join(new, join_type="full_outer",
+                 num_partitions=num_partitions, on=("doc_id",)),
+        pa.schema([("doc_id", pa.int64()), ("fp_old", pa.string()),
+                   ("fp_new", pa.string())]))
+
+    def classify(t: pa.Table) -> pa.Table:
+        fo, fn_ = t.column("fp_old"), t.column("fp_new")
+        change = pc.if_else(
+            pc.is_null(fo), pa.scalar("added", type=pa.string()),
+            pc.if_else(pc.is_null(fn_),
+                       pa.scalar("removed", type=pa.string()),
+                       pc.if_else(pc.not_equal(fo, fn_),
+                                  pa.scalar("changed", type=pa.string()),
+                                  pa.scalar(None, type=pa.string()))))
+        out = pa.table({"doc_id": t.column("doc_id"),
+                        "change": change})
+        return out.filter(pc.is_valid(out.column("change")))
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
 def neardup_minhash_eval(sf_dir: str) -> "pd.DataFrame":
     """Dedup-QA scorecard: precision/recall of the MinHash+LSH
     candidate generator against the EXACT Jaccard>=0.9 pair graph —

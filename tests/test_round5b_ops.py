@@ -519,3 +519,19 @@ def test_events_profile_all_null_column(tmp_path):
     row = got[got["col_name"] == "props"].iloc[0]
     assert row["n_distinct"] == 0 and row["n_null"] == 2
     assert len(got) == 3
+
+
+def test_docs_snapshot_diff_classes():
+    from datacapsule_ray.pipelines import docops
+
+    got = docops.docs_snapshot_diff(SF_DIR).to_pandas()
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id"]).to_pandas()
+    ids = docs["doc_id"].to_numpy()
+    added = set(ids[(ids % 7 == 0) & (ids % 3 != 0)])
+    removed = set(ids[(ids % 7 != 0) & (ids % 3 == 0)])
+    changed = set(ids[(ids % 7 != 0) & (ids % 3 != 0) & (ids % 5 == 0)])
+    by = {c: set(g["doc_id"]) for c, g in got.groupby("change")}
+    assert by.get("added", set()) == added
+    assert by.get("removed", set()) == removed
+    assert by.get("changed", set()) == changed
